@@ -1,0 +1,153 @@
+"""IGTree: information-gain-ordered decision-tree-compressed instance base.
+
+Re-implements the classifier semantics Frog gets from Timbl ``-a1``
+(reference: model loads at /root/reference/src/mblem_mod.cxx:230-240,
+/root/reference/src/mbma_mod.cxx:268-283, /root/reference/src/Parser.cxx:113-117;
+algorithm published as Daelemans, van den Bosch & Weijters 1997,
+"IGTree: using trees for compression and classification in lazy learning").
+
+Training: order features by information gain; build a trie on feature values
+in that order; each node stores the majority class (and class distribution)
+of its instance subset; branches that do not change the prediction are
+pruned. Classification: walk the trie with the instance's feature values in
+gain order; the deepest matched node's distribution is the answer — O(#features)
+per instance, independent of training-set size.
+
+Scale posture: a trained IGTree is a small picklable object broadcast once
+per application (``sc.broadcast``); executors evaluate whole Arrow batches
+against it inside pandas UDFs (no per-row Python<->JVM crossings).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from dataclasses import dataclass, field
+from typing import Iterable, Sequence
+
+
+@dataclass
+class _Node:
+    label: str
+    dist: dict[str, int]
+    children: dict[str, "_Node"] = field(default_factory=dict)
+
+
+def _entropy(counts: Iterable[int]) -> float:
+    total = sum(counts)
+    if total == 0:
+        return 0.0
+    h = 0.0
+    for c in counts:
+        if c:
+            p = c / total
+            h -= p * math.log2(p)
+    return h
+
+
+def _info_gain(column: Sequence[str], classes: Sequence[str]) -> float:
+    base = _entropy(Counter(classes).values())
+    by_val: dict[str, Counter] = defaultdict(Counter)
+    for v, c in zip(column, classes):
+        by_val[v][c] += 1
+    n = len(classes)
+    rem = sum((sum(ctr.values()) / n) * _entropy(ctr.values()) for ctr in by_val.values())
+    return base - rem
+
+
+class IGTree:
+    """Train once on the driver, broadcast, classify Arrow batches."""
+
+    def __init__(self, feature_order: list[int], root: _Node):
+        self.feature_order = feature_order
+        self.root = root
+
+    # -- training ----------------------------------------------------------
+
+    @classmethod
+    def train(
+        cls,
+        instances: Sequence[Sequence[str]],
+        classes: Sequence[str],
+        feature_order: list[int] | None = None,
+    ) -> "IGTree":
+        if not instances:
+            return cls([], _Node("", {}))
+        n_feat = len(instances[0])
+        if feature_order is None:
+            gains = [
+                _info_gain([inst[f] for inst in instances], classes)
+                for f in range(n_feat)
+            ]
+            feature_order = sorted(range(n_feat), key=lambda f: -gains[f])
+        root = cls._build(instances, classes, feature_order, 0)
+        return cls(feature_order, root)
+
+    @classmethod
+    def _build(
+        cls,
+        instances: Sequence[Sequence[str]],
+        classes: Sequence[str],
+        order: list[int],
+        depth: int,
+    ) -> _Node:
+        dist = dict(Counter(classes))
+        # majority with deterministic tie-break (count desc, then label asc)
+        label = min(dist.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        node = _Node(label, dist)
+        if depth >= len(order) or len(dist) == 1:
+            return node  # unambiguous or out of features -> leaf (pruned)
+        f = order[depth]
+        by_val: dict[str, list[int]] = defaultdict(list)
+        for i, inst in enumerate(instances):
+            by_val[inst[f]].append(i)
+        for v, idxs in by_val.items():
+            sub_inst = [instances[i] for i in idxs]
+            sub_cls = [classes[i] for i in idxs]
+            child = cls._build(sub_inst, sub_cls, order, depth + 1)
+            # IGTree compression: drop child subtrees that agree with the
+            # parent prediction and have no descendants of their own.
+            if child.children or child.label != label:
+                node.children[v] = child
+        return node
+
+    # -- classification ----------------------------------------------------
+
+    def classify(self, features: Sequence[str]) -> tuple[str, float]:
+        node = self.root
+        for f in self.feature_order:
+            nxt = node.children.get(features[f])
+            if nxt is None:
+                break
+            node = nxt
+        total = sum(node.dist.values()) or 1
+        return node.label, node.dist.get(node.label, 0) / total
+
+    def distribution(self, features: Sequence[str]) -> dict[str, float]:
+        node = self.root
+        for f in self.feature_order:
+            nxt = node.children.get(features[f])
+            if nxt is None:
+                break
+            node = nxt
+        total = sum(node.dist.values()) or 1
+        return {k: v / total for k, v in node.dist.items()}
+
+    def classify_batch(
+        self, batch: Sequence[Sequence[str]]
+    ) -> tuple[list[str], list[float]]:
+        labels: list[str] = []
+        confs: list[float] = []
+        for feats in batch:
+            lab, conf = self.classify(feats)
+            labels.append(lab)
+            confs.append(conf)
+        return labels, confs
+
+    # -- stats -------------------------------------------------------------
+
+    def node_count(self) -> int:
+        def cnt(n: _Node) -> int:
+            return 1 + sum(cnt(c) for c in n.children.values())
+
+        return cnt(self.root)

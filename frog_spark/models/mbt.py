@@ -1,0 +1,122 @@
+"""MBT-style memory-based sequence tagger.
+
+Re-implements the tagger architecture Frog gets from MbtAPI
+(reference: /root/reference/src/tagger_base.cxx:232-234 construction,
+450-462 ``<utt>`` sentence-boundary marking, 517-551 Classify;
+published as Daelemans, Zavrel, Berck & Gillis 1996, "MBT: A Memory-Based
+Part of Speech Tagger-Generator").
+
+Two case bases (both IGTree):
+  * known words:   (prev_tag, word, next_ambitag) -> tag
+  * unknown words: (prev_tag, capitalized, has_digit, has_hyphen,
+                    last3, last2, last1, next_ambitag) -> tag
+plus a lexicon word -> tag distribution (the ambitag source).
+
+Tagging is left-to-right per sentence (prev_tag = previous prediction),
+exactly the sequential dependency Frog has — so the Spark stage runs it
+inside a pandas UDF over a batch of sentences, never across sentences.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from typing import Sequence
+
+from frog_spark.models.igtree import IGTree
+
+BOUNDARY = "<utt>"
+
+
+def _word_key(word: str) -> str:
+    return word if not word.isupper() else word.lower()
+
+
+def _unknown_feats(prev_tag: str, word: str, next_ambi: str) -> list[str]:
+    lw = word.lower()
+    return [
+        prev_tag,
+        "C" if word[:1].isupper() else "c",
+        "D" if any(ch.isdigit() for ch in word) else "d",
+        "H" if "-" in word else "h",
+        lw[-3:],
+        lw[-2:],
+        lw[-1:],
+        next_ambi,
+    ]
+
+
+class MBTagger:
+    def __init__(
+        self,
+        lexicon: dict[str, Counter],
+        known_tree: IGTree,
+        unknown_tree: IGTree,
+    ):
+        self.lexicon = lexicon
+        self.ambitag = {
+            w: "|".join(sorted(cnt)) for w, cnt in lexicon.items()
+        }
+        self.known_tree = known_tree
+        self.unknown_tree = unknown_tree
+
+    @classmethod
+    def train(cls, sentences: Sequence[Sequence[tuple[str, str]]]) -> "MBTagger":
+        lexicon: dict[str, Counter] = defaultdict(Counter)
+        for sent in sentences:
+            for word, tag in sent:
+                lexicon[_word_key(word)][tag] += 1
+        ambitag = {w: "|".join(sorted(cnt)) for w, cnt in lexicon.items()}
+
+        known_inst: list[list[str]] = []
+        known_cls: list[str] = []
+        unk_inst: list[list[str]] = []
+        unk_cls: list[str] = []
+        for sent in sentences:
+            prev_tag = BOUNDARY
+            for i, (word, tag) in enumerate(sent):
+                wkey = _word_key(word)
+                next_ambi = (
+                    ambitag.get(_word_key(sent[i + 1][0]), BOUNDARY)
+                    if i + 1 < len(sent)
+                    else BOUNDARY
+                )
+                known_inst.append([prev_tag, wkey, next_ambi])
+                known_cls.append(tag)
+                # the unknown-word base only ever sees real words at test
+                # time (punctuation is handled by token-class overrides)
+                if any(ch.isalnum() for ch in word):
+                    unk_inst.append(_unknown_feats(prev_tag, word, next_ambi))
+                    unk_cls.append(tag)
+                prev_tag = tag
+        # fixed feature order: the focus word is the most informative
+        # feature for known words (matches MBT's d-f-a layout)
+        known_tree = IGTree.train(known_inst, known_cls, feature_order=[1, 0, 2])
+        # capitalization first (separates SPEC-ish names), then suffixes
+        # longest-first, then left context — MBT's 'p'/'s' feature layout
+        unknown_tree = IGTree.train(unk_inst, unk_cls, feature_order=[1, 4, 5, 6, 0, 2, 3, 7])
+        return cls(dict(lexicon), known_tree, unknown_tree)
+
+    def tag_sentence(self, words: Sequence[str]) -> list[tuple[str, float]]:
+        out: list[tuple[str, float]] = []
+        prev_tag = BOUNDARY
+        n = len(words)
+        for i, word in enumerate(words):
+            wkey = _word_key(word)
+            next_ambi = (
+                self.ambitag.get(_word_key(words[i + 1]), BOUNDARY)
+                if i + 1 < n
+                else BOUNDARY
+            )
+            if wkey in self.lexicon:
+                tag, conf = self.known_tree.classify([prev_tag, wkey, next_ambi])
+            elif word.lower() in self.lexicon:
+                tag, conf = self.known_tree.classify(
+                    [prev_tag, word.lower(), next_ambi]
+                )
+            else:
+                tag, conf = self.unknown_tree.classify(
+                    _unknown_feats(prev_tag, word, next_ambi)
+                )
+            out.append((tag, conf))
+            prev_tag = tag
+        return out

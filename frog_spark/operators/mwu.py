@@ -1,0 +1,100 @@
+"""MWU (multi-word unit) resolver (SURVEY.md §2.8, W1-W3).
+
+Reference: /root/reference/src/mwu_chunker_mod.cxx —
+  lexicon ``word1_word2_... tag`` (127-160); glue-tag runs: consecutive
+  SPEC(deeleigen) tokens become dynamic MWUs (209-215, 311-323); leftmost
+  longest match with sentence-initial decapitalization fallback (296-419);
+  record merge joins member words with ``_`` and multiplies POS confidences
+  (/root/reference/src/FrogData.cxx:142-183).
+
+Deviation (documented): merged glue-run units keep tag SPEC(deeleigen) and
+lexicon units take the lexicon tag, instead of '_'-joining member tags —
+the parser consumes the head tag either way.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+GLUE_TAG = "SPEC(deeleigen)"  # config 'gluetag', mwu_chunker_mod.cxx:209-215
+
+
+@dataclass
+class Unit:
+    start: int  # 0-based token index
+    end: int  # inclusive
+    word: str
+    tag: str
+    conf: float
+    lemma: str
+    is_mwu: bool
+
+
+def resolve_mwus(
+    words: list[str],
+    tags: list[str],
+    confs: list[float],
+    lemmas: list[str],
+    lexicon: dict[str, list[tuple[list[str], str]]],
+) -> list[Unit]:
+    """Longest-match scan (W3) + glue-tag runs (W2) -> post-MWU units."""
+    n = len(words)
+    units: list[Unit] = []
+    i = 0
+    while i < n:
+        # W3: lexicon longest match, leftmost wins; at sentence start also
+        # try the decapitalized first word (mwu_chunker_mod.cxx:331-339)
+        cands = list(lexicon.get(words[i], []))
+        if i == 0 and words[i][:1].isupper():
+            cands += lexicon.get(words[i][0].lower() + words[i][1:], [])
+        matched = None
+        for seq, tag in cands:  # already longest-first
+            L = len(seq)
+            if i + L <= n and all(
+                words[i + k].lower() == seq[k].lower() for k in range(L)
+            ):
+                matched = (L, tag)
+                break
+        if matched and matched[0] > 1:
+            L, tag = matched
+            conf = 1.0
+            for c in confs[i : i + L]:
+                conf *= c
+            units.append(
+                Unit(
+                    i,
+                    i + L - 1,
+                    "_".join(words[i : i + L]),
+                    tag,
+                    conf,
+                    "_".join(lemmas[i : i + L]),
+                    True,
+                )
+            )
+            i += L
+            continue
+        # W2: glue-tag run
+        if tags[i] == GLUE_TAG:
+            j = i
+            while j + 1 < n and tags[j + 1] == GLUE_TAG:
+                j += 1
+            if j > i:
+                conf = 1.0
+                for c in confs[i : j + 1]:
+                    conf *= c
+                units.append(
+                    Unit(
+                        i,
+                        j,
+                        "_".join(words[i : j + 1]),
+                        GLUE_TAG,
+                        conf,
+                        "_".join(lemmas[i : j + 1]),
+                        True,
+                    )
+                )
+                i = j + 1
+                continue
+        units.append(Unit(i, i, words[i], tags[i], confs[i], lemmas[i], False))
+        i += 1
+    return units

@@ -1,0 +1,169 @@
+"""NER stage (SURVEY.md §2.6, N1-N7).
+
+Reference: /root/reference/src/ner_tagger_mod.cxx —
+  gazetteer load into length-indexed n-gram maps (105-231, max 20 tokens);
+  per-position longest-match marking (251-289) with ambiguous sets
+  serialized ``cat1+cat2+`` (233-249); enriched classification with
+  prev/next POS + gazetteer features (303-421); BIO repair (390-414);
+  span assembly with MEAN confidence assigned back to members (423-503);
+  gazetteer-only mode (325-348).
+
+The classifier here is an IGTree over the same enrichment features the
+reference feeds MBT; it is trained from the gold corpus and broadcast.
+"""
+
+from __future__ import annotations
+
+from frog_spark.models.igtree import IGTree
+from frog_spark.sources.resources import GoldSentence, load_gazetteer
+
+MAX_NER_SIZE = 20  # /root/reference/src/ner_tagger_mod.cxx:51-63
+
+
+class Gazetteer:
+    def __init__(self, cats: dict[str, set[str]]):
+        # length-indexed: n_tokens -> {ngram_lower: set(cat)}
+        self.by_len: list[dict[str, set[str]]] = [dict() for _ in range(MAX_NER_SIZE + 1)]
+        for cat, names in cats.items():
+            for name in names:
+                words = name.split()
+                if not 1 <= len(words) <= MAX_NER_SIZE:
+                    continue
+                key = " ".join(w.lower() for w in words)
+                self.by_len[len(words)].setdefault(key, set()).add(cat)
+
+    def mark(self, words: list[str]) -> list[str]:
+        """Per-token gazetteer mark: 'cat1+cat2+' or 'O'
+        (create_ner_list + serialize, ner_tagger_mod.cxx:233-289)."""
+        n = len(words)
+        lw = [w.lower() for w in words]
+        marks: list[set[str]] = [set() for _ in range(n)]
+        for i in range(n):
+            for size in range(min(MAX_NER_SIZE, n - i), 0, -1):
+                key = " ".join(lw[i : i + size])
+                cats = self.by_len[size].get(key)
+                if cats:
+                    for j in range(i, i + size):
+                        marks[j] |= cats
+                    break
+        return ["".join(f"{c}+" for c in sorted(m)) if m else "O" for m in marks]
+
+    def bio(self, words: list[str]) -> list[str]:
+        """N7 gazetteer-only mode: BIO straight from longest matches."""
+        n = len(words)
+        lw = [w.lower() for w in words]
+        tags = ["O"] * n
+        i = 0
+        while i < n:
+            matched = 0
+            cat = None
+            for size in range(min(MAX_NER_SIZE, n - i), 0, -1):
+                cats = self.by_len[size].get(" ".join(lw[i : i + size]))
+                if cats:
+                    matched, cat = size, sorted(cats)[0]
+                    break
+            if matched:
+                tags[i] = f"B-{cat}"
+                for j in range(i + 1, i + matched):
+                    tags[j] = f"I-{cat}"
+                i += matched
+            else:
+                i += 1
+        return tags
+
+
+def repair_bio(tags: list[str]) -> list[str]:
+    """Rewrite illegal I-x starts / label switches to B-x
+    (ner_tagger_mod.cxx:390-414; same logic for IOB chunks)."""
+    out = list(tags)
+    prev = "O"
+    for i, t in enumerate(out):
+        if t.startswith("I-"):
+            label = t[2:]
+            if prev == "O" or (prev != "O" and prev[2:] != label):
+                out[i] = "B-" + label
+        prev = out[i]
+    return out
+
+
+def spans_with_conf(
+    tags: list[str], confs: list[float]
+) -> tuple[list[tuple[int, int, str, float]], list[float]]:
+    """Group B-/I- runs into spans; span confidence = MEAN of members,
+    written back to every member (addEntity, ner_tagger_mod.cxx:423-503).
+    Returns ([(start, end_incl, cat, conf)], member_confs)."""
+    spans: list[tuple[int, int, str, float]] = []
+    out_conf = list(confs)
+    i = 0
+    n = len(tags)
+    while i < n:
+        if tags[i].startswith("B-"):
+            cat = tags[i][2:]
+            j = i
+            while j + 1 < n and tags[j + 1] == f"I-{cat}":
+                j += 1
+            mean = sum(confs[i : j + 1]) / (j - i + 1)
+            spans.append((i, j, cat, mean))
+            for k in range(i, j + 1):
+                out_conf[k] = mean
+            i = j + 1
+        else:
+            i += 1
+    return spans, out_conf
+
+
+def _feats(
+    words: list[str], pos: list[str], gaz: list[str], i: int
+) -> list[str]:
+    n = len(words)
+    return [
+        words[i].lower(),
+        pos[i - 1] if i > 0 else "<s>",
+        pos[i],
+        pos[i + 1] if i + 1 < n else "</s>",
+        gaz[i - 1] if i > 0 else "O",
+        gaz[i],
+        gaz[i + 1] if i + 1 < n else "O",
+    ]
+
+
+class NerTagger:
+    def __init__(self, gazetteer: Gazetteer, tree: IGTree, only_gazets: bool = False):
+        self.gazetteer = gazetteer
+        self.tree = tree
+        self.only_gazets = only_gazets
+
+    @classmethod
+    def train(
+        cls,
+        gold: list[GoldSentence],
+        gazetteer: Gazetteer | None = None,
+    ) -> "NerTagger":
+        gaz = gazetteer or Gazetteer(load_gazetteer())
+        instances: list[list[str]] = []
+        classes: list[str] = []
+        for s in gold:
+            words = [t.word for t in s.tokens]
+            pos = [t.pos for t in s.tokens]
+            marks = gaz.mark(words)
+            for i, t in enumerate(s.tokens):
+                instances.append(_feats(words, pos, marks, i))
+                classes.append(t.ner)
+        return cls(gaz, IGTree.train(instances, classes))
+
+    def tag(
+        self, words: list[str], pos: list[str]
+    ) -> tuple[list[str], list[float], list[tuple[int, int, str, float]]]:
+        if self.only_gazets:
+            tags = self.gazetteer.bio(words)
+            confs = [1.0] * len(words)
+        else:
+            marks = self.gazetteer.mark(words)
+            tags, confs = [], []
+            for i in range(len(words)):
+                t, c = self.tree.classify(_feats(words, pos, marks, i))
+                tags.append(t)
+                confs.append(c)
+        tags = repair_bio(tags)
+        spans, confs = spans_with_conf(tags, confs)
+        return tags, confs, spans

@@ -1,0 +1,96 @@
+"""Golden end-to-end parity (reference analogue: /root/reference/src/tst.sh
+diffing against tests/tst.ok). Every annotation column must reproduce the
+gold corpus exactly — the memory-based stack must recall its training
+material, which is Timbl/MBT's defining property."""
+
+from frog_spark.operators.tokenizer import split_sentences, tokenize_text
+
+
+def _annotate(pipeline, sent_text):
+    sents = split_sentences(tokenize_text(sent_text))
+    assert len(sents) == 1
+    words = [t.word for t in sents[0]]
+    classes = [t.token_class for t in sents[0]]
+    return pipeline.annotate_sentence(words, classes)
+
+
+def test_tst_ok_sentence(pipeline, gold):
+    """s01 is transcribed from /root/reference/tests/tst.ok."""
+    s = gold[0]
+    assert s.sent_id == "s01"
+    ann = _annotate(pipeline, s.text)
+    got = [(a["word"], a["lemma"], a["morph"], a["pos_tag"], a["ner_tag"], a["chunk_tag"]) for a in ann]
+    want = [(t.word, t.lemma, t.morph, t.pos, t.ner, t.chunk) for t in s.tokens]
+    assert got == want
+
+
+def test_full_gold_parity(pipeline, gold):
+    errs = []
+    for s in gold:
+        ann = _annotate(pipeline, s.text)
+        assert len(ann) == len(s.tokens), s.sent_id
+        for a, g in zip(ann, s.tokens):
+            for f, gv in [
+                ("pos_tag", g.pos),
+                ("lemma", g.lemma),
+                ("morph", g.morph),
+                ("ner_tag", g.ner),
+                ("chunk_tag", g.chunk),
+            ]:
+                if a[f] != gv:
+                    errs.append((s.sent_id, g.word, f, a[f], gv))
+        unit_parse = {a["unit_idx"]: (a["parse_head"], a["parse_role"]) for a in ann}
+        for u, hr in s.deps.items():
+            if unit_parse.get(u) != hr:
+                errs.append((s.sent_id, "dep", u, unit_parse.get(u), hr))
+    assert not errs, errs[:10]
+
+
+def test_spec_confidence_forced(pipeline):
+    ann = _annotate(pipeline, "Dit is een test van Frog op de datum 09-01-2012!")
+    frog = next(a for a in ann if a["word"] == "Frog")
+    bang = next(a for a in ann if a["word"] == "!")
+    assert frog["pos_tag"] == "SPEC(deeleigen)" and frog["pos_conf"] == 1.0
+    assert bang["pos_tag"] == "LET()" and bang["pos_conf"] == 1.0
+
+
+def test_mwu_glue_run_merges(pipeline):
+    ann = _annotate(pipeline, "de Algemene Rekenkamer controleert de uitgaven.")
+    alg = next(a for a in ann if a["word"] == "Algemene")
+    rek = next(a for a in ann if a["word"] == "Rekenkamer")
+    assert alg["unit_idx"] == rek["unit_idx"]
+    assert alg["mwu_start"] == 1 and alg["mwu_end"] == 2
+
+
+def test_mwu_lexicon_match(pipeline):
+    ann = _annotate(pipeline, "Hij is met name bekend om Wikipedia.")
+    met = next(a for a in ann if a["word"] == "met")
+    name = next(a for a in ann if a["word"] == "name")
+    assert met["unit_idx"] == name["unit_idx"]
+
+
+def test_ner_span_confidence_is_mean(pipeline):
+    ann = _annotate(pipeline, "De minister bezoekt de Tweede Kamer in Den Haag.")
+    t, k = (next(a for a in ann if a["word"] == w) for w in ("Tweede", "Kamer"))
+    assert t["ner_tag"] == "B-org" and k["ner_tag"] == "I-org"
+    assert abs(t["ner_conf"] - k["ner_conf"]) < 1e-12  # mean written back to members
+
+
+def test_compound_detection(pipeline):
+    ann = _annotate(pipeline, "Wikiasari maakt gebruik van dezelfde technologie als Wikipedia zelf.")
+    # zoekmachine-style compounds elsewhere; here check a known NN compound
+    ann2 = _annotate(pipeline, "Google is een zeer goede zoekmachine maar vaak levert een zoekresultaat niets op.")
+    zm = next(a for a in ann2 if a["word"] == "zoekmachine")
+    assert zm["compound"] == "NN"
+    vz = next(a for a in ann2 if a["word"] == "is")
+    assert vz["compound"] == "0"
+
+
+def test_unseen_word_generalization(pipeline):
+    """IGTree suffix generalization: words never seen in training."""
+    ann = pipeline.annotate_sentence(
+        ["De", "bakker", "verkoopt", "de", "broden", "."],
+        ["WORD", "WORD", "WORD", "WORD", "WORD", "PUNCTUATION"],
+    )
+    assert ann[1]["pos_tag"].startswith("N(")  # -er noun
+    assert ann[1]["lemma"] == "bakker"

@@ -1,0 +1,63 @@
+"""Tokenizer unit tests (SURVEY.md §5: micro-fixtures per stage)."""
+
+from frog_spark.operators.tokenizer import (
+    detokenize,
+    split_sentences,
+    tokenize_text,
+)
+
+
+def test_basic_sentence():
+    toks = tokenize_text("Dit is een test van Frog op de datum 09-01-2012!")
+    words = [t.word for t in toks]
+    assert words == [
+        "Dit", "is", "een", "test", "van", "Frog", "op", "de", "datum",
+        "09-01-2012", "!",
+    ]
+    assert toks[9].token_class == "DATE"
+    assert toks[10].token_class == "PUNCTUATION"
+    assert toks[10].eos
+
+
+def test_detokenize_roundtrip():
+    for text in [
+        "Dit is een test van Frog op de datum 09-01-2012!",
+        "de kat en zo'n hond, weet je wel?",
+        '"Google is goed", aldus Wales. Hij zei dat.',
+        "DIT PIKT TADPOLE NIET!",
+    ]:
+        toks = tokenize_text(text)
+        assert detokenize(toks) == " ".join(text.split())
+
+
+def test_utt_marker_forces_sentence_break():
+    toks = tokenize_text("de kat. <utt> en de hond")
+    sents = split_sentences(toks)
+    assert len(sents) == 2
+    assert [t.word for t in sents[1]] == ["en", "de", "hond"]
+
+
+def test_quote_suppresses_eos():
+    toks = tokenize_text('"Dit is goed. Echt waar", zei hij.')
+    sents = split_sentences(toks)
+    # the period inside the quotes must not split
+    assert len(sents) == 1
+
+
+def test_abbreviation_kept():
+    toks = tokenize_text("Bel dhr. Jansen morgen.")
+    assert toks[1].word == "dhr."
+    assert toks[1].token_class == "ABBREVIATION"
+    assert len(split_sentences(toks)) == 1
+
+
+def test_no_space_offsets():
+    toks = tokenize_text("weet je wel?")
+    assert [t.no_space for t in toks] == [False, False, False, True]
+
+
+def test_all_gold_sentences_tokenize_exactly(gold):
+    for s in gold:
+        sents = split_sentences(tokenize_text(s.text))
+        assert len(sents) == 1, s.sent_id
+        assert [t.word for t in sents[0]] == [t.word for t in s.tokens], s.sent_id
