@@ -1,0 +1,78 @@
+"""Canonicalization: connected components over similarity edges
+(SURVEY.md §2.11, K4).
+
+Iterative min-label propagation implemented with plain DataFrame joins
+(no GraphFrames dependency): every node starts labeled with itself; each
+round every node takes the minimum label among itself and its neighbors;
+stop when no label changes. Converges in O(diameter) rounds — entity-
+similarity components are shallow (near-duplicate clusters), so this is
+3-5 rounds in practice.
+
+Scale notes: each round is one shuffle (groupBy node). ``localCheckpoint``
+truncates the exploding lineage every round — without it round N replays
+rounds 1..N-1. On a real cluster use ``checkpoint`` to reliable storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """edges (src, dst) -> (node, component) with component = min node id
+    (lexicographic) in the component."""
+    sym = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .unionByName(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("x").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "y"), "y")
+            .groupBy("x")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("x", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .withColumn(
+                "new_component",
+                F.least(F.col("component"), F.coalesce("nbr_component", "component")),
+            )
+            .select("node", F.col("new_component").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_entities(
+    forms: DataFrame, edges: DataFrame, col: str = "form"
+) -> DataFrame:
+    """All forms + components -> (form, canonical_id). Forms with no edge
+    are their own canonical entity."""
+    comp = connected_components(edges)
+    return (
+        forms.select(col)
+        .distinct()
+        .join(comp.withColumnRenamed("node", col), col, "left")
+        .withColumn("canonical_id", F.coalesce("component", F.col(col)))
+        .select(col, "canonical_id")
+    )

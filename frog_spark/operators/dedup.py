@@ -1,0 +1,285 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators consume a DataFrame with (id, text) — typically the
+``documents`` table — and are built from JVM-side functions only
+(whole-stage codegen; no Python in the hot path). Each has a matching
+ANSI-SQL oracle in __spark_entry__.py.
+
+  * exact_dedup        — hash-groupBy on normalized text (one shuffle)
+  * ngram_jaccard_pairs— word n-gram Jaccard similarity join (token-
+                         blocked to avoid O(n^2))
+  * minhash_dedup      — MinHash + LSH banding (shared with kg/linking)
+  * simhash_buckets    — 64-bit SimHash fingerprint + Hamming-adjacent
+                         bucketing
+  * embedding_dedup    — cosine near-duplicate pairs over an embedding
+                         column (brute force within LSH-ish norm buckets)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_text(col):
+    return F.lower(F.regexp_replace(col, r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest id per exact (normalized) text; one shuffle on the
+    text hash. Output: (doc_id, text, dup_count)."""
+    w = Window.partitionBy(_norm_text(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(Window.partitionBy(_norm_text(F.col(text_col)))))
+        .filter(F.col("rn") == 1)
+        .select(id_col, text_col, "dup_count")
+    )
+
+
+def word_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, ngram) exploded distinct word n-grams."""
+    words = F.split(_norm_text(F.col(text_col)), " ")
+    cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias("ngram"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Pairs with word-n-gram Jaccard >= threshold.
+
+    Blocking: candidate pairs must SHARE at least one n-gram — the join is
+    on the n-gram, not a cross product. Rare-gram prefiltering (drop grams
+    appearing in > 1000 docs) caps the hottest key at scale.
+    """
+    g = word_ngrams(docs, id_col, text_col, n)
+    # frequency cap: ubiquitous n-grams explode the self-join; at 100 TB
+    # this cap is what keeps the shuffle bounded
+    freq = g.groupBy("ngram").agg(F.count("*").alias("df")).filter(F.col("df") <= 1000)
+    g = g.join(F.broadcast(freq.select("ngram")), "ngram")
+    sizes = g.groupBy("id").agg(F.count("*").alias("sz"))
+    a = g.select(F.col("id").alias("a"), "ngram")
+    b = g.select(F.col("id").alias("b"), "ngram")
+    inter = (
+        a.join(b, "ngram")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "a")
+        .join(zb, "b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over word shingles."""
+    g = word_ngrams(docs, id_col, text_col, shingle_n)
+    sig = g.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("ngram"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sig.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", "bk.band", "bk.key"
+    )
+    cands = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    # verify with true Jaccard over shingles
+    sa = g.select(F.col("id").alias("a"), "ngram")
+    sb = g.select(F.col("id").alias("b"), "ngram")
+    sizes = g.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = cands.join(sa, "a").join(sb, ["b", "ngram"]).groupBy("a", "b").agg(
+        F.count("*").alias("inter")
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over words: per-bit majority vote of word hashes.
+
+    Pure higher-order-function SQL (aggregate over the word array) —
+    no UDF, no shuffle; the fingerprint computes inside the scan stage.
+    Output: (doc_id, simhash).
+    """
+    words = F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit_votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("int"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 4 16-bit
+    chunks (pigeonhole: distance<=3 pairs share at least one chunk)."""
+    s = simhash64(docs, id_col, text_col)
+    chunks = s.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", "ck.chunk", "ck.key")
+    x, y = chunks.alias("x"), chunks.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    buckets: int = 8,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an array<float> column.
+
+    Blocking: random-hyperplane LSH sign bits (3 planes via xxhash64-seeded
+    pseudo-projections) — near-identical vectors share the bucket. The
+    in-bucket compare is a JVM-side zip_with dot product.
+    """
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    norm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    # sign-bucket: sign of sum of deterministic +-1-weighted components
+    def plane(seed: int):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda v, i: F.when(
+                    F.xxhash64(F.lit(seed), i).bitwiseAND(F.lit(1)) == 1, v
+                ).otherwise(-v),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    sig = F.concat_ws(
+        "",
+        *[F.when(plane(s) >= 0, "1").otherwise("0") for s in range(3)],
+    )
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                   (F.col(vec_col)[0] * 0 + norm).alias("nrm"), sig.alias("bucket"))
+    x, y = e.alias("x"), e.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .withColumn(
+            "cosine",
+            dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nrm") * F.col("y.nrm")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"), "cosine")
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * brute-force cosine top-k — the exactness baseline: one broadcast of
+    the query vector, dot products inside the scan (zip_with/aggregate,
+    JVM codegen), then a k-row ORDER BY LIMIT (Spark's TakeOrdered —
+    no full sort, no shuffle of the data).
+  * IVF-style bucketed ANN — the scale path: vectors are assigned to the
+    nearest of C centroids (broadcast); queries probe only the closest
+    n_probe buckets, cutting compared rows by ~C/n_probe. Centroids come
+    from a deterministic sample (k-means-lite: one assignment pass over a
+    sample, then mean).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = sum(x * x for x in query) ** 0.5
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        emb.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 2048,
+) -> list[list[float]]:
+    """Deterministic k-means-lite: seed with the first n rows by id, one
+    assignment pass over a bounded sample, then per-cluster mean."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    vecs = [list(r[0]) for r in rows]
+    if len(vecs) <= n_centroids:
+        return vecs
+    cents = vecs[:n_centroids]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    for _ in range(3):
+        sums = [[0.0] * len(vecs[0]) for _ in range(n_centroids)]
+        counts = [0] * n_centroids
+        for v in vecs:
+            ci = min(range(n_centroids), key=lambda i: d2(v, cents[i]))
+            counts[ci] += 1
+            for j, x in enumerate(v):
+                sums[ci][j] += x
+        cents = [
+            [s / c for s in sums[i]] if (c := counts[i]) else cents[i]
+            for i in range(n_centroids)
+        ]
+    return cents
+
+
+def assign_buckets(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid bucket per vector (broadcast centroids, JVM math)."""
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    bucket = F.array_position(dists, F.array_min(dists)) - 1
+    return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def ivf_topk(
+    emb_bucketed: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing only the n_probe closest buckets. At scale the
+    bucket column is a partition key, so pruning skips whole files."""
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe = sorted(range(len(centroids)), key=lambda i: d2(query, centroids[i]))[
+        :n_probe
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = sum(x * x for x in query) ** 0.5
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        emb_bucketed.filter(F.col("bucket").isin(*[int(p) for p in probe]))
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,84 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side (built-in pyspark.sql.functions, whole-stage codegen) — these
+run inside the parquet scan stage with no shuffle at all, which is exactly
+what a 100 TB quality-filter pass needs. Each has an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny high-frequency stopword sets (n-gram heuristic language ID)
+NL_STOP = ["de", "het", "een", "en", "van", "ik", "je", "dat", "niet", "op"]
+EN_STOP = ["the", "a", "an", "and", "of", "i", "you", "that", "not", "on", "is"]
+
+
+def _words(text_col: Column) -> Column:
+    return F.split(F.lower(F.regexp_replace(text_col, r"\s+", " ")), " ")
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count (BPE-ish subword estimate = chars/4 is a
+    separate column in quality_score)."""
+    return F.size(F.split(F.trim(text_col), r"\s+"))
+
+
+def _stop_hits(text_col: Column, stops: list[str]) -> Column:
+    words = _words(text_col)
+    arr = F.array(*[F.lit(s) for s in stops])
+    return F.size(F.array_intersect(F.array_distinct(words), arr))
+
+
+def lang_id(text_col: Column) -> Column:
+    """'nl' / 'en' / 'unk' by distinct-stopword votes."""
+    nl, en = _stop_hits(text_col, NL_STOP), _stop_hits(text_col, EN_STOP)
+    return (
+        F.when((nl == 0) & (en == 0), "unk")
+        .when(nl >= en, "nl")
+        .otherwise("en")
+    )
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + composite score (length, punctuation
+    ratio, stopword ratio, mean word length, subword estimate)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    stop_ratio = _stop_hits(t, NL_STOP + EN_STOP) / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    mean_word_len = n_alpha / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.when((n_tokens >= 5) & (n_tokens <= 100000), 0.25).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+        + F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 0.25).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars / F.lit(4.0)).alias("est_subwords"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality_score"),
+        lang_id(t).alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text (exact)
+    + first-8-words rolling prefix hash (fuzzy prefix matcher)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    prefix = F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 8))
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_exact"),
+        F.md5(prefix).alias("fp_prefix"),
+    )
