@@ -1,0 +1,99 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+The headline number for the north rule is end-to-end triple-extraction
+throughput (turns/sec) over a synthetic transcript corpus scaled to the
+SF; the relational/dedup/similarity queries run against the driver's
+parquet tables. Scaling-efficiency evidence (local[8] vs local[32]) is
+produced by scripts/scaling_bench.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from frog_spark.corpus import transcripts_df_distributed
+    from frog_spark.plans.pipeline import FrogPipeline, annotate_transcripts
+    from frog_spark.kg.triples import extract_triples
+    from frog_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("frog_spark_bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    t_suite = time.time()
+
+    # --- headline: end-to-end triple extraction throughput ---------------
+    n_turns = max(int(sf * 100_000), 2000)
+    pipe = FrogPipeline.build()
+    tdf = transcripts_df_distributed(spark, n_turns, partitions=cpus)
+    tdf = tdf.persist()
+    actual_turns = tdf.count()  # materialize input outside the timed region
+    t0 = time.time()
+    ann = annotate_transcripts(spark, tdf, pipe, num_partitions=cpus)
+    triples = extract_triples(ann)
+    n_triples = triples.count()
+    kg_sec = time.time() - t0
+    queries["kg_triple_extraction"] = round(kg_sec, 3)
+    turns_per_sec = actual_turns / kg_sec
+    tdf.unpersist()
+
+    # --- driver-table queries --------------------------------------------
+    qs = entry.queries()
+    for name in [
+        "rel_q1_pricing_summary",
+        "rel_broadcast_segment_revenue",
+        "rel_star_join",
+        "rel_sessionize",
+        "rel_hourly_window",
+        "txt_quality",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash",
+        "dedup_simhash",
+        "sim_cosine_topk",
+    ]:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = time.time() - t_suite
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_suite_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "n_turns": actual_turns,
+                "n_triples": n_triples,
+                "turns_per_sec": round(turns_per_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

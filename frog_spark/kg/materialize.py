@@ -39,7 +39,8 @@ def build_graph(
         "annotated",
         lambda: annotate_transcripts(spark, transcripts, pipe, num_partitions),
     )
-    triples = run.stage("triples", lambda: extract_triples(annotated))
+    # annotated is parquet-backed here (checkpointed), so no extra persist
+    triples = run.stage("triples", lambda: extract_triples(annotated, persist=False))
     ents = run.stage("entities", lambda: entity_spans(annotated))
 
     forms = ents.select(F.col("span_text").alias("form")).distinct()

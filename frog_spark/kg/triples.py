@@ -217,7 +217,9 @@ def entity_pair_triples(annotated: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for _, r in b.iterrows():
+            for conv_id, turn_idx, sent_idx, units_arr, ents_arr in zip(
+                b["conv_id"], b["turn_idx"], b["sent_idx"], b["units"], b["ents"]
+            ):
                 unit_rows = [
                     (
                         x["unit_idx"],
@@ -226,22 +228,32 @@ def entity_pair_triples(annotated: DataFrame) -> DataFrame:
                         x["parse_head"],
                         x["parse_role"],
                     )
-                    for x in r["units"]
+                    for x in units_arr
                 ]
                 ents = [
-                    (x["first_unit"], x["span_text"], x["ner_cat"])
-                    for x in r["ents"]
+                    (x["first_unit"], x["span_text"], x["ner_cat"]) for x in ents_arr
                 ]
                 for s, p, o, sc, oc in lca_pair_triples_py(unit_rows, ents):
                     rows.append(
-                        (r["conv_id"], int(r["turn_idx"]), int(r["sent_idx"]),
-                         s, p, o, sc, oc, "entpair")
+                        (conv_id, int(turn_idx), int(sent_idx), s, p, o, sc, oc,
+                         "entpair")
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in _PAIR_SCHEMA.fields])
 
     return joined.mapInPandas(run, schema=_PAIR_SCHEMA)
 
 
-def extract_triples(annotated: DataFrame) -> DataFrame:
-    """K2: full lift — union of verb triples and entity-pair triples."""
+def extract_triples(annotated: DataFrame, persist: bool = True) -> DataFrame:
+    """K2: full lift — union of verb triples and entity-pair triples.
+
+    The lift reads ``annotated`` through four aggregation branches
+    (units x2, spans x2); without materialization Spark would re-execute
+    the expensive annotation UDF once per branch, so the input is
+    persisted (skip with persist=False when the caller already
+    checkpointed it, e.g. kg/materialize.py reads it back from parquet).
+    """
+    if persist:
+        from pyspark import StorageLevel
+
+        annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
     return verb_triples(annotated).unionByName(entity_pair_triples(annotated))

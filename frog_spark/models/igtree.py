@@ -31,6 +31,7 @@ class _Node:
     label: str
     dist: dict[str, int]
     children: dict[str, "_Node"] = field(default_factory=dict)
+    norm_dist: dict[str, float] | None = None  # lazy normalized cache
 
 
 def _entropy(counts: Iterable[int]) -> float:
@@ -130,8 +131,11 @@ class IGTree:
             if nxt is None:
                 break
             node = nxt
-        total = sum(node.dist.values()) or 1
-        return {k: v / total for k, v in node.dist.items()}
+        cached = getattr(node, "norm_dist", None)
+        if cached is None:
+            total = sum(node.dist.values()) or 1
+            cached = node.norm_dist = {k: v / total for k, v in node.dist.items()}
+        return cached
 
     def classify_batch(
         self, batch: Sequence[Sequence[str]]

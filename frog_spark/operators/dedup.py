@@ -40,11 +40,14 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def word_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, ngram) exploded distinct word n-grams."""
     words = F.split(_norm_text(F.col(text_col)), " ")
-    cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), cnt - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
+    cnt = F.size(words) - (n - 1)
+    grams = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(grams)).alias("ngram"),
@@ -157,32 +160,40 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     no UDF, no shuffle; the fingerprint computes inside the scan stage.
     Output: (doc_id, simhash).
     """
+    from functools import reduce
+
     words = F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))
     hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # bit positions are unrolled in Python (shiftright takes a literal);
+    # votes materialize once per row, then the fingerprint ORs 64 getItems
     bit_votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("int"), 64),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for b in range(64)
+                ]
             ),
             lambda a, v: a + v,
         ),
     )
-    sim = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+    voted = docs.select(F.col(id_col), bit_votes.alias("votes"))
+    sim = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(
+                F.col("votes").getItem(b) > 0,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ],
     )
-    return docs.select(F.col(id_col), sim.alias("simhash"))
+    return voted.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_dup_pairs(

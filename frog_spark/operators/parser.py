@@ -155,18 +155,33 @@ class DepParser:
 
     def constraints(self, units: list[tuple[str, str]]) -> Constraints:
         n = len(units)
+        # precompute per-unit feature primitives once (the O(n * span)
+        # pair loop below reuses them; profiling shows repeated
+        # lower()/split() otherwise dominates)
+        wl = [w.lower() for w, _ in units]
+        ht = [_head_tag(t) for _, t in units]
+        md = [_mods(t) for _, t in units]
+        pairs_dist = self.pairs.distribution
         dep_w: dict[tuple[int, int], dict[str, float]] = {}
         dir_w: list[dict[str, float]] = []
         inrel_w: list[dict[str, float]] = []
         for dep in range(n):
-            dist = self.pairs.distribution(pair_features(units, dep, None))
+            w_d, t_d, m_d = wl[dep], ht[dep], md[dep]
+            # must mirror pair_features(units, dep, None) exactly
+            dist = pairs_dist(
+                [w_d, t_d, "root", "ROOT", f"{t_d}^ROOT", "ROOT", m_d, "__"]
+            )
             for rel, w in dist.items():
                 if rel != "__" and w > 0:
                     dep_w.setdefault((dep + 1, 0), {})[rel] = w
             for h in range(max(0, dep - MAX_DEP_SPAN), min(n, dep + MAX_DEP_SPAN + 1)):
                 if h == dep:
                     continue
-                dist = self.pairs.distribution(pair_features(units, dep, h))
+                d = h - dep
+                pos = ("RIGHT" if d > 0 else "LEFT") + _dist_bucket(abs(d))
+                dist = pairs_dist(
+                    [w_d, t_d, wl[h], ht[h], f"{t_d}^{ht[h]}", pos, m_d, md[h]]
+                )
                 for rel, w in dist.items():
                     if rel != "__" and w > 0:
                         dep_w.setdefault((dep + 1, h + 1), {})[rel] = w

@@ -112,7 +112,28 @@ class FrogPipeline:
 
     # -- the per-sentence pipeline (frog_sentence) ---------------------------
 
+    _CACHE_MAX = 65536
+
     def annotate_sentence(
+        self, words: list[str], token_classes: list[str], lang: str = "nl"
+    ) -> list[dict]:
+        """Cached wrapper: transcript corpora repeat sentences heavily
+        (greetings, tool banners, quoted turns), so identical sentences
+        are annotated once per executor. Bounded FIFO cache."""
+        key = (tuple(words), tuple(token_classes), lang)
+        cache = getattr(self, "_sent_cache", None)
+        if cache is None:
+            cache = self._sent_cache = {}
+        hit = cache.get(key)
+        if hit is not None:
+            return [dict(r) for r in hit]
+        rows = self._annotate_sentence_uncached(words, token_classes, lang)
+        if len(cache) >= self._CACHE_MAX:
+            cache.clear()
+        cache[key] = rows
+        return [dict(r) for r in rows]
+
+    def _annotate_sentence_uncached(
         self, words: list[str], token_classes: list[str], lang: str = "nl"
     ) -> list[dict]:
         cfg = self.config
@@ -231,70 +252,64 @@ def annotate_tokens(
         .sortWithinPartitions("conv_id", "turn_idx", "sent_idx", "token_idx")
     )
 
+    _IN_COLS = [
+        "conv_id", "turn_idx", "sent_idx", "token_idx",
+        "word", "token_class", "no_space", "lang",
+    ]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pipe: FrogPipeline = bc.value
-        carry: pd.DataFrame | None = None
+        carry: list[tuple] | None = None  # rows of the possibly-split tail turn
 
-        def process(turn: pd.DataFrame) -> list[tuple]:
-            out_rows: list[tuple] = []
-            conv_id = turn["conv_id"].iloc[0]
-            turn_idx = int(turn["turn_idx"].iloc[0])
-            for sent_idx, sent in turn.groupby("sent_idx", sort=True):
-                words = sent["word"].tolist()
-                tcs = sent["token_class"].tolist()
-                lang = sent["lang"].iloc[0] if "lang" in sent else "nl"
-                ann = pipe.annotate_sentence(words, tcs, lang or "nl")
-                for (_, tok), a in zip(sent.iterrows(), ann):
-                    out_rows.append(
+        def process_sentences(rows: list[tuple]) -> list[tuple]:
+            """rows: _IN_COLS tuples of one or more whole turns, sorted."""
+            out: list[tuple] = []
+            i, n = 0, len(rows)
+            while i < n:
+                # one sentence = contiguous (conv, turn, sent)
+                j = i
+                key = rows[i][:3]
+                while j < n and rows[j][:3] == key:
+                    j += 1
+                sent = rows[i:j]
+                words = [r[4] for r in sent]
+                tcs = [r[5] for r in sent]
+                ann = pipe.annotate_sentence(words, tcs, sent[0][7] or "nl")
+                for r, a in zip(sent, ann):
+                    out.append(
                         (
-                            conv_id,
-                            turn_idx,
-                            int(sent_idx),
-                            int(tok["token_idx"]),
-                            a["word"],
-                            a["token_class"],
-                            bool(tok["no_space"]),
-                            a["pos_tag"],
-                            float(a["pos_conf"]),
-                            a["lemma"],
-                            a["lemmas"],
-                            a["morph"],
-                            a["compound"],
-                            a["ner_tag"],
-                            float(a["ner_conf"]),
-                            a["chunk_tag"],
-                            float(a["chunk_conf"]),
-                            a["unit_idx"],
-                            a["mwu_start"],
-                            a["mwu_end"],
-                            a["parse_head"],
-                            a["parse_role"],
+                            r[0], int(r[1]), int(r[2]), int(r[3]),
+                            a["word"], a["token_class"], bool(r[6]),
+                            a["pos_tag"], float(a["pos_conf"]),
+                            a["lemma"], a["lemmas"], a["morph"], a["compound"],
+                            a["ner_tag"], float(a["ner_conf"]),
+                            a["chunk_tag"], float(a["chunk_conf"]),
+                            a["unit_idx"], a["mwu_start"], a["mwu_end"],
+                            a["parse_head"], a["parse_role"],
                         )
                     )
-            return out_rows
+                i = j
+            return out
 
         for b in batches:
-            if carry is not None:
-                b = pd.concat([carry, b], ignore_index=True)
-                carry = None
             if b.empty:
                 continue
-            # hold back the last (conv, turn) group — it may continue in
-            # the next Arrow batch of this partition
-            last_conv = b["conv_id"].iloc[-1]
-            last_turn = b["turn_idx"].iloc[-1]
-            tail_mask = (b["conv_id"] == last_conv) & (b["turn_idx"] == last_turn)
-            carry = b[tail_mask]
-            head = b[~tail_mask]
-            if not head.empty:
-                rows: list[tuple] = []
-                for (_c, _t), turn in head.groupby(
-                    ["conv_id", "turn_idx"], sort=True
-                ):
-                    rows.extend(process(turn))
-                yield pd.DataFrame(rows, columns=_OUT_COLS)
-        if carry is not None and not carry.empty:
-            yield pd.DataFrame(process(carry), columns=_OUT_COLS)
+            rows = list(zip(*(b[c] for c in _IN_COLS)))
+            if carry:
+                rows = carry + rows
+                carry = None
+            # hold back the trailing (conv, turn) — it may continue in the
+            # next Arrow batch of this partition
+            last_key = rows[-1][:2]
+            cut = len(rows)
+            while cut > 0 and rows[cut - 1][:2] == last_key:
+                cut -= 1
+            carry = rows[cut:]
+            head = rows[:cut]
+            if head:
+                yield pd.DataFrame(process_sentences(head), columns=_OUT_COLS)
+        if carry:
+            yield pd.DataFrame(process_sentences(carry), columns=_OUT_COLS)
 
     return shuffled.mapInPandas(run, schema=ANNOTATED_SCHEMA)
 

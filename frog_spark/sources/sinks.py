@@ -1,0 +1,120 @@
+"""Output sinks (SURVEY.md §2.1 S6-S7, §1.4 output schemas).
+
+Tabbed ("columned") output mirrors /root/reference/src/FrogAPI.cxx:2254-2324
+and /root/reference/src/FrogData.cxx:122-183:
+  index word lemma morph [compound] pos pos_conf(6dp) ner iob head role
+  - index is 1-based over post-MWU units; MWU-merged rows join member
+    fields with '_' and MULTIPLY POS confidences (merge(), FrogData.cxx:142-183)
+  - confidence rendered fixed, 6 decimals (FrogAPI.cxx:2291-2295)
+
+JSON output mirrors /root/reference/src/FrogData.cxx:65-117 (to_json).
+Both are deterministic SELECT ... ORDER BY views — the golden-compare
+surface for per-turn equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_KEY = ["conv_id", "turn_idx", "sent_idx"]
+
+
+def merged_units(annotated: DataFrame) -> DataFrame:
+    """Post-MWU merged rows (the unit-level view the tabbed sink renders)."""
+
+    def joined(col: str) -> F.Column:
+        return F.concat_ws(
+            "_",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token_idx", F.col(col).alias("v")))),
+                lambda s: s["v"],
+            ),
+        )
+
+    return (
+        annotated.groupBy(*_KEY, "unit_idx")
+        .agg(
+            joined("word").alias("word"),
+            joined("lemma").alias("lemma"),
+            joined("morph").alias("morph"),
+            F.first("compound").alias("compound"),
+            F.first("pos_tag").alias("pos_tag"),
+            # merged confidence = product of members (FrogData.cxx:142-183)
+            F.exp(F.sum(F.log(F.greatest("pos_conf", F.lit(1e-300))))).alias(
+                "pos_conf"
+            ),
+            F.first("ner_tag").alias("ner_tag"),
+            F.first("chunk_tag").alias("chunk_tag"),
+            F.first("parse_head").alias("parse_head"),
+            F.first("parse_role").alias("parse_role"),
+            (F.count("*") > 1).alias("is_mwu"),
+        )
+    )
+
+
+def tabbed_output(annotated: DataFrame, compounds: bool = False) -> DataFrame:
+    """One row per post-MWU unit in reference column order; ``line`` holds
+    the rendered TSV line (diffable against a golden file)."""
+    u = merged_units(annotated)
+    conf_str = F.format_string("%.6f", F.col("pos_conf"))
+    head_str = F.when(F.col("parse_head") >= 0, F.col("parse_head").cast("string")).otherwise(
+        F.lit("")
+    )
+    cols = [
+        F.col("unit_idx").cast("string"),
+        F.col("word"),
+        F.col("lemma"),
+        F.col("morph"),
+    ]
+    if compounds:
+        cols.append(F.col("compound"))
+    cols += [
+        F.col("pos_tag"),
+        conf_str,
+        F.col("ner_tag"),
+        F.col("chunk_tag"),
+        head_str,
+        F.col("parse_role"),
+    ]
+    return u.select(
+        *_KEY,
+        F.col("unit_idx"),
+        F.concat_ws("\t", *cols).alias("line"),
+    ).orderBy(*_KEY, "unit_idx")
+
+
+def write_tabbed(annotated: DataFrame, path: str, compounds: bool = False) -> None:
+    tabbed_output(annotated, compounds).select("line").write.mode("overwrite").text(path)
+
+
+def json_output(annotated: DataFrame) -> DataFrame:
+    """One JSON array per sentence (to_json shape, FrogData.cxx:65-117)."""
+    u = merged_units(annotated)
+    obj = F.struct(
+        F.col("unit_idx").alias("index"),
+        F.col("word"),
+        F.col("lemma"),
+        F.col("morph"),
+        F.struct(
+            F.col("pos_tag").alias("tag"), F.col("pos_conf").alias("confidence")
+        ).alias("pos"),
+        F.col("ner_tag").alias("ner"),
+        F.col("chunk_tag").alias("chunking"),
+        F.struct(
+            F.col("parse_head").alias("parse_index"),
+            F.col("parse_role").alias("parse_role"),
+        ).alias("parse"),
+    )
+    return (
+        u.groupBy(*_KEY)
+        .agg(
+            F.to_json(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("unit_idx", obj.alias("o")))),
+                    lambda s: s["o"],
+                )
+            ).alias("json")
+        )
+        .orderBy(*_KEY)
+    )

@@ -1,0 +1,196 @@
+"""Training-data operators + sinks/sources/streaming tests."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en", "s", 44),  # near dup
+        (3, "de kat en de hond lopen naar de stad en het park", "nl", "s", 49),
+        (4, "volledig andere inhoud zonder enige overlap hier", "nl", "s", 49),
+        (5, "", "en", "s", 0),
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).cache()
+
+
+def test_exact_dedup(docs):
+    from frog_spark.operators.dedup import exact_dedup
+
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2 and 1 not in out
+    assert out[2] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    from frog_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs  # identical
+    assert (0, 2) in pairs  # near dup
+    assert (3, 4) not in pairs
+
+
+def test_minhash_pairs(docs):
+    from frog_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = {(r["a"], r["b"]) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 4) not in pairs
+
+
+def test_simhash(docs):
+    from frog_spark.operators.dedup import simhash64, simhash_dup_pairs
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert h[0] == h[1]  # identical text -> identical fingerprint
+    pairs = {(r["a"], r["b"]) for r in simhash_dup_pairs(docs, max_hamming=8).collect()}
+    assert (0, 1) in pairs
+
+
+def test_embedding_dup_and_topk(spark):
+    from frog_spark.operators.dedup import embedding_dup_pairs
+    from frog_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0]),  # near dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["a"], r["b"]) for r in embedding_dup_pairs(emb, threshold=0.99).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+    tk = cosine_topk(emb, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in tk] == [0, 1]
+
+
+def test_ivf_matches_bruteforce_top1(spark):
+    from frog_spark.operators.similarity import (
+        assign_buckets,
+        cosine_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    cents = train_centroids(emb, n_centroids=4)
+    bucketed = assign_buckets(emb, cents).cache()
+    q = rows[17][1]
+    exact = cosine_topk(emb, q, k=1).collect()[0]["vec_id"]
+    approx = [r["vec_id"] for r in ivf_topk(bucketed, cents, q, k=5, n_probe=2).collect()]
+    assert exact == 17 and 17 in approx
+
+
+def test_textstats(docs):
+    from frog_spark.operators.textstats import quality_features
+
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[0]["lang_pred"] == "en"
+    assert q[3]["lang_pred"] == "nl"
+    assert q[0]["n_tokens"] == 9
+    assert q[0]["quality_score"] >= 0.75
+    assert q[5]["quality_score"] <= 0.5
+
+
+def test_multimodal_meta(spark):
+    from frog_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_meta,
+        make_fake_payload,
+        sample_frames,
+    )
+
+    rows = [
+        (0, "image", make_fake_payload("image", 640, 480), None),
+        (1, "video", make_fake_payload("video", 320, 240, 25), None),
+        (2, "audio", b"\x00garbage", None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    meta = {r["media_id"]: r for r in extract_media_meta(media).collect()}
+    assert meta[0]["width"] == 640 and meta[0]["height"] == 480
+    assert meta[1]["frames"] == 25
+    assert meta[2]["width"] is None  # undecodable -> null, no crash
+    frames = sample_frames(media, every_n=10).collect()
+    assert {r["frame_idx"] for r in frames} == {0, 10, 20}
+
+
+def test_tabbed_output_matches_reference_shape(spark, pipeline):
+    from frog_spark.corpus import transcripts_df
+    from frog_spark.plans.pipeline import annotate_transcripts
+    from frog_spark.sources.sinks import tabbed_output
+
+    tdf = transcripts_df(spark, n_turns=6)
+    ann = annotate_transcripts(spark, tdf, pipeline)
+    lines = tabbed_output(ann).collect()
+    assert lines
+    first = lines[0]["line"].split("\t")
+    # index word lemma morph pos conf(6dp) ner iob head role
+    assert len(first) == 10
+    assert first[0] == "1"
+    conf = first[5]
+    assert "." in conf and len(conf.split(".")[1]) == 6
+
+
+def test_mwu_merged_row_in_tabbed(spark, pipeline):
+    from frog_spark.corpus import TRANSCRIPT_SCHEMA
+    from frog_spark.plans.pipeline import annotate_transcripts
+    from frog_spark.sources.sinks import tabbed_output
+
+    tdf = spark.createDataFrame(
+        [("c", 0, "user", "de Algemene Rekenkamer controleert de uitgaven.",
+          None, datetime.datetime(2025, 1, 1))],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    ann = annotate_transcripts(spark, tdf, pipeline)
+    lines = [r["line"] for r in tabbed_output(ann).collect()]
+    assert any(line.split("\t")[1] == "Algemene_Rekenkamer" for line in lines)
+    # 7 tokens but 6 units after the merge
+    assert len(lines) == 6
+
+
+def test_streaming_annotation(spark, pipeline, tmp_path):
+    from frog_spark.corpus import transcripts_df
+    from frog_spark.streaming.server import annotate_stream, file_stream_source
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    tdf = transcripts_df(spark, n_turns=12)
+    tdf.write.parquet(src)
+    q = annotate_stream(spark, file_stream_source(spark, src), out, chk, pipeline)
+    q.awaitTermination(120)
+    result = spark.read.parquet(out)
+    assert result.count() > 0
+    assert "pos_tag" in result.columns
+
+
+def test_text_source_and_retry(spark, tmp_path):
+    from frog_spark.sources.textscan import (
+        mark_done,
+        pending_files,
+        read_text_as_transcripts,
+    )
+
+    d = tmp_path / "texts"
+    d.mkdir()
+    (d / "a.txt").write_text("Dit is een test.\nDe kat loopt.\n")
+    (d / "b.txt").write_text("Anna leest een boek.\n")
+    df = read_text_as_transcripts(spark, str(d))
+    assert df.count() == 3
+    assert df.filter("conv_id = 'a.txt'").count() == 2
+    outd = tmp_path / "out"
+    assert len(pending_files(str(d), str(outd))) == 2
+    mark_done(str(outd), str(d / "a.txt"))
+    assert [p.endswith("b.txt") for p in pending_files(str(d), str(outd))] == [True]
