@@ -521,11 +521,9 @@ def oracle_sql() -> dict[str, str]:
                               i -> array_to_string(words[i:i+2], ' '))) AS grams
                    FROM norm),
             g AS (SELECT doc_id AS id, unnest(grams) AS ngram FROM g0),
-            freq AS (SELECT ngram FROM g GROUP BY ngram HAVING count(*) <= 1000),
-            gf AS (SELECT g.* FROM g JOIN freq USING (ngram)),
-            sizes AS (SELECT id, count(*) AS sz FROM gf GROUP BY id),
+            sizes AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
             inter AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
-                      FROM gf x JOIN gf y ON x.ngram = y.ngram AND x.id < y.id
+                      FROM g x JOIN g y ON x.ngram = y.ngram AND x.id < y.id
                       GROUP BY 1, 2)
             SELECT a, b,
                    round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard

@@ -29,12 +29,12 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     from frog_spark.corpus import transcripts_df_distributed
-    from frog_spark.plans.pipeline import FrogPipeline, annotate_transcripts
-    from frog_spark.kg.triples import extract_triples
+    from frog_spark.plans.pipeline import FrogPipeline, triples_from_transcripts
     from frog_spark.session import get_spark
 
     import __spark_entry__ as entry
 
+    os.environ.setdefault("FROG_SPARK_DRIVER_MEM", "48g")
     spark = get_spark("frog_spark_bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -44,13 +44,11 @@ def main() -> None:
     # --- headline: end-to-end triple extraction throughput ---------------
     n_turns = max(int(sf * 100_000), 2000)
     pipe = FrogPipeline.build()
-    tdf = transcripts_df_distributed(spark, n_turns, partitions=cpus)
+    tdf = transcripts_df_distributed(spark, n_turns, partitions=cpus, variants=True)
     tdf = tdf.persist()
     actual_turns = tdf.count()  # materialize input outside the timed region
     t0 = time.time()
-    ann = annotate_transcripts(spark, tdf, pipe, num_partitions=cpus)
-    triples = extract_triples(ann)
-    n_triples = triples.count()
+    n_triples = triples_from_transcripts(spark, tdf, pipe, num_partitions=cpus).count()
     kg_sec = time.time() - t0
     queries["kg_triple_extraction"] = round(kg_sec, 3)
     turns_per_sec = actual_turns / kg_sec

@@ -78,6 +78,40 @@ SENTENCES: list[str] = [
 ROLES = ["user", "assistant", "tool"]
 TOOLS = [None, None, None, "search", "calculator", "browser"]
 
+# Variant substitution pools (bench corpora): swapping names/dates yields
+# realistically-distinct sentences so executor-side caches see real miss
+# rates while sentence STRUCTURE (and thus per-sentence cost) stays fixed.
+_VARIANT_PERSONS = [
+    f"{n}{i}" for i in range(1, 21)
+    for n in ("Jansen", "Bakker", "Visser", "Smit", "Meyer", "Mulder",
+              "Bos", "Vos", "Peters", "Hendriks")
+]
+_VARIANT_ORGS = [
+    f"{n}{i}" for i in range(1, 11)
+    for n in ("Altavista", "Lycos", "Infoseek", "Excite", "Webcrawler")
+]
+_PERSON_TOKENS = {"Anna", "Piet", "Jan", "Jimmy", "Wales", "Frog", "Tadpole"}
+_ORG_TOKENS = {"Wikipedia", "Google", "Yahoo", "Philips", "Wikiasari"}
+
+
+def _variant_sentence(sent: str, rng: random.Random) -> str:
+    out = []
+    for tok in sent.split(" "):
+        bare = tok.strip(".,!?")
+        suffix = tok[len(bare):]
+        if bare in _PERSON_TOKENS:
+            out.append(_VARIANT_PERSONS[rng.randrange(len(_VARIANT_PERSONS))] + suffix)
+        elif bare in _ORG_TOKENS:
+            out.append(_VARIANT_ORGS[rng.randrange(len(_VARIANT_ORGS))] + suffix)
+        elif bare == "09-01-2012":
+            out.append(
+                f"{rng.randrange(1, 29):02d}-{rng.randrange(1, 13):02d}-{rng.randrange(1990, 2026)}"
+                + suffix
+            )
+        else:
+            out.append(tok)
+    return " ".join(out)
+
 
 def _conv_ids(n_convs: int, rng: random.Random) -> list[str]:
     return [f"conv-{i:06d}" for i in range(n_convs)]
@@ -153,6 +187,7 @@ def transcripts_df_distributed(
     n_convs: int | None = None,
     seed: int = 42,
     partitions: int | None = None,
+    variants: bool = False,
 ) -> DataFrame:
     """Scale path: generate the corpus ON the executors.
 
@@ -183,6 +218,8 @@ def transcripts_df_distributed(
                         SENTENCES[crng.randrange(len(SENTENCES))]
                         for _ in range(n_sents)
                     ]
+                    if variants:
+                        sents = [_variant_sentence(s, crng) for s in sents]
                     role = (
                         ROLES[t % 3] if crng.random() < 0.9 else ROLES[crng.randrange(3)]
                     )

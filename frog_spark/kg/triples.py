@@ -12,88 +12,60 @@ annotations and to pipeline output so P/R is meaningful):
     (A before B) in one sentence whose dependency-path LCA is a verb
     unit distinct from both, emit (text(A), lemma(LCA), text(B)).
 
-Spark-first shape: entity spans and units are WINDOW + groupBy
-aggregations over the annotated token table; verb triples are two hash
-joins on (conv_id, turn_idx, sent_idx, head_unit) — co-partitioned with
-the annotation output so AQE keeps them local; only the per-sentence LCA
-walk runs in a pandas UDF over collected (small) unit arrays.
+Spark-first shape: everything sentence-local (span assembly, unit
+merging, the LCA walk) is computed inside the one annotation pass and
+denormalized onto token rows, so the unit and entity-span tables are
+narrow FILTERS (zero shuffle); the only relational work left is the verb
+triple lift — two hash joins on (conv_id, turn_idx, sent_idx, head_unit).
+That split is deliberate scale design: per-sentence logic never crosses a
+partition boundary, cross-row logic stays declarative for Catalyst.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    IntegerType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 SENT_KEY = ["conv_id", "turn_idx", "sent_idx"]
 OBJ_ROLES = ("obj1", "obj2", "predc")
 
 
 def entity_spans(annotated: DataFrame) -> DataFrame:
-    """K1: NER BIO tags -> one row per entity span.
+    """K1: one row per entity span.
 
-    span_id = running count of B- markers within the sentence
-    (window sum ≙ the reference's sequential span assembly,
-    /root/reference/src/ner_tagger_mod.cxx:423-503).
+    Span assembly happened inside the annotation pass (the per-sentence
+    UDF mirrors the reference's sequential span grouping,
+    /root/reference/src/ner_tagger_mod.cxx:423-503, and stamps the
+    B- token with span_text/span_end) — so this is a narrow FILTER with
+    zero shuffle; at 10^12 turns the lift starts from a column-pruned
+    scan of 4 columns.
     """
-    w = Window.partitionBy(*SENT_KEY).orderBy("token_idx")
-    toks = annotated.withColumn(
-        "is_b", F.when(F.col("ner_tag").startswith("B-"), 1).otherwise(0)
-    ).withColumn("span_id", F.sum("is_b").over(w))
-    ent = (
-        toks.filter(F.col("ner_tag") != "O")
-        .groupBy(*SENT_KEY, "span_id")
-        .agg(
-            F.min("token_idx").alias("start"),
-            F.max("token_idx").alias("end"),
-            F.first(F.expr("substring(ner_tag, 3)")).alias("ner_cat"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("token_idx", "word"))
-                    ),
-                    lambda s: s["word"],
-                ),
-            ).alias("span_text"),
-            F.avg("ner_conf").alias("conf"),
-            F.min("unit_idx").alias("first_unit"),
-        )
+    return annotated.filter(F.col("span_text").isNotNull()).select(
+        *SENT_KEY,
+        F.col("token_idx").alias("span_id"),
+        F.col("token_idx").alias("start"),
+        F.col("span_end").alias("end"),
+        F.expr("substring(ner_tag, 3)").alias("ner_cat"),
+        F.col("span_text"),
+        F.col("ner_conf").alias("conf"),
+        F.col("unit_idx").alias("first_unit"),
     )
-    return ent
 
 
 def units(annotated: DataFrame) -> DataFrame:
-    """Post-MWU unit table: one row per parse unit."""
+    """Post-MWU unit table: one row per parse unit (narrow filter — the
+    unit merge was done in the annotation pass)."""
     return (
-        annotated.groupBy(*SENT_KEY, "unit_idx")
-        .agg(
-            F.concat_ws(
-                "_",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("token_idx", "word"))),
-                    lambda s: s["word"],
-                ),
-            ).alias("word"),
-            F.concat_ws(
-                "_",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("token_idx", "lemma"))),
-                    lambda s: s["lemma"],
-                ),
-            ).alias("lemma"),
-            F.first("pos_tag").alias("pos_tag"),
-            F.first("parse_head").alias("parse_head"),
-            F.first("parse_role").alias("parse_role"),
-            F.min("token_idx").alias("start_tok"),
+        annotated.filter(F.col("token_idx") == F.col("mwu_start"))
+        .select(
+            *SENT_KEY,
+            "unit_idx",
+            F.col("unit_word").alias("word"),
+            F.col("unit_lemma").alias("lemma"),
+            "pos_tag",
+            "parse_head",
+            "parse_role",
+            F.col("token_idx").alias("start_tok"),
         )
         .withColumn("pos_head", F.split(F.col("pos_tag"), r"\(").getItem(0))
     )
@@ -143,21 +115,6 @@ def verb_triples(annotated: DataFrame) -> DataFrame:
     )
 
 
-_PAIR_SCHEMA = StructType(
-    [
-        StructField("conv_id", StringType()),
-        StructField("turn_idx", IntegerType()),
-        StructField("sent_idx", IntegerType()),
-        StructField("subj", StringType()),
-        StructField("pred", StringType()),
-        StructField("obj", StringType()),
-        StructField("subj_cat", StringType()),
-        StructField("obj_cat", StringType()),
-        StructField("source", StringType()),
-    ]
-)
-
-
 def lca_pair_triples_py(
     unit_rows: list[tuple[int, str, str, int, str]],
     entities: list[tuple[int, str, str]],
@@ -200,60 +157,87 @@ def lca_pair_triples_py(
 
 
 def entity_pair_triples(annotated: DataFrame) -> DataFrame:
-    """K2b: entity-pair LCA path triples; units collected per sentence
-    (bounded: sentences are small) inside an Arrow-batched UDF."""
-    u = units(annotated).select(
-        *SENT_KEY,
-        F.struct("unit_idx", "lemma", "pos_head", "parse_head", "parse_role").alias(
-            "u"
-        ),
-    ).groupBy(*SENT_KEY).agg(F.collect_list("u").alias("units"))
-    e = entity_spans(annotated).select(
-        *SENT_KEY,
-        F.struct("first_unit", "span_text", "ner_cat").alias("e"),
-    ).groupBy(*SENT_KEY).agg(F.collect_list("e").alias("ents"))
-    joined = u.join(e, SENT_KEY)
+    """K2b: entity-pair LCA path triples.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            rows = []
-            for conv_id, turn_idx, sent_idx, units_arr, ents_arr in zip(
-                b["conv_id"], b["turn_idx"], b["sent_idx"], b["units"], b["ents"]
-            ):
-                unit_rows = [
-                    (
-                        x["unit_idx"],
-                        x["lemma"],
-                        x["pos_head"],
-                        x["parse_head"],
-                        x["parse_role"],
-                    )
-                    for x in units_arr
-                ]
-                ents = [
-                    (x["first_unit"], x["span_text"], x["ner_cat"]) for x in ents_arr
-                ]
-                for s, p, o, sc, oc in lca_pair_triples_py(unit_rows, ents):
-                    rows.append(
-                        (conv_id, int(turn_idx), int(sent_idx), s, p, o, sc, oc,
-                         "entpair")
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in _PAIR_SCHEMA.fields])
+    The LCA walk ran inside the annotation pass (both its inputs — the
+    dependency tree and the entity spans — are sentence-local, so a
+    groupBy+join formulation would only add shuffles); the results sit on
+    the sentence's first token as ``pair_triples``. This is a narrow
+    filter + explode."""
+    return (
+        annotated.filter(
+            (F.col("token_idx") == 0) & (F.size("pair_triples") > 0)
+        )
+        .select(*SENT_KEY, F.explode("pair_triples").alias("t"))
+        .select(
+            *SENT_KEY,
+            F.col("t.subj").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+            F.col("t.subj_cat").alias("subj_cat"),
+            F.col("t.obj_cat").alias("obj_cat"),
+            F.lit("entpair").alias("source"),
+        )
+    )
 
-    return joined.mapInPandas(run, schema=_PAIR_SCHEMA)
+
+def _exploded(annotated: DataFrame, col: str, source: str) -> DataFrame:
+    return (
+        annotated.filter((F.col("token_idx") == 0) & (F.size(col) > 0))
+        .select(*SENT_KEY, F.explode(col).alias("t"))
+        .select(
+            *SENT_KEY,
+            F.col("t.subj").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+            F.col("t.subj_cat").alias("subj_cat"),
+            F.col("t.obj_cat").alias("obj_cat"),
+            F.lit(source).alias("source"),
+        )
+    )
 
 
 def extract_triples(annotated: DataFrame, persist: bool = True) -> DataFrame:
-    """K2: full lift — union of verb triples and entity-pair triples.
+    """K2: full lift — verb triples + entity-pair triples.
 
-    The lift reads ``annotated`` through four aggregation branches
-    (units x2, spans x2); without materialization Spark would re-execute
-    the expensive annotation UDF once per branch, so the input is
-    persisted (skip with persist=False when the caller already
-    checkpointed it, e.g. kg/materialize.py reads it back from parquet).
+    Fast path: both triple families were computed in the annotation pass
+    (sentence-local by construction) and sit as arrays on each sentence's
+    first token, so the lift is ONE narrow filter+explode stage over a
+    SINGLE read of the input — zero shuffles and no double execution of
+    the annotation UDF (a union of two branches would run it twice).
+    ``extract_triples_relational`` keeps the declarative hash-join
+    formulation; tests assert both agree.
     """
-    if persist:
-        from pyspark import StorageLevel
 
-        annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
+    def tag(col: str, source: str):
+        return F.transform(
+            F.col(col),
+            lambda t: F.struct(
+                t["subj"].alias("subj"),
+                t["pred"].alias("pred"),
+                t["obj"].alias("obj"),
+                t["subj_cat"].alias("subj_cat"),
+                t["obj_cat"].alias("obj_cat"),
+                F.lit(source).alias("source"),
+            ),
+        )
+
+    both = F.concat(tag("verb_triples", "verb"), tag("pair_triples", "entpair"))
+    return (
+        annotated.filter((F.col("token_idx") == 0) & (F.size(both) > 0))
+        .select(*SENT_KEY, F.explode(both).alias("t"))
+        .select(*SENT_KEY, "t.subj", "t.pred", "t.obj", "t.subj_cat",
+                "t.obj_cat", "t.source")
+    )
+
+
+def extract_triples_relational(
+    annotated: DataFrame, persist: bool = True
+) -> DataFrame:
+    """The DataFrame-op lift: hash-join verb triples + exploded pair
+    triples. Eager localCheckpoint stops the union's subplans from racing
+    to compute the annotation UDF concurrently (a lazy persist would not
+    serialize the first computation)."""
+    if persist:
+        annotated = annotated.localCheckpoint(eager=True)
     return verb_triples(annotated).unionByName(entity_pair_triples(annotated))

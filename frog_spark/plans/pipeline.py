@@ -119,19 +119,25 @@ class FrogPipeline:
     ) -> list[dict]:
         """Cached wrapper: transcript corpora repeat sentences heavily
         (greetings, tool banners, quoted turns), so identical sentences
-        are annotated once per executor. Bounded FIFO cache."""
+        are annotated once per executor. Bounded FIFO cache.
+
+        The returned row dicts are SHARED with the cache — callers must
+        treat them as immutable (all in-repo consumers only read them;
+        copying on every hit doubled the allocation rate of the whole
+        pipeline and showed up as memory-bandwidth contention at high
+        core counts)."""
         key = (tuple(words), tuple(token_classes), lang)
         cache = getattr(self, "_sent_cache", None)
         if cache is None:
             cache = self._sent_cache = {}
         hit = cache.get(key)
         if hit is not None:
-            return [dict(r) for r in hit]
+            return hit
         rows = self._annotate_sentence_uncached(words, token_classes, lang)
         if len(cache) >= self._CACHE_MAX:
             cache.clear()
         cache[key] = rows
-        return [dict(r) for r in rows]
+        return rows
 
     def _annotate_sentence_uncached(
         self, words: list[str], token_classes: list[str], lang: str = "nl"
@@ -157,6 +163,18 @@ class FrogPipeline:
                 "mwu_end": i,
                 "parse_head": -1,
                 "parse_role": "",
+                # unit-/span-level denormalized fields: computed here (the
+                # per-sentence pass already has them) so downstream unit
+                # and entity-span tables are FILTERS, not aggregations —
+                # at 10^12 turns this removes two shuffles + a window
+                "unit_word": w,
+                "unit_lemma": "",
+                "unit_morph": "",
+                "unit_conf": 0.0,
+                "span_text": None,
+                "span_end": -1,
+                "pair_triples": [],
+                "verb_triples": [],
             }
             for i, (w, tc) in enumerate(zip(words, token_classes))
         ]
@@ -182,9 +200,12 @@ class FrogPipeline:
 
         # NER || IOB per sentence (FrogAPI.cxx:2140-2174)
         if cfg.do_ner:
-            ner_tags, ner_confs, _spans = self.ner.tag(words, tags)
+            ner_tags, ner_confs, ner_spans = self.ner.tag(words, tags)
             for r, t, c in zip(rows, ner_tags, ner_confs):
                 r["ner_tag"], r["ner_conf"] = t, c
+            for start, end, _cat, _conf in ner_spans:
+                rows[start]["span_text"] = " ".join(words[start : end + 1])
+                rows[start]["span_end"] = end
         if cfg.do_iob:
             ch_tags, ch_confs, _cspans = self.chunker.tag(words, tags)
             for r, t, c in zip(rows, ch_tags, ch_confs):
@@ -194,18 +215,104 @@ class FrogPipeline:
             lemmas_col = [r["lemma"] or w for r, w in zip(rows, words)]
             units = resolve_mwus(words, tags, confs, lemmas_col, self.mwu_lexicon)
             for ui, u in enumerate(units):
+                u_morph = "_".join(rows[k]["morph"] for k in range(u.start, u.end + 1))
                 for k in range(u.start, u.end + 1):
                     rows[k]["unit_idx"] = ui + 1
                     rows[k]["mwu_start"] = u.start
                     rows[k]["mwu_end"] = u.end
+                    rows[k]["unit_word"] = u.word
+                    rows[k]["unit_lemma"] = u.lemma
+                    rows[k]["unit_morph"] = u_morph
+                    rows[k]["unit_conf"] = u.conf
             if cfg.do_parse and n <= MAX_PARSER_TOKENS:
                 parsed = self.parser.parse_units([(u.word, u.tag) for u in units])
                 for u, (head, rel) in zip(units, parsed):
                     for k in range(u.start, u.end + 1):
                         rows[k]["parse_head"] = head
                         rows[k]["parse_role"] = rel
+                # triple lift, sentence-local part (SURVEY.md §2.11 K2):
+                # both verb triples and entity-pair LCA triples depend only
+                # on THIS sentence's tree + spans, so they are computed in
+                # the same pass — shipping them through groupBy+join stages
+                # would be pure shuffle waste. The relational formulation
+                # lives in kg/triples.py and is equality-tested against
+                # these arrays.
+                from frog_spark.kg.triples import (
+                    OBJ_ROLES,
+                    lca_pair_triples_py,
+                )
+
+                unit_rows = [
+                    (
+                        ui + 1,
+                        u.lemma,
+                        u.tag.split("(", 1)[0],
+                        rows[u.start]["parse_head"],
+                        rows[u.start]["parse_role"],
+                    )
+                    for ui, u in enumerate(units)
+                ]
+                ents = [
+                    (r["unit_idx"], r["span_text"], r["ner_tag"][2:])
+                    for r in rows
+                    if r["span_text"] is not None
+                ]
+                ent_by_unit: dict[int, tuple[str, str]] = {}
+                for fu, text, cat in ents:
+                    ent_by_unit.setdefault(fu, (text, cat))
+
+                def repr_of(u_idx: int) -> tuple[str, str | None]:
+                    hit = ent_by_unit.get(u_idx)
+                    return hit if hit else (unit_rows[u_idx - 1][1], None)
+
+                vtrip = []
+                for v_idx, v_lemma, v_pos, _vh, _vr in unit_rows:
+                    if v_pos != "WW":
+                        continue
+                    subs = [u for u in unit_rows if u[3] == v_idx and u[4] == "su"]
+                    objs = [
+                        u for u in unit_rows if u[3] == v_idx and u[4] in OBJ_ROLES
+                    ]
+                    for su_u in subs:
+                        for ob_u in objs:
+                            s_repr, s_cat = repr_of(su_u[0])
+                            o_repr, o_cat = repr_of(ob_u[0])
+                            vtrip.append(
+                                {
+                                    "subj": s_repr, "pred": v_lemma,
+                                    "obj": o_repr, "subj_cat": s_cat,
+                                    "obj_cat": o_cat,
+                                }
+                            )
+                if vtrip:
+                    rows[0]["verb_triples"] = vtrip
+                if cfg.do_ner and len(ents) >= 2:
+                    rows[0]["pair_triples"] = [
+                        {
+                            "subj": s, "pred": p, "obj": o,
+                            "subj_cat": sc, "obj_cat": oc,
+                        }
+                        for s, p, o, sc, oc in lca_pair_triples_py(unit_rows, ents)
+                    ]
+        else:
+            for r in rows:
+                r["unit_lemma"] = r["lemma"] or r["word"]
+                r["unit_morph"] = r["morph"]
+                r["unit_conf"] = r["pos_conf"]
         return rows
 
+
+_TRIPLE_ARRAY = ArrayType(
+    StructType(
+        [
+            StructField("subj", StringType()),
+            StructField("pred", StringType()),
+            StructField("obj", StringType()),
+            StructField("subj_cat", StringType()),
+            StructField("obj_cat", StringType()),
+        ]
+    )
+)
 
 ANNOTATED_SCHEMA = StructType(
     [
@@ -231,6 +338,14 @@ ANNOTATED_SCHEMA = StructType(
         StructField("mwu_end", IntegerType(), False),
         StructField("parse_head", IntegerType(), False),
         StructField("parse_role", StringType(), False),
+        StructField("unit_word", StringType(), False),
+        StructField("unit_lemma", StringType(), False),
+        StructField("unit_morph", StringType(), False),
+        StructField("unit_conf", DoubleType(), False),
+        StructField("span_text", StringType(), True),
+        StructField("span_end", IntegerType(), False),
+        StructField("pair_triples", _TRIPLE_ARRAY, False),
+        StructField("verb_triples", _TRIPLE_ARRAY, False),
     ]
 )
 
@@ -286,6 +401,9 @@ def annotate_tokens(
                             a["chunk_tag"], float(a["chunk_conf"]),
                             a["unit_idx"], a["mwu_start"], a["mwu_end"],
                             a["parse_head"], a["parse_role"],
+                            a["unit_word"], a["unit_lemma"], a["unit_morph"],
+                            float(a["unit_conf"]), a["span_text"],
+                            a["span_end"], a["pair_triples"], a["verb_triples"],
                         )
                     )
                 i = j
@@ -314,14 +432,133 @@ def annotate_tokens(
     return shuffled.mapInPandas(run, schema=ANNOTATED_SCHEMA)
 
 
+TRIPLE_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("sent_idx", IntegerType(), False),
+        StructField("subj", StringType(), False),
+        StructField("pred", StringType(), False),
+        StructField("obj", StringType(), False),
+        StructField("subj_cat", StringType(), True),
+        StructField("obj_cat", StringType(), True),
+        StructField("source", StringType(), False),
+    ]
+)
+
+
+def triples_from_transcripts(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    pipeline: FrogPipeline | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """End-to-end transcripts -> (subj, pred, obj) triples in ONE stage.
+
+    The full annotation chain still runs per sentence (that is the real
+    work), but ONLY triple rows leave the UDF — the projection-specialized
+    sibling of ``annotate_transcripts`` for consumers that don't need
+    token-level output. Catalyst prunes columns of relational plans
+    automatically; a pandas UDF's output schema is opaque to it, so the
+    pruning is done here by construction (~10x less Arrow traffic than
+    shipping annotated tokens and exploding them).
+
+    Equivalence with extract_triples(annotate_transcripts(...)) is
+    asserted in tests/test_triples_paths.py.
+    """
+    from frog_spark.operators.tokenizer import split_sentences, tokenize_text
+
+    pipe = pipeline or FrogPipeline.build()
+    bc = spark.sparkContext.broadcast(pipe)
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    shuffled = transcripts.select("conv_id", "turn_idx", "text").repartition(
+        parts, "conv_id", "turn_idx"
+    ).sortWithinPartitions("conv_id", "turn_idx")
+    out_cols = [f.name for f in TRIPLE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p: FrogPipeline = bc.value
+        for b in batches:
+            rows: list[tuple] = []
+            for conv_id, turn_idx, text in zip(
+                b["conv_id"], b["turn_idx"], b["text"]
+            ):
+                turn_idx = int(turn_idx)
+                toks = tokenize_text(text or "")
+                for si, sent in enumerate(split_sentences(toks)):
+                    ann = p.annotate_sentence(
+                        [t.word for t in sent],
+                        [t.token_class for t in sent],
+                        "nl",
+                    )
+                    for src, key in (("verb", "verb_triples"), ("entpair", "pair_triples")):
+                        for t in ann[0][key]:
+                            rows.append(
+                                (
+                                    conv_id, turn_idx, si,
+                                    t["subj"], t["pred"], t["obj"],
+                                    t["subj_cat"], t["obj_cat"], src,
+                                )
+                            )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return shuffled.mapInPandas(run, schema=TRIPLE_SCHEMA)
+
+
 def annotate_transcripts(
     spark: SparkSession,
     transcripts: DataFrame,
     pipeline: FrogPipeline | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """transcripts (conv_id, turn_idx, role, text, tool, ts) -> annotated tokens."""
-    from frog_spark.operators.tokenizer import tokenize_turns
+    """transcripts (conv_id, turn_idx, role, text, tool, ts) -> annotated
+    tokens.
+
+    Fused path: the ONE shuffle of the pipeline happens at TURN grain
+    (a turn row is ~6x smaller than its exploded token rows), then
+    tokenization + the full per-sentence chain run in a single
+    mapInPandas — no token-level exchange ever exists. ``tokenize_turns``
+    + ``annotate_tokens`` remain available for token-level inputs.
+    """
+    from frog_spark.operators.tokenizer import split_sentences, tokenize_text
 
     pipe = pipeline or FrogPipeline.build()
-    return annotate_tokens(spark, tokenize_turns(transcripts), pipe, num_partitions)
+    bc = spark.sparkContext.broadcast(pipe)
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+
+    shuffled = transcripts.select("conv_id", "turn_idx", "text").repartition(
+        parts, "conv_id", "turn_idx"
+    ).sortWithinPartitions("conv_id", "turn_idx")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p: FrogPipeline = bc.value
+        for b in batches:
+            cols: list[list] = [[] for _ in _OUT_COLS]
+            for conv_id, turn_idx, text in zip(
+                b["conv_id"], b["turn_idx"], b["text"]
+            ):
+                turn_idx = int(turn_idx)
+                toks = tokenize_text(text or "")
+                for si, sent in enumerate(split_sentences(toks)):
+                    words = [t.word for t in sent]
+                    tcs = [t.token_class for t in sent]
+                    ann = p.annotate_sentence(words, tcs, "nl")
+                    for ti, (t, a) in enumerate(zip(sent, ann)):
+                        row = (
+                            conv_id, turn_idx, si, ti,
+                            a["word"], a["token_class"], t.no_space,
+                            a["pos_tag"], float(a["pos_conf"]),
+                            a["lemma"], a["lemmas"], a["morph"], a["compound"],
+                            a["ner_tag"], float(a["ner_conf"]),
+                            a["chunk_tag"], float(a["chunk_conf"]),
+                            a["unit_idx"], a["mwu_start"], a["mwu_end"],
+                            a["parse_head"], a["parse_role"],
+                            a["unit_word"], a["unit_lemma"], a["unit_morph"],
+                            float(a["unit_conf"]), a["span_text"],
+                            a["span_end"], a["pair_triples"], a["verb_triples"],
+                        )
+                        for c, v in zip(cols, row):
+                            c.append(v)
+            yield pd.DataFrame(dict(zip(_OUT_COLS, cols)))
+
+    return shuffled.mapInPandas(run, schema=ANNOTATED_SCHEMA)

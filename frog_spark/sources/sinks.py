@@ -21,35 +21,25 @@ _KEY = ["conv_id", "turn_idx", "sent_idx"]
 
 
 def merged_units(annotated: DataFrame) -> DataFrame:
-    """Post-MWU merged rows (the unit-level view the tabbed sink renders)."""
+    """Post-MWU merged rows (the unit-level view the tabbed sink renders).
 
-    def joined(col: str) -> F.Column:
-        return F.concat_ws(
-            "_",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("token_idx", F.col(col).alias("v")))),
-                lambda s: s["v"],
-            ),
-        )
-
-    return (
-        annotated.groupBy(*_KEY, "unit_idx")
-        .agg(
-            joined("word").alias("word"),
-            joined("lemma").alias("lemma"),
-            joined("morph").alias("morph"),
-            F.first("compound").alias("compound"),
-            F.first("pos_tag").alias("pos_tag"),
-            # merged confidence = product of members (FrogData.cxx:142-183)
-            F.exp(F.sum(F.log(F.greatest("pos_conf", F.lit(1e-300))))).alias(
-                "pos_conf"
-            ),
-            F.first("ner_tag").alias("ner_tag"),
-            F.first("chunk_tag").alias("chunk_tag"),
-            F.first("parse_head").alias("parse_head"),
-            F.first("parse_role").alias("parse_role"),
-            (F.count("*") > 1).alias("is_mwu"),
-        )
+    The '_'-joined fields and the product-of-members confidence
+    (FrogData.cxx:142-183) were computed in the annotation pass, so this
+    is a narrow filter on the unit's first token — no shuffle."""
+    return annotated.filter(F.col("token_idx") == F.col("mwu_start")).select(
+        *_KEY,
+        "unit_idx",
+        F.col("unit_word").alias("word"),
+        F.col("unit_lemma").alias("lemma"),
+        F.col("unit_morph").alias("morph"),
+        "compound",
+        "pos_tag",
+        F.col("unit_conf").alias("pos_conf"),
+        "ner_tag",
+        "chunk_tag",
+        "parse_head",
+        "parse_role",
+        (F.col("mwu_end") > F.col("mwu_start")).alias("is_mwu"),
     )
 
 
