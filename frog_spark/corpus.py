@@ -73,6 +73,11 @@ SENTENCES: list[str] = [
     "Hangende het onderzoek werden we verwezen naar de website.",
     "De nieuwe directeur van Philips presenteert de resultaten morgen.",
     "Hij is met name bekend om Wikipedia.",
+    "Dhr. Jansen verkoopt drie fietsen.",
+    "Ten slotte bezoekt hij de 3e verdieping.",
+    "\"Dit is prachtig\", zegt Anna.",
+    "De heer Smit werkt bij dhr. Visser in Rotterdam.",
+    "Waarom levert de nieuwe aanpak geen betere resultaten op?",
 ]
 
 ROLES = ["user", "assistant", "tool"]

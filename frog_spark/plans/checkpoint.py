@@ -45,6 +45,10 @@ class CheckpointedRun:
     spark: SparkSession
     base_dir: str
     results: dict[str, StageResult] = field(default_factory=dict)
+    # once any stage recomputes, every LATER stage call in this run must
+    # also recompute — its checkpointed output may derive from the stale
+    # version of the recomputed stage (linear-pipeline invalidation)
+    _dirty: bool = False
 
     def _paths(self, stage: str) -> tuple[str, str]:
         d = os.path.join(self.base_dir, stage)
@@ -66,7 +70,7 @@ class CheckpointedRun:
     ) -> DataFrame:
         """Run (or resume) one stage. ``fn`` builds the stage DataFrame."""
         data_dir, state_path = self._paths(name)
-        if not force and self.is_complete(name):
+        if not force and not self._dirty and self.is_complete(name):
             with open(state_path) as fh:
                 st = json.load(fh)
             self.results[name] = StageResult(
@@ -75,6 +79,7 @@ class CheckpointedRun:
             )
             return self.spark.read.parquet(data_dir)
 
+        self._dirty = True
         t0 = time.time()
         df = fn()
         writer = df.write.mode("overwrite")

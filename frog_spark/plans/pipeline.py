@@ -71,6 +71,25 @@ class PipelineConfig:
             self.do_parse = False  # parser requires MWU (FrogAPI.cxx:470-533)
 
 
+# marker sets kept disjoint ACROSS languages: words that exist in both
+# (is, of, in) appear in neither list, or Dutch sentences leak to 'en'
+_NL_STOP = {
+    "de", "het", "een", "en", "van", "ik", "je", "dat", "niet", "op",
+    "om", "te", "met", "hij", "zijn", "naar", "voor", "bij",
+}
+_EN_STOP = {"the", "an", "and", "you", "that", "not", "this", "with", "are", "for"}
+
+
+def _detect_lang(words: list[str]) -> str:
+    """Tiny stopword-vote language id (same heuristic as
+    operators/textstats.lang_id, in pure Python for the sentence gate)."""
+    lw = {w.lower() for w in words}
+    nl, en = len(lw & _NL_STOP), len(lw & _EN_STOP)
+    if nl == 0 and en == 0:
+        return "unk"
+    return "nl" if nl >= en else "en"
+
+
 class FrogPipeline:
     """All trained models + lexicons; picklable, broadcast once."""
 
@@ -95,9 +114,19 @@ class FrogPipeline:
         self.config = config or PipelineConfig()
 
     @classmethod
-    def build(cls, config: PipelineConfig | None = None) -> "FrogPipeline":
-        """Driver-side model training/loading (run_api, FrogAPI.cxx:893-1050)."""
-        gold = load_gold_corpus()
+    def build(
+        cls,
+        config: PipelineConfig | None = None,
+        corpus_path: str | None = None,
+    ) -> "FrogPipeline":
+        """Driver-side model training/loading (run_api, FrogAPI.cxx:893-1050).
+
+        ``corpus_path`` is the froggen analogue (SURVEY.md §2.10 O5,
+        /root/reference/docs/source/advanced.rst:1-40): point it at any
+        annotated corpus in the gold_corpus.tsv format to train a fresh
+        model set from scratch.
+        """
+        gold = load_gold_corpus(corpus_path)
         gaz = Gazetteer(load_gazetteer())
         return cls(
             tagger=PosTagger.train(gold),
@@ -178,7 +207,11 @@ class FrogPipeline:
             }
             for i, (w, tc) in enumerate(zip(words, token_classes))
         ]
-        if lang != cfg.language:  # T3: tokenize-only rows
+        # T3 language gate (/root/reference/src/FrogAPI.cxx:2058-2074):
+        # a sentence whose detected language differs from the configured
+        # one gets tokenize-only rows. 'unk'/unspecified annotates.
+        detected = lang if lang and lang != "nl" else _detect_lang(words)
+        if detected not in (cfg.language, "unk"):
             return rows
 
         tagged = self.tagger.tag(words, token_classes)

@@ -1,0 +1,95 @@
+"""Skew handling, language gate, cascade-resume tests (north rule K6/K7/T3)."""
+
+import datetime
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def test_hot_conversation_spreads_across_partitions(spark, pipeline):
+    """K6: the turn-grain repartition IS the salt — one conversation with
+    90% of the turns must not serialize onto one partition."""
+    from frog_spark.corpus import TRANSCRIPT_SCHEMA
+    from frog_spark.plans.pipeline import annotate_transcripts
+
+    rows = []
+    base = datetime.datetime(2025, 1, 1)
+    for t in range(180):  # hot conversation
+        rows.append(("conv-hot", t, "user", "De verzekering dekt de schade niet.", None, base))
+    for c in range(20):  # long tail
+        rows.append((f"conv-{c:03d}", 0, "user", "Anna leest een boek.", None, base))
+    tdf = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    ann = annotate_transcripts(spark, tdf, pipeline, num_partitions=8)
+    per_part = (
+        ann.filter("conv_id = 'conv-hot'")
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    # the hot conv's turns land on (almost) all partitions
+    assert len(per_part) >= 6, per_part
+    counts = [r["count"] for r in per_part]
+    assert max(counts) < sum(counts) * 0.5  # no partition owns half the key
+
+
+def test_language_gate_tokenize_only(pipeline):
+    """T3: a non-Dutch sentence gets tokenize-only rows."""
+    ann = pipeline.annotate_sentence(
+        ["the", "quick", "brown", "fox", "is", "fast"],
+        ["WORD"] * 6,
+    )
+    assert all(a["pos_tag"] == "" for a in ann)
+    # Dutch still annotates
+    ann = pipeline.annotate_sentence(
+        ["De", "kat", "loopt", "."],
+        ["WORD", "WORD", "WORD", "PUNCTUATION"],
+    )
+    assert ann[1]["pos_tag"].startswith("N(")
+    # stopword-free garbage ('unk') annotates too (reference default-lang behavior)
+    ann = pipeline.annotate_sentence(["xyzzy", "plugh"], ["WORD", "WORD"])
+    assert ann[0]["pos_tag"] != ""
+
+
+def test_resume_cascade_invalidation(spark, pipeline):
+    """K7: deleting one stage's state must recompute it AND every later
+    stage (their checkpoints may derive from the stale version)."""
+    from frog_spark.corpus import transcripts_df
+    from frog_spark.kg.materialize import build_graph
+
+    tdf = transcripts_df(spark, n_turns=24).cache()
+    base = tempfile.mkdtemp(prefix="frogspark_cascade_")
+    try:
+        run1 = build_graph(spark, tdf, base, pipeline)
+        assert not any(r.resumed for r in run1.results.values())
+        # full resume: nothing recomputes
+        run2 = build_graph(spark, tdf, base, pipeline)
+        assert all(r.resumed for r in run2.results.values())
+        # invalidate the middle stage
+        os.remove(os.path.join(base, "triples", "_stage_state.json"))
+        run3 = build_graph(spark, tdf, base, pipeline)
+        assert run3.results["annotated"].resumed  # earlier stage untouched
+        assert not run3.results["triples"].resumed  # recomputed
+        assert not run3.results["edges"].resumed  # downstream invalidated
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stage_state_json_shape(spark, pipeline):
+    from frog_spark.corpus import transcripts_df
+    from frog_spark.plans.checkpoint import CheckpointedRun
+
+    tdf = transcripts_df(spark, n_turns=12)
+    base = tempfile.mkdtemp(prefix="frogspark_state_")
+    try:
+        run = CheckpointedRun(spark, base)
+        run.stage("t", lambda: tdf)
+        with open(os.path.join(base, "t", "_stage_state.json")) as fh:
+            st = json.load(fh)
+        assert st["status"] == "complete"
+        assert st["rows"] == 12
+        assert "per_partition_rows" in st["counters"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
