@@ -168,6 +168,46 @@ def _rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- text / dedup / similarity ----------------------------------------------
 
 
+def _rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 'error' event, the most recent 'click' time
+    by the same user at or before it. Spark lacks a native ASOF JOIN —
+    expressed as a running last-value window over the event union, which
+    is the shuffle-minimal formulation (one window pass, no range join)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+        .orderBy("event_id")
+    )
+
+
+def _txt_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data filter: exact-dedup winners that pass the
+    quality gate and language filter — the canonical pretraining-corpus
+    selection chain, as one declarative plan."""
+    from frog_spark.operators.dedup import exact_dedup
+    from frog_spark.operators.textstats import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = exact_dedup(docs).select("doc_id")
+    q = quality_features(docs)
+    return (
+        q.join(keep, "doc_id")
+        .filter((F.col("quality_score") >= 0.75) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "n_tokens", F.round("quality_score", 2).alias("quality_score"))
+        .orderBy("doc_id")
+    )
+
+
 def _txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.textstats import quality_features
 
@@ -368,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sessionize": _rel_sessionize,
         "rel_hourly_window": _rel_hourly_window,
         "rel_semi_anti": _rel_semi_anti,
+        "rel_asof_join": _rel_asof_join,
+        "txt_training_set": _txt_training_set,
         "txt_quality": _txt_quality,
         "txt_langid_counts": _txt_langid_counts,
         "txt_fingerprint": _txt_fingerprint,
@@ -457,6 +499,55 @@ def oracle_sql() -> dict[str, str]:
             AND c_custkey NOT IN (
                 SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
             ORDER BY c_custkey
+        """,
+        "rel_asof_join": """
+            SELECT event_id, user_id, ts, last_click_ts FROM (
+                SELECT event_id, user_id, ts, event_type,
+                       last_value(CASE WHEN event_type = 'click' THEN ts END
+                           IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS last_click_ts
+                FROM events
+            ) WHERE event_type = 'error' ORDER BY event_id
+        """,
+        "txt_training_set": f"""
+            WITH dedup AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER (
+                        PARTITION BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
+                        ORDER BY doc_id) AS rn
+                    FROM documents
+                ) WHERE rn = 1
+            ),
+            f AS (
+                SELECT doc_id,
+                       length(text) AS nc,
+                       len(string_split_regex(trim(text), '\\s+')) AS nt,
+                       length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       len(list_intersect(list_distinct({_WORDS}), {_NL} || {_EN})) AS stop_hits,
+                       len(list_intersect(list_distinct({_WORDS}), {_NL})) AS nl_hits,
+                       len(list_intersect(list_distinct({_WORDS}), {_EN})) AS en_hits
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id, nt AS n_tokens,
+                       round(
+                         (CASE WHEN nt BETWEEN 5 AND 100000 THEN 0.25 ELSE 0 END) +
+                         (CASE WHEN n_punct * 1.0 / greatest(nc, 1) <= 0.2 THEN 0.25 ELSE 0 END) +
+                         (CASE WHEN stop_hits * 1.0 / greatest(nt, 1) >= 0.01 THEN 0.25 ELSE 0 END) +
+                         (CASE WHEN n_alpha * 1.0 / greatest(nt, 1) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+                       , 2) AS quality_score,
+                       CASE WHEN nl_hits = 0 AND en_hits = 0 THEN 'unk'
+                            WHEN nl_hits >= en_hits THEN 'nl'
+                            ELSE 'en' END AS lang_pred
+                FROM f
+            )
+            SELECT doc_id, n_tokens, quality_score
+            FROM q JOIN dedup USING (doc_id)
+            WHERE quality_score >= 0.75 AND lang_pred = 'en'
+            ORDER BY doc_id
         """,
         "txt_quality": f"""
             WITH f AS (

@@ -26,6 +26,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime64"):
+            # normalize resolution (Spark: ns, DuckDB: us)
+            df[c] = df[c].astype("datetime64[us]").astype(str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 

@@ -194,3 +194,47 @@ def test_text_source_and_retry(spark, tmp_path):
     assert len(pending_files(str(d), str(outd))) == 2
     mark_done(str(outd), str(d / "a.txt"))
     assert [p.endswith("b.txt") for p in pending_files(str(d), str(outd))] == [True]
+
+
+def test_stateful_streaming_entity_memory(spark, tmp_path):
+    """applyInPandasWithState: per-conversation entity counts accumulate
+    across micro-batches and survive via the state store."""
+    from frog_spark.corpus import transcripts_df
+    from frog_spark.sources.resources import load_gazetteer
+    from frog_spark.streaming.server import file_stream_source
+    from frog_spark.streaming.state import conversation_entity_state
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    transcripts_df(spark, n_turns=48).write.parquet(src)
+    names = {n for ns in load_gazetteer().values() for n in ns}
+    stream = conversation_entity_state(file_stream_source(spark, src), names)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.read.parquet(out)
+    assert res.count() > 0
+    # the final row per conversation carries the cumulative turn count
+    import pyspark.sql.functions as F
+
+    final = res.groupBy("conv_id").agg(F.max("n_turns").alias("n"))
+    totals = {r["conv_id"]: r["n"] for r in final.collect()}
+    src_counts = {
+        r["conv_id"]: r["cnt"]
+        for r in spark.read.parquet(src)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert totals == src_counts
+    assert res.filter("n_entity_mentions > 0").count() > 0
