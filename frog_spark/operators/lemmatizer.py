@@ -112,6 +112,9 @@ class Mblem:
         if head in ("SPEC", "LET", "TW"):
             return [word]
 
+        from frog_spark.operators.tagger import unifilter
+
+        word = unifilter(word)  # P2 char filter before classification
         cls_str = self.memory.get(word) or self.memory.get(word.lower())
         if cls_str is None:
             cls_str, _conf = self.tree.classify(_instance(word.lower()))

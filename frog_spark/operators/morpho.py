@@ -104,6 +104,9 @@ class Mbma:
         if token_class == "ABBREVIATION" or cgn_head in ("LET", "SPEC", "TW"):
             return f"[{word}]", "0"
 
+        from frog_spark.operators.tagger import unifilter
+
+        word = unifilter(word)  # P2 char filter before classification
         hit = self.memory.get(word) or self.memory.get(word.lower())
         if hit is not None:
             segs = parse_segmentation(hit)

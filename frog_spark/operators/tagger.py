@@ -19,6 +19,24 @@ from frog_spark.sources.resources import (
 )
 
 
+# P2: per-module UniFilter char translation (/root/reference/src/
+# tagger_base.cxx:410-419, 491-496): normalize typographic characters
+# before classification so the instance base's ASCII forms match. The
+# reference's problems.txt explicitly exercises unicode apostrophes.
+UNIFILTER = str.maketrans(
+    {
+        "’": "'", "‘": "'", "‚": "'",
+        "“": '"', "”": '"', "„": '"',
+        "–": "-", "—": "-",
+        " ": " ",
+    }
+)
+
+
+def unifilter(word: str) -> str:
+    return word.translate(UNIFILTER)
+
+
 class PosTagger:
     def __init__(self, mbt: MBTagger, token_trans: dict[str, str]):
         self.mbt = mbt
@@ -42,7 +60,7 @@ class PosTagger:
         (/root/reference/src/cgn_tagger_mod.cxx:246-288): the forced tag
         gets confidence 1.0; any SPEC(...) tag is forced to 1.0.
         """
-        tagged = self.mbt.tag_sentence(words)
+        tagged = self.mbt.tag_sentence([unifilter(w) for w in words])
         out: list[tuple[str, float]] = []
         for (tag, conf), cls in zip(tagged, token_classes):
             forced = self.token_trans.get(cls)

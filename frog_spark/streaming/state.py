@@ -13,14 +13,13 @@ N7-style path, appropriate for a streaming hot loop).
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Iterable, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
-    IntegerType,
     LongType,
     StringType,
     StructField,

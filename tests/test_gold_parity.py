@@ -94,3 +94,20 @@ def test_unseen_word_generalization(pipeline):
     )
     assert ann[1]["pos_tag"].startswith("N(")  # -er noun
     assert ann[1]["lemma"] == "bakker"
+
+
+def test_unicode_apostrophe_unifilter(pipeline):
+    """P2: zo'n with U+2019 (problems.txt unicode-apostrophe case) gets
+    the same analysis as the ASCII form via the char filter."""
+    ascii_ann = pipeline.annotate_sentence(
+        ["de", "kat", "en", "zo'n", "hond", "."],
+        ["WORD"] * 5 + ["PUNCTUATION"],
+    )
+    uni_ann = pipeline.annotate_sentence(
+        ["de", "kat", "en", "zo’n", "hond", "."],
+        ["WORD"] * 5 + ["PUNCTUATION"],
+    )
+    assert uni_ann[3]["pos_tag"] == ascii_ann[3]["pos_tag"]
+    assert uni_ann[3]["lemma"] == ascii_ann[3]["lemma"]
+    # surface word is preserved (per-turn text equality invariant)
+    assert uni_ann[3]["word"] == "zo’n"
