@@ -375,10 +375,53 @@ def _kg_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_entities(forms, edges).orderBy("form")
 
 
+def _kg_cooccur_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent (subj, pred, obj) facts in the constructed KG."""
+    from frog_spark.corpus import transcripts_df
+    from frog_spark.plans.pipeline import triples_from_transcripts
+
+    tdf = transcripts_df(spark, n_turns=240)
+    t = triples_from_transcripts(spark, tdf, _pipeline())
+    return (
+        t.groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "subj", "pred", "obj")
+        .limit(20)
+    )
+
+
+def _kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop graph traversal from seed entities over subj->obj edges —
+    graph walking expressed as two self hash-joins on the edge table."""
+    from frog_spark.corpus import transcripts_df
+    from frog_spark.plans.pipeline import triples_from_transcripts
+
+    tdf = transcripts_df(spark, n_turns=240)
+    edges = (
+        triples_from_transcripts(spark, tdf, _pipeline())
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    hop1 = edges.filter(F.col("subj").isin("Google", "Wales", "minister")).select(
+        F.col("obj").alias("mid"), F.col("pred").alias("pred1")
+    )
+    hop2 = edges.select(
+        F.col("subj").alias("mid"),
+        F.col("pred").alias("pred2"),
+        F.col("obj").alias("dest"),
+    )
+    return (
+        hop1.join(hop2, "mid")
+        .select("mid", "pred1", "pred2", "dest")
+        .distinct()
+        .orderBy("mid", "dest", "pred1", "pred2")
+    )
+
+
 def _mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.multimodal import extract_media_meta, make_fake_payload
 
-    ids = _t(spark, sf_dir, "documents").select("doc_id").limit(64)
+    ids = _t(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(64)
     rows = [
         (
             int(r["doc_id"]),
@@ -424,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_spans": _kg_entity_spans,
         "kg_triples": _kg_triples,
         "kg_canonical_nodes": _kg_canonical_nodes,
+        "kg_cooccur_topk": _kg_cooccur_topk,
+        "kg_two_hop": _kg_two_hop,
         "mm_media_meta": _mm_media_meta,
     }
 

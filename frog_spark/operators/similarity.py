@@ -55,7 +55,10 @@ def train_centroids(
 ) -> list[list[float]]:
     """Deterministic k-means-lite: seed with the first n rows by id, one
     assignment pass over a bounded sample, then per-cluster mean."""
-    rows = emb.select(vec_col).limit(sample).collect()
+    # ORDER BY before LIMIT: an unordered limit is not deterministic
+    # across partitionings, and the centroids must be reproducible
+    cols = emb.columns
+    rows = emb.orderBy(cols[0]).select(vec_col).limit(sample).collect()
     vecs = [list(r[0]) for r in rows]
     if len(vecs) <= n_centroids:
         return vecs
