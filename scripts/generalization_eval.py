@@ -1,0 +1,96 @@
+"""Held-out generalization evaluation.
+
+Memory-based learners trivially recall their training data (the golden
+tests); this measures what the same models do on sentences they never
+saw: train on gold sentences s01-s25, evaluate token accuracy per module
+and triple P/R on the held-out s26-s30. Numbers land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from frog_spark.kg.gold import gold_sentence_triples, precision_recall  # noqa: E402
+from frog_spark.kg.triples import lca_pair_triples_py, OBJ_ROLES  # noqa: E402
+from frog_spark.operators.mwu import resolve_mwus  # noqa: E402
+from frog_spark.operators.tokenizer import split_sentences, tokenize_text  # noqa: E402
+from frog_spark.plans.pipeline import FrogPipeline  # noqa: E402
+from frog_spark.sources.resources import load_gold_corpus, load_mwu_lexicon  # noqa: E402
+
+HELD_OUT = {"s26", "s27", "s28", "s29", "s30"}
+
+
+def main() -> None:
+    gold = load_gold_corpus()
+    train = [s for s in gold if s.sent_id not in HELD_OUT]
+    test = [s for s in gold if s.sent_id in HELD_OUT]
+
+    # train on the reduced corpus only
+    with tempfile.NamedTemporaryFile("w", suffix=".tsv", delete=False) as fh:
+        for s in train:
+            fh.write(f"# sent {s.sent_id} {s.text}\n")
+            for t in s.tokens:
+                fh.write(
+                    f"{t.idx}\t{t.word}\t{t.pos}\t{t.lemma}\t{t.morph}\t{t.ner}\t{t.chunk}\n"
+                )
+            for u, (h, r) in s.deps.items():
+                fh.write(f"# dep {u} {h} {r}\n")
+            fh.write("\n")
+        train_path = fh.name
+    pipe = FrogPipeline.build(corpus_path=train_path)
+    lex = load_mwu_lexicon()
+
+    counts = {k: [0, 0] for k in ("pos", "lemma", "morph", "ner", "chunk", "head", "rel")}
+    pred_triples: set = set()
+    gold_triples: set = set()
+    for s in test:
+        sents = split_sentences(tokenize_text(s.text))
+        words = [t.word for t in sents[0]]
+        ann = pipe.annotate_sentence(words, [t.token_class for t in sents[0]])
+        for a, g in zip(ann, s.tokens):
+            for key, got, want in (
+                ("pos", a["pos_tag"], g.pos),
+                ("lemma", a["lemma"], g.lemma),
+                ("morph", a["morph"], g.morph),
+                ("ner", a["ner_tag"], g.ner),
+                ("chunk", a["chunk_tag"], g.chunk),
+            ):
+                counts[key][1] += 1
+                counts[key][0] += got == want
+        unit_parse = {a["unit_idx"]: (a["parse_head"], a["parse_role"]) for a in ann}
+        for u, (h, r) in s.deps.items():
+            got = unit_parse.get(u, (-1, ""))
+            counts["head"][1] += 1
+            counts["head"][0] += got[0] == h
+            counts["rel"][1] += 1
+            counts["rel"][0] += got == (h, r)
+        # triples: predicted (from pipeline arrays) vs gold lift
+        for t in ann[0]["verb_triples"] + ann[0]["pair_triples"]:
+            pred_triples.add((t["subj"], t["pred"], t["obj"]))
+        gold_triples |= gold_sentence_triples(s, lex)
+
+    acc = {k: round(c / t, 4) if t else None for k, (c, t) in counts.items()}
+    p, r = precision_recall(pred_triples, gold_triples)
+    print(
+        json.dumps(
+            {
+                "held_out_sentences": sorted(HELD_OUT),
+                "token_accuracy": acc,
+                "triples": {
+                    "precision": round(p, 4),
+                    "recall": round(r, 4),
+                    "predicted": sorted(pred_triples),
+                    "gold": sorted(gold_triples),
+                },
+            },
+            indent=1,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -111,3 +111,33 @@ def test_unicode_apostrophe_unifilter(pipeline):
     assert uni_ann[3]["lemma"] == ascii_ann[3]["lemma"]
     # surface word is preserved (per-turn text equality invariant)
     assert uni_ann[3]["word"] == "zo’n"
+
+
+def test_against_reference_tst_ok_file(pipeline):
+    """Direct diff against the reference's own golden artifact
+    (/root/reference/tests/tst.ok, produced by frog --skip=p): word,
+    lemma, morph, POS tag, NER and chunk columns must match exactly.
+    Confidences are model-dependent and not compared."""
+    import os
+
+    path = "/root/reference/tests/tst.ok"
+    if not os.path.exists(path):  # reference not mounted
+        return
+    rows = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            cols = line.split("\t")
+            rows.append(cols)
+    ann = _annotate(pipeline, "Dit is een test van Frog op de datum 09-01-2012!")
+    assert len(ann) == len(rows)
+    for a, ref in zip(ann, rows):
+        idx, word, lemma, morph, pos, _conf, ner, iob = ref[:8]
+        assert a["word"] == word
+        assert a["lemma"] == lemma, (word, a["lemma"], lemma)
+        assert a["morph"] == morph, (word, a["morph"], morph)
+        assert a["pos_tag"] == pos, (word, a["pos_tag"], pos)
+        assert a["ner_tag"] == ner, (word, a["ner_tag"], ner)
+        assert a["chunk_tag"] == iob, (word, a["chunk_tag"], iob)
