@@ -88,24 +88,31 @@ def ngram_jaccard_pairs(
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).select("id", "ngram")
+    # carry sizes through the prefix join so the PPJoin LENGTH FILTER
+    # (J >= t requires t*|A| <= |B| <= |A|/t) prunes candidates BEFORE the
+    # expensive full-set verification — on low-entropy corpora (tiny
+    # vocabularies) prefix grams alone stay frequent and this filter is
+    # what keeps the candidate set bounded
+    psz = prefix.join(sizes, "id")
+    pa = psz.select(F.col("id").alias("a"), "ngram", F.col("sz").alias("sz_a"))
+    pb = psz.select(F.col("id").alias("b"), "ngram", F.col("sz").alias("sz_b"))
     cands = (
-        prefix.select(F.col("id").alias("a"), "ngram")
-        .join(prefix.select(F.col("id").alias("b"), "ngram"), "ngram")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        pa.join(pb, "ngram")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+            & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
+        )
+        .select("a", "b", "sz_a", "sz_b")
         .distinct()
     )
     sa = g.select(F.col("id").alias("a"), "ngram")
     sb = g.select(F.col("id").alias("b"), "ngram")
-    inter = cands.join(sa, "a").join(sb, ["b", "ngram"]).groupBy("a", "b").agg(
-        F.count("*").alias("inter")
-    )
-    za = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
+    inter = cands.join(sa, "a").join(sb, ["b", "ngram"]).groupBy(
+        "a", "b", "sz_a", "sz_b"
+    ).agg(F.count("*").alias("inter"))
     return (
-        inter.join(za, "a")
-        .join(zb, "b")
-        .withColumn(
+        inter.withColumn(
             "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         )
         .filter(F.col("jaccard") >= threshold)
