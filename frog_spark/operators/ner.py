@@ -127,11 +127,46 @@ def _feats(
     ]
 
 
+def merge_override(
+    tags: list[str], confs: list[float], words: list[str], override: Gazetteer
+) -> tuple[list[str], list[float]]:
+    """N5: a second gazetteer FORCES its tags, wiping any conflicting
+    B-/I- run it overlaps (merge_override,
+    /root/reference/src/ner_tagger_mod.cxx:542-617; unconditional mode)."""
+    forced = override.bio(words)
+    out_t, out_c = list(tags), list(confs)
+    n = len(words)
+    i = 0
+    while i < n:
+        if forced[i].startswith("B-"):
+            j = i
+            cat = forced[i][2:]
+            while j + 1 < n and forced[j + 1] == f"I-{cat}":
+                j += 1
+            for k in range(i, j + 1):
+                out_t[k] = forced[k]
+                out_c[k] = 1.0
+            # a run continuing past the override becomes a fresh B-
+            if j + 1 < n and out_t[j + 1].startswith("I-"):
+                out_t[j + 1] = "B-" + out_t[j + 1][2:]
+            i = j + 1
+        else:
+            i += 1
+    return out_t, out_c
+
+
 class NerTagger:
-    def __init__(self, gazetteer: Gazetteer, tree: IGTree, only_gazets: bool = False):
+    def __init__(
+        self,
+        gazetteer: Gazetteer,
+        tree: IGTree,
+        only_gazets: bool = False,
+        override: Gazetteer | None = None,
+    ):
         self.gazetteer = gazetteer
         self.tree = tree
         self.only_gazets = only_gazets
+        self.override = override
 
     @classmethod
     def train(
@@ -165,5 +200,7 @@ class NerTagger:
                 tags.append(t)
                 confs.append(c)
         tags = repair_bio(tags)
+        if self.override is not None:
+            tags, confs = merge_override(tags, confs, words, self.override)
         spans, confs = spans_with_conf(tags, confs)
         return tags, confs, spans

@@ -141,3 +141,27 @@ def test_against_reference_tst_ok_file(pipeline):
         assert a["pos_tag"] == pos, (word, a["pos_tag"], pos)
         assert a["ner_tag"] == ner, (word, a["ner_tag"], ner)
         assert a["chunk_tag"] == iob, (word, a["chunk_tag"], iob)
+
+
+def test_ner_override_merge(gold):
+    """N5: the override gazetteer forces its category over the classifier
+    output and re-opens a clipped run with B- (opt-in, not wired into the
+    default pipeline)."""
+    from frog_spark.operators.ner import Gazetteer, NerTagger
+    from frog_spark.sources.resources import RESOURCE_DIR, load_gazetteer
+    import os
+
+    override = Gazetteer(
+        load_gazetteer(os.path.join(RESOURCE_DIR, "ner_override.tsv"))
+    )
+    ner = NerTagger.train(gold)
+    ner_ov = NerTagger(ner.gazetteer, ner.tree, override=override)
+    words = "Dit is een test van Frog op de datum".split()
+    pos = ["VNW(aanw,pron,stan,vol,3o,ev)", "WW(pv,tgw,ev)", "LID(onbep,stan,agr)",
+           "N(soort,ev,basis,zijd,stan)", "VZ(init)", "SPEC(deeleigen)", "VZ(init)",
+           "LID(bep,stan,rest)", "N(soort,ev,basis,zijd,stan)"]
+    base_tags, _, _ = ner.tag(words, pos)
+    ov_tags, ov_confs, _ = ner_ov.tag(words, pos)
+    assert base_tags[5] == "B-per"      # classifier says person
+    assert ov_tags[5] == "B-misc"       # override forces misc
+    assert ov_confs[5] == 1.0
