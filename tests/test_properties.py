@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the pure-function core."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from frog_spark.models.igtree import IGTree
+from frog_spark.operators.ner import repair_bio, spans_with_conf
+from frog_spark.operators.tokenizer import detokenize, split_sentences, tokenize_text
+
+# text made of printable chars incl. unicode punctuation the tokenizer handles
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "Zs"),
+    ),
+    max_size=120,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_tokenize_never_crashes_and_detokenize_roundtrips(text):
+    toks = tokenize_text(text)
+    # every non-whitespace char the scanner recognizes is preserved in order
+    detok = detokenize(toks)
+    assert detok == " ".join(detok.split())  # normalized whitespace
+    # sentences partition the token stream
+    sents = split_sentences(toks)
+    assert sum(len(s) for s in sents) == len(toks)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_igtree_recalls_unambiguous_training(data):
+    # make instances unambiguous: class = deterministic function of features
+    inst = [list(t) for t in data]
+    cls = [f"{a}{b}" for a, b in data]
+    tree = IGTree.train(inst, cls)
+    for i, c in zip(inst, cls):
+        assert tree.classify(i)[0] == c
+
+
+_bio = st.lists(
+    st.sampled_from(["O", "B-per", "I-per", "B-org", "I-org"]),
+    max_size=30,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_bio)
+def test_repair_bio_produces_legal_sequences(tags):
+    fixed = repair_bio(tags)
+    prev = "O"
+    for t in fixed:
+        if t.startswith("I-"):
+            assert prev != "O" and prev[2:] == t[2:], (tags, fixed)
+        prev = t
+    # idempotent
+    assert repair_bio(fixed) == fixed
+
+
+@settings(max_examples=100, deadline=None)
+@given(_bio)
+def test_span_confidence_is_mean_of_members(tags):
+    fixed = repair_bio(tags)
+    confs = [0.5] * len(fixed)
+    spans, out = spans_with_conf(fixed, confs)
+    for start, end, cat, conf in spans:
+        assert abs(conf - 0.5) < 1e-12
+        assert fixed[start] == f"B-{cat}"
+        assert 0 <= start <= end < len(fixed)
