@@ -122,7 +122,13 @@ def _rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap -> new session."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # microsecond-precision epoch seconds — identical to the oracle's
+    # epoch(ts) semantics (unix_timestamp would truncate to whole seconds);
+    # to_utc_timestamp('UTC') makes the NTZ->epoch mapping timezone-free.
+    def _epoch(c):
+        return F.unix_micros(F.to_utc_timestamp(c, "UTC")) / F.lit(1000000.0)
+
+    gap = _epoch(F.col("ts")) - _epoch(F.lag("ts").over(w))
     return (
         e.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
         .groupBy("user_id")
@@ -520,7 +526,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_sessionize": """
             SELECT user_id,
-                   sum(new_sess) + 1 AS n_sessions,
+                   CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM (
                 SELECT user_id,

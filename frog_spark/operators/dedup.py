@@ -17,8 +17,14 @@ ANSI-SQL oracle in __spark_entry__.py.
 
 from __future__ import annotations
 
+import math
+from typing import Iterator  # noqa: UP035 — pyspark typehint resolution needs typing.Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _norm_text(col):
@@ -27,11 +33,17 @@ def _norm_text(col):
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the lowest id per exact (normalized) text; one shuffle on the
-    text hash. Output: (doc_id, text, dup_count)."""
-    w = Window.partitionBy(_norm_text(F.col(text_col))).orderBy(F.col(id_col))
+    128-bit md5 of the normalized text, NOT the text itself — at 100 TB the
+    raw string key would double the shuffle bytes (every document's text
+    shipped twice, once as key and once as value). md5 collisions are
+    cryptographically negligible, so grouping on the digest alone is exact.
+    Output: (doc_id, text, dup_count)."""
+    key = F.md5(_norm_text(F.col(text_col)))
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
+    wc = Window.partitionBy(key)
     return (
         docs.withColumn("rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count("*").over(Window.partitionBy(_norm_text(F.col(text_col)))))
+        .withColumn("dup_count", F.count("*").over(wc))
         .filter(F.col("rn") == 1)
         .select(id_col, text_col, "dup_count")
     )
@@ -72,7 +84,12 @@ def ngram_jaccard_pairs(
     that kills a naive gram join at 100 TB never happens, with zero
     recall loss (verification computes true Jaccard over full sets).
     """
-    g = word_ngrams(docs, id_col, text_col, n)
+    # the exploded gram relation feeds FOUR consumers (df counts, sizes,
+    # prefix ranking, and both sides of the verification join) — without a
+    # persist Spark recomputes the explode per consumer, which dominated the
+    # bench (33 s -> recompute x4). MEMORY_AND_DISK so a 100-TB run spills
+    # instead of evicting.
+    g = word_ngrams(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     df_ = g.groupBy("ngram").agg(F.count("*").alias("df"))
     sizes = g.groupBy("id").agg(F.count("*").alias("sz"))
     ranked = (
@@ -130,7 +147,11 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs over word shingles."""
-    g = word_ngrams(docs, id_col, text_col, shingle_n)
+    # persisted: g feeds the signature agg, both verification sides, and
+    # the size agg (see ngram_jaccard_pairs for rationale)
+    g = word_ngrams(docs, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = g.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("ngram"))).alias(f"h{i}")
@@ -273,50 +294,92 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    buckets: int = 8,
+    bands: int = 4,
+    bits_per_band: int | None = None,
+    target_bucket_size: int = 128,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an array<float> column.
 
-    Blocking: random-hyperplane LSH sign bits (3 planes via xxhash64-seeded
-    pseudo-projections) — near-identical vectors share the bucket. The
-    in-bucket compare is a JVM-side zip_with dot product.
+    Blocking: random-hyperplane LSH (sign bits of seeded Gaussian
+    projections, computed as one Arrow-batched numpy matmul per batch),
+    BANDED like MinHash — ``bands`` independent signatures of
+    ``bits_per_band`` bits each; candidates must agree on at least one
+    whole band. Bits per band scale with input size
+    (``log2(n / target_bucket_size)``), so the in-band bucket size — and
+    therefore the quadratic in-bucket self-join — stays bounded at any n,
+    while multiple bands keep recall high (a near-dup pair that flips one
+    bit still collides on another band). Verification is a JVM-side
+    zip_with dot product; only true cosine >= threshold pairs survive.
+
+    Zero-norm vectors cannot have a defined cosine; they are excluded
+    explicitly (not silently nulled out).
     """
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y),
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    if bits_per_band is None:
+        n = emb.count()
+        bits_per_band = min(24, max(4, math.ceil(math.log2(max(n, 2) / target_bucket_size))))
+    r, b = bits_per_band, bands
+
+    def _band_keys(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        rng_planes: dict[int, np.ndarray] = {}
+        for vecs in batch_iter:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            mat = np.array(vecs.tolist(), dtype=np.float64)
+            dim = mat.shape[1] if mat.ndim == 2 else 0
+            if dim not in rng_planes:
+                # deterministic: seed fixed, regenerated identically on
+                # every executor — no state shipped
+                rng_planes[dim] = np.random.default_rng(0xF06).standard_normal(
+                    (dim, r * b)
+                )
+            bits = (mat @ rng_planes[dim]) >= 0  # (batch, r*b)
+            weights = 1 << np.arange(r, dtype=np.int64)
+            keys = np.stack(
+                [bits[:, bi * r : (bi + 1) * r] @ weights for bi in range(b)], axis=1
+            )
+            yield pd.Series(list(keys))
+
+    band_udf = pandas_udf(_band_keys, "array<long>")
+
+    dot = lambda a, b_: F.aggregate(  # noqa: E731
+        F.zip_with(a, b_, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
     norm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
-    # sign-bucket: sign of sum of deterministic +-1-weighted components
-    def plane(seed: int):
-        return F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), F.size(vec_col) - 1),
-                lambda v, i: F.when(
-                    F.xxhash64(F.lit(seed), i).bitwiseAND(F.lit(1)) == 1, v
-                ).otherwise(-v),
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
+    e = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            norm.alias("nrm"),
+            band_udf(F.col(vec_col).cast("array<double>")).alias("keys"),
         )
-
-    sig = F.concat_ws(
-        "",
-        *[F.when(plane(s) >= 0, "1").otherwise("0") for s in range(3)],
+        .filter(F.col("nrm") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                   (F.col(vec_col)[0] * 0 + norm).alias("nrm"), sig.alias("bucket"))
-    x, y = e.alias("x"), e.alias("y")
+    buckets = e.select(
+        "id", F.posexplode("keys").alias("band", "key")
+    )
+    cands = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    ea = e.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = e.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (
-        x.join(
-            y,
-            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
-        )
-        .withColumn(
-            "cosine",
-            dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nrm") * F.col("y.nrm")),
-        )
+        cands.join(ea, "a")
+        .join(eb, "b")
+        .withColumn("cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"), "cosine")
+        .select("a", "b", "cosine")
     )

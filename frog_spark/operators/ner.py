@@ -128,30 +128,62 @@ def _feats(
 
 
 def merge_override(
-    tags: list[str], confs: list[float], words: list[str], override: Gazetteer
+    tags: list[str],
+    confs: list[float],
+    words: list[str],
+    override: Gazetteer,
+    unconditional: bool = True,
+    pos_tags: list[str] | None = None,
 ) -> tuple[list[str], list[float]]:
-    """N5: a second gazetteer FORCES its tags, wiping any conflicting
-    B-/I- run it overlaps (merge_override,
-    /root/reference/src/ner_tagger_mod.cxx:542-617; unconditional mode)."""
-    forced = override.bio(words)
+    """N5: a second gazetteer FORCES its tags (merge_override,
+    /root/reference/src/ner_tagger_mod.cxx:542-617).
+
+    Faithful port: per-token override labels come from the gazetteer mark
+    (ambiguous ``cat1+cat2+`` labels resolve to "O" — to_tag,
+    ner_tagger_mod.cxx:511-540); consecutive identical labels become an
+    I- continuation; replacing the middle of an existing I- run wipes the
+    whole run (back to its B-, which the reference loop never reaches at
+    index 0 — replicated bug-for-bug, plus the forward I- wipe). With
+    ``unconditional=False`` existing non-O tags win; with ``pos_tags``
+    given, only tokens whose POS starts with ``N(`` or ``SPEC(`` may be
+    overridden (the only-on-N/SPEC mode)."""
+    overrides = override.mark(words)
     out_t, out_c = list(tags), list(confs)
     n = len(words)
-    i = 0
-    while i < n:
-        if forced[i].startswith("B-"):
-            j = i
-            cat = forced[i][2:]
-            while j + 1 < n and forced[j + 1] == f"I-{cat}":
-                j += 1
-            for k in range(i, j + 1):
-                out_t[k] = forced[k]
-                out_c[k] = 1.0
-            # a run continuing past the override becomes a fresh B-
-            if j + 1 < n and out_t[j + 1].startswith("I-"):
-                out_t[j + 1] = "B-" + out_t[j + 1][2:]
-            i = j + 1
+    label = ""
+    for i in range(n):
+        ov = overrides[i]
+        if ov != "O" and (
+            not pos_tags
+            or pos_tags[i].startswith("SPEC(")
+            or pos_tags[i].startswith("N(")
+        ):
+            if out_t[i][0] != "O" and not unconditional:
+                continue  # don't tamper with existing tags
+            inside = label == ov
+            parts = [p for p in ov.split("+") if p]
+            replace = "O" if len(parts) > 1 else ("I-" if inside else "B-") + parts[0]
+            if replace != "O":
+                if out_t[i][0] == "I" and not inside:
+                    if i == 0:
+                        # starting with an I tag is impossible; fix on the fly
+                        out_t[i] = "B" + out_t[i][1:]
+                        continue
+                    for j in range(i - 1, 0, -1):
+                        if out_t[j][0] == "B":
+                            out_t[j] = "O"
+                            break
+                        out_t[j] = "O"
+                    for j in range(i + 1, n):
+                        if out_t[j][0] != "I":
+                            break
+                        out_t[j] = "O"
+                out_t[i] = replace
+                out_c[i] = 1.0
+                if not inside:
+                    label = ov
         else:
-            i += 1
+            label = ""
     return out_t, out_c
 
 
@@ -162,17 +194,24 @@ class NerTagger:
         tree: IGTree,
         only_gazets: bool = False,
         override: Gazetteer | None = None,
+        override_unconditional: bool = True,
+        override_only_n_spec: bool = False,
     ):
         self.gazetteer = gazetteer
         self.tree = tree
         self.only_gazets = only_gazets
         self.override = override
+        self.override_unconditional = override_unconditional
+        self.override_only_n_spec = override_only_n_spec
 
     @classmethod
     def train(
         cls,
         gold: list[GoldSentence],
         gazetteer: Gazetteer | None = None,
+        override: Gazetteer | None = None,
+        override_unconditional: bool = True,
+        override_only_n_spec: bool = False,
     ) -> "NerTagger":
         gaz = gazetteer or Gazetteer(load_gazetteer())
         instances: list[list[str]] = []
@@ -184,7 +223,13 @@ class NerTagger:
             for i, t in enumerate(s.tokens):
                 instances.append(_feats(words, pos, marks, i))
                 classes.append(t.ner)
-        return cls(gaz, IGTree.train(instances, classes))
+        return cls(
+            gaz,
+            IGTree.train(instances, classes),
+            override=override,
+            override_unconditional=override_unconditional,
+            override_only_n_spec=override_only_n_spec,
+        )
 
     def tag(
         self, words: list[str], pos: list[str]
@@ -201,6 +246,13 @@ class NerTagger:
                 confs.append(c)
         tags = repair_bio(tags)
         if self.override is not None:
-            tags, confs = merge_override(tags, confs, words, self.override)
+            tags, confs = merge_override(
+                tags,
+                confs,
+                words,
+                self.override,
+                unconditional=self.override_unconditional,
+                pos_tags=pos if self.override_only_n_spec else None,
+            )
         spans, confs = spans_with_conf(tags, confs)
         return tags, confs, spans

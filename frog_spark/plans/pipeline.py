@@ -64,6 +64,12 @@ class PipelineConfig:
     do_mwu: bool = True
     do_parse: bool = True
     language: str = "nl"  # T3 gate
+    # N5: second gazetteer whose tags FORCE the NER output
+    # (/root/reference/src/ner_tagger_mod.cxx:542-617). None disables;
+    # "default" loads resources/ner_override.tsv.
+    ner_override_path: str | None = "default"
+    ner_override_unconditional: bool = True
+    ner_override_only_n_spec: bool = False
 
     def __post_init__(self) -> None:
         if self.do_parse and not self.do_mwu:
@@ -125,17 +131,36 @@ class FrogPipeline:
         annotated corpus in the gold_corpus.tsv format to train a fresh
         model set from scratch.
         """
+        import os
+
+        from frog_spark.sources.resources import RESOURCE_DIR
+
+        cfg = config or PipelineConfig()
         gold = load_gold_corpus(corpus_path)
         gaz = Gazetteer(load_gazetteer())
+        override = None
+        if cfg.ner_override_path is not None:
+            p = (
+                os.path.join(RESOURCE_DIR, "ner_override.tsv")
+                if cfg.ner_override_path == "default"
+                else cfg.ner_override_path
+            )
+            override = Gazetteer(load_gazetteer(p))
         return cls(
             tagger=PosTagger.train(gold),
             mblem=Mblem.train(lemma_training(gold)),
             mbma=Mbma.train(morph_training(gold)),
-            ner=NerTagger.train(gold, gaz),
+            ner=NerTagger.train(
+                gold,
+                gaz,
+                override=override,
+                override_unconditional=cfg.ner_override_unconditional,
+                override_only_n_spec=cfg.ner_override_only_n_spec,
+            ),
             chunker=IobChunker.train(gold),
             mwu_lexicon=load_mwu_lexicon(),
             parser=DepParser.train(gold),
-            config=config,
+            config=cfg,
         )
 
     # -- the per-sentence pipeline (frog_sentence) ---------------------------

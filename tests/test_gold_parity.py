@@ -145,15 +145,10 @@ def test_against_reference_tst_ok_file(pipeline):
 
 def test_ner_override_merge(gold):
     """N5: the override gazetteer forces its category over the classifier
-    output and re-opens a clipped run with B- (opt-in, not wired into the
-    default pipeline)."""
+    output (merge_override, /root/reference/src/ner_tagger_mod.cxx:542-617)."""
     from frog_spark.operators.ner import Gazetteer, NerTagger
-    from frog_spark.sources.resources import RESOURCE_DIR, load_gazetteer
-    import os
 
-    override = Gazetteer(
-        load_gazetteer(os.path.join(RESOURCE_DIR, "ner_override.tsv"))
-    )
+    override = Gazetteer({"misc": {"Frog"}})
     ner = NerTagger.train(gold)
     ner_ov = NerTagger(ner.gazetteer, ner.tree, override=override)
     words = "Dit is een test van Frog op de datum".split()
@@ -165,3 +160,56 @@ def test_ner_override_merge(gold):
     assert base_tags[5] == "B-per"      # classifier says person
     assert ov_tags[5] == "B-misc"       # override forces misc
     assert ov_confs[5] == 1.0
+
+
+def test_ner_override_conditional_and_pos_gate(gold):
+    """N5 modes: conditional (existing non-O tags win) and only-on-N/SPEC
+    (POS gate; ner_tagger_mod.cxx:595-600)."""
+    from frog_spark.operators.ner import merge_override, Gazetteer
+
+    override = Gazetteer({"misc": {"Frog"}, "org": {"kamer"}})
+    words = ["Frog", "bezoekt", "de", "kamer"]
+    tags = ["B-per", "O", "O", "O"]
+    confs = [0.9, 0.8, 0.8, 0.8]
+    # conditional: Frog already tagged -> untouched; kamer (O) -> forced
+    t, c = merge_override(tags, confs, words, override, unconditional=False)
+    assert t == ["B-per", "O", "O", "B-org"] and c[3] == 1.0
+    # unconditional: both forced
+    t, c = merge_override(tags, confs, words, override, unconditional=True)
+    assert t == ["B-misc", "O", "O", "B-org"]
+    # POS gate: kamer is WW here -> not overridden; Frog is SPEC -> is
+    pos = ["SPEC(deeleigen)", "WW(pv)", "LID(bep)", "WW(pv)"]
+    t, c = merge_override(tags, confs, words, override, unconditional=True, pos_tags=pos)
+    assert t == ["B-misc", "O", "O", "O"]
+
+
+def test_ner_override_wipes_overlapped_run():
+    """N5: forcing a new B- in the middle of an existing I- run wipes the
+    whole surrounding run (ner_tagger_mod.cxx:578-604)."""
+    from frog_spark.operators.ner import merge_override, Gazetteer
+
+    override = Gazetteer({"loc": {"haag"}})
+    words = ["naar", "Den", "Haag", "Centraal", "vandaag"]
+    tags = ["O", "B-org", "I-org", "I-org", "O"]
+    confs = [0.5] * 5
+    t, c = merge_override(tags, confs, words, override)
+    assert t == ["O", "O", "B-loc", "O", "O"]
+    assert c[2] == 1.0
+
+
+def test_ner_override_wired_into_pipeline(gold, tmp_path):
+    """N5 end-to-end: FrogPipeline.build consumes ner_override_path and an
+    override entry flips a span in the flagship annotate path."""
+    from frog_spark.plans.pipeline import FrogPipeline, PipelineConfig
+
+    ov = tmp_path / "override.tsv"
+    ov.write_text("misc\tFrog\n")
+    pipe = FrogPipeline.build(PipelineConfig(ner_override_path=str(ov)))
+    ann = _annotate(pipe, "Dit is een test van Frog op de datum 09-01-2012!")
+    frog = next(a for a in ann if a["word"] == "Frog")
+    assert frog["ner_tag"] == "B-misc" and frog["ner_conf"] == 1.0
+    # default pipeline (gold-consistent override file) keeps gold parity
+    base = FrogPipeline.build()
+    ann2 = _annotate(base, "Dit is een test van Frog op de datum 09-01-2012!")
+    frog2 = next(a for a in ann2 if a["word"] == "Frog")
+    assert frog2["ner_tag"] == "B-per" and frog2["ner_conf"] == 1.0
