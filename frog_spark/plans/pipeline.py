@@ -246,13 +246,17 @@ class FrogPipeline:
 
         # mbma || mblem per word (OpenMP sections, FrogAPI.cxx:2096-2134)
         for i, r in enumerate(rows):
-            head = tags[i].split("(", 1)[0]
             if cfg.do_lemma:
                 lemmas = self.mblem.lemmatize(words[i], tags[i], token_classes[i])
                 r["lemmas"] = lemmas
                 r["lemma"] = lemmas[0]
             if cfg.do_morph:
-                morph, compound = self.mbma.analyze(words[i], head, token_classes[i])
+                # next_tag (P3) feeds MBMA's V2I inflection cleanup
+                # (cgn_tagger_mod.cxx:231-244 -> mbma_mod.cxx:446-510)
+                next_tag = tags[i + 1] if i + 1 < n else ""
+                morph, compound = self.mbma.analyze(
+                    words[i], tags[i], token_classes[i], next_tag
+                )
                 r["morph"], r["compound"] = morph, compound
 
         # NER || IOB per sentence (FrogAPI.cxx:2140-2174)

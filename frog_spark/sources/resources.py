@@ -143,14 +143,16 @@ def lemma_training(gold: list[GoldSentence]) -> list[tuple[str, str, str]]:
     return out
 
 
-def morph_training(gold: list[GoldSentence]) -> list[tuple[str, str]]:
+def morph_training(gold: list[GoldSentence]) -> list[tuple[str, str, str]]:
+    """(word, cgn_tag, morph) triples; the tag drives the CELEX-style
+    training-class synthesis (operators/morpho.py)."""
     seen = set()
     out = []
     for s in gold:
         for t in s.tokens:
             if t.word not in seen:
                 seen.add(t.word)
-                out.append((t.word, t.morph))
+                out.append((t.word, t.pos, t.morph))
     return out
 
 
