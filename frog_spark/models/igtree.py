@@ -46,14 +46,22 @@ def _entropy(counts: Iterable[int]) -> float:
     return h
 
 
-def _info_gain(column: Sequence[str], classes: Sequence[str]) -> float:
+def _gain_ratio(column: Sequence[str], classes: Sequence[str]) -> float:
+    """Gain ratio = information gain / split info — Timbl's default feature
+    weighting (-w GR) for IGTree. Raw IG overrates near-unique features
+    (word identity); the split-info denominator penalizes them, which is
+    what makes tag-context features outrank word features on small data."""
     base = _entropy(Counter(classes).values())
     by_val: dict[str, Counter] = defaultdict(Counter)
     for v, c in zip(column, classes):
         by_val[v][c] += 1
     n = len(classes)
     rem = sum((sum(ctr.values()) / n) * _entropy(ctr.values()) for ctr in by_val.values())
-    return base - rem
+    gain = base - rem
+    split_info = _entropy([sum(ctr.values()) for ctr in by_val.values()])
+    if split_info <= 0.0:
+        return 0.0
+    return gain / split_info
 
 
 class IGTree:
@@ -77,7 +85,7 @@ class IGTree:
         n_feat = len(instances[0])
         if feature_order is None:
             gains = [
-                _info_gain([inst[f] for inst in instances], classes)
+                _gain_ratio([inst[f] for inst in instances], classes)
                 for f in range(n_feat)
             ]
             feature_order = sorted(range(n_feat), key=lambda f: -gains[f])

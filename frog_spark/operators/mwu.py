@@ -28,6 +28,10 @@ class Unit:
     conf: float
     lemma: str
     is_mwu: bool
+    # member POS tags of an MWU (the parser '_'-joins their heads/mods,
+    # prepareParse /root/reference/src/Parser.cxx:955-980); None for
+    # single-token units
+    member_tags: list[str] | None = None
 
 
 def resolve_mwus(
@@ -69,6 +73,7 @@ def resolve_mwus(
                     conf,
                     "_".join(lemmas[i : i + L]),
                     True,
+                    member_tags=tags[i : i + L],
                 )
             )
             i += L
@@ -91,6 +96,7 @@ def resolve_mwus(
                         conf,
                         "_".join(lemmas[i : j + 1]),
                         True,
+                        member_tags=tags[i : j + 1],
                     )
                 )
                 i = j + 1

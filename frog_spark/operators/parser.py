@@ -1,28 +1,27 @@
 """Constraint-based dependency parser, CSI-DP style (SURVEY.md §2.9, D1-D8).
 
-Reference: /root/reference/src/Parser.cxx (instance builders 328-879,
-maxDepSpan=20 candidate pruning at 118-119/399-407, timbl calls 987-1004),
-/root/reference/src/csidp.cxx (formulateWCSP 75-163), and
-/root/reference/src/ckyparser.cxx (Eisner chart 86-112, bestEdge 138-206
-with default edge score -0.5, parse 208-307, backtrace 309-346).
+Faithful port of the reference:
+  * instance builders with the FULL feature sets —
+    pairs 16 features (/root/reference/src/Parser.cxx:328-475),
+    dir 20 features (Parser.cxx:477-692, incl. the n=1/2/3 special paddings
+    which reduce to '__' for out-of-range word^tag conjunctions),
+    rels 15 features (Parser.cxx:694-879);
+  * prepareParse unit extraction with '_'-joined MWU heads/mods and the
+    empty-mods HACK (Parser.cxx:902-984);
+  * formulateWCSP constraint generation — pairs contribute only their TOP
+    class + confidence, dir contributes its full distribution, rels splits
+    its top class over the summed distribution
+    (/root/reference/src/csidp.cxx:55-163);
+  * the constraint-satisfaction-aware Eisner CKY with the -0.5 default
+    edge, ROOT scoring, and satisfied-constraint sets threaded through the
+    chart (/root/reference/src/ckyparser.cxx:86-346).
 
-Three classifiers (pairs / dir / rels), each an IGTree returning a class
-DISTRIBUTION, feed weighted constraints:
-  HasDependency(dep, head, rel, w)   from pairs
-  DependencyDirection(dep, dir, w)   from dir
-  HasIncomingRel(dep, rel, w)        from rels
-which score a projective Eisner CKY. The reference evaluates its three
-Timbls in OpenMP parallel sections — in Spark these are independent
-computations inside one UDF call, parallelism comes from rows.
-
-Feature sets are trimmed (≈8 features vs 17-21) but keep the reference's
-shape: word/tag context of dependent and head, tag^tag conjunction,
-direction x distance, mods ('__' when empty, the Parser.cxx:944-950 hack).
+The three classifiers are IGTrees (the reference uses Timbl -a1 +D) that
+run inside one pandas-UDF call per sentence; the reference evaluates them
+in OpenMP parallel sections — independent computations either way.
 """
 
 from __future__ import annotations
-
-from dataclasses import dataclass
 
 from frog_spark.models.igtree import IGTree
 from frog_spark.operators.mwu import Unit, resolve_mwus
@@ -30,80 +29,204 @@ from frog_spark.sources.resources import GoldSentence, load_mwu_lexicon
 
 MAX_DEP_SPAN = 20  # /root/reference/src/Parser.cxx:118-119
 MAX_PARSER_TOKENS = 500  # /root/reference/include/frog/FrogAPI.h:160-163
-DEFAULT_EDGE = -0.5  # ckyparser.cxx bestEdge default
+DEFAULT_EDGE = -0.5  # ckyparser.cxx:169 (bestEdge default)
 
 
-def _head_tag(tag: str) -> str:
-    return tag.split("(", 1)[0]
+def extract_tag(tv: str) -> tuple[str, str]:
+    """Split a CGN tag into (head, mods); mods '|'-joined, '' when absent
+    (the HACK at Parser.cxx:902-927 — '' here, '__' patched later)."""
+    if "(" in tv:
+        head, rest = tv.split("(", 1)
+        inner = rest.rstrip(")")
+        return head, inner.replace(",", "|") if inner else ""
+    return tv, ""
 
 
-def _mods(tag: str) -> str:
-    if "(" in tag:
-        inner = tag.split("(", 1)[1].rstrip(")")
-        return inner.replace(",", "|") if inner else "__"
-    return "__"  # the mods="__" hack, Parser.cxx:944-950
+def _filter_spaces(w: str) -> str:
+    return "_".join(w.split())
 
 
-def _dist_bucket(d: int) -> str:
-    if d <= 2:
-        return str(d)
-    if d <= 5:
-        return "3-5"
-    return ">5"
+def prepare(units: list[Unit]) -> tuple[list[str], list[str], list[str]]:
+    """prepareParse (Parser.cxx:929-984): per parse unit (MWU-collapsed)
+    word / head / mods, MWU members '_'-joined (heads AND raw mods — the
+    reference appends empty member mods there, replicated)."""
+    words, heads, mods = [], [], []
+    for u in units:
+        if u.is_mwu and u.member_tags:
+            mw, mh, mm = [], [], []
+            for k, t in enumerate(u.member_tags):
+                h, m = extract_tag(t)
+                mh.append(h)
+                mm.append(m)
+            words.append(_filter_spaces(u.word))
+            heads.append("_".join(mh))
+            mods.append("_".join(mm))
+        else:
+            h, m = extract_tag(u.tag)
+            words.append(_filter_spaces(u.word))
+            heads.append(h)
+            mods.append(m if m else "__")  # the mods-HACK (Parser.cxx:944-950)
+    return words, heads, mods
 
 
-def pair_features(
-    units: list[tuple[str, str]], dep: int, head: int | None
-) -> list[str]:
-    """head=None means the candidate-ROOT instance (Parser.cxx:328-475)."""
-    w_d, t_d = units[dep]
-    if head is None:
-        w_h, t_h, pos = "ROOT", "ROOT", "ROOT"
-    else:
-        w_h, t_h = units[head]
-        d = abs(dep - head)
-        pos = ("LEFT" if head < dep else "RIGHT") + _dist_bucket(d)
-    return [
-        w_d.lower(),
-        _head_tag(t_d),
-        w_h.lower(),
-        _head_tag(t_h),
-        f"{_head_tag(t_d)}^{_head_tag(t_h)}",
-        pos,
-        _mods(t_d),
-        _mods(t_h) if head is not None else "__",
-    ]
+# --- instance builders -------------------------------------------------------
 
 
-def dir_features(units: list[tuple[str, str]], i: int) -> list[str]:
-    n = len(units)
+def pair_instances(
+    words: list[str], heads: list[str], mods: list[str]
+) -> tuple[list[list[str]], list[tuple[int, int | None]]]:
+    """createPairInstances (Parser.cxx:328-475). Returns (instances, keys)
+    where keys[i] = (dep0, head0|None-for-ROOT); order matches
+    formulateWCSP's consumption: n ROOT instances, then (dep outer, head
+    inner) pairs within maxDepSpan."""
+    n = len(words)
 
-    def tag(j: int) -> str:
-        return _head_tag(units[j][1]) if 0 <= j < n else "_"
+    def w(j: int) -> str:
+        return words[j] if 0 <= j < n else "__"
 
-    return [tag(i - 2), tag(i - 1), tag(i), tag(i + 1), tag(i + 2),
-            units[i][0].lower(), _mods(units[i][1])]
+    def t(j: int) -> str:
+        return heads[j] if 0 <= j < n else "__"
+
+    instances: list[list[str]] = []
+    keys: list[tuple[int, int | None]] = []
+    if n == 1:
+        instances.append(
+            [
+                "__", words[0], "__", "ROOT", "ROOT", "ROOT", "__", heads[0],
+                "__", "ROOT", "ROOT", "ROOT", words[0] + "^ROOT", "ROOT",
+                "ROOT", "ROOT^" + heads[0],
+            ]
+        )
+        keys.append((0, None))
+        return instances, keys
+    for i in range(n):
+        instances.append(
+            [
+                w(i - 1), w(i), w(i + 1), "ROOT", "ROOT", "ROOT",
+                t(i - 1), t(i), t(i + 1), "ROOT", "ROOT", "ROOT",
+                t(i) + "^ROOT", "ROOT", "ROOT", "ROOT^" + mods[i],
+            ]
+        )
+        keys.append((i, None))
+    for wpos in range(n):
+        for pos in range(n):
+            if pos > wpos + MAX_DEP_SPAN:
+                break
+            if pos == wpos or pos + MAX_DEP_SPAN < wpos:
+                continue
+            if wpos > pos:
+                direction, dist = "LEFT", str(wpos - pos)
+            else:
+                direction, dist = "RIGHT", str(pos - wpos)
+            instances.append(
+                [
+                    w(wpos - 1), w(wpos), w(wpos + 1),
+                    w(pos - 1), w(pos), w(pos + 1),
+                    t(wpos - 1), t(wpos), t(wpos + 1),
+                    t(pos - 1), t(pos), t(pos + 1),
+                    t(wpos) + "^" + t(pos),
+                    direction, dist,
+                    mods[pos] + "^" + mods[wpos],
+                ]
+            )
+            keys.append((wpos, pos))
+    return instances, keys
 
 
-def rel_features(units: list[tuple[str, str]], i: int) -> list[str]:
-    n = len(units)
+def dir_instances(
+    words: list[str], heads: list[str], mods: list[str]
+) -> list[list[str]]:
+    """createDirInstances (Parser.cxx:477-692): 20 features per unit. The
+    reference's n=1/2/3 special cases differ from the general case only in
+    padding out-of-range word^tag conjunctions with '__' (instead of
+    '__^__'), which this builder does uniformly."""
+    n = len(words)
 
-    def tag(j: int) -> str:
-        return _head_tag(units[j][1]) if 0 <= j < n else "_"
+    def w(j: int) -> str:
+        return words[j] if 0 <= j < n else "__"
 
-    def word(j: int) -> str:
-        return units[j][0].lower() if 0 <= j < n else "_"
+    def t(j: int) -> str:
+        return heads[j] if 0 <= j < n else "__"
 
-    return [word(i), tag(i), tag(i - 1), tag(i + 1), word(i - 1), word(i + 1),
-            _mods(units[i][1])]
+    def m(j: int) -> str:
+        return mods[j] if 0 <= j < n else "__"
+
+    def wt(j: int) -> str:
+        return words[j] + "^" + heads[j] if 0 <= j < n else "__"
+
+    out = []
+    for i in range(n):
+        out.append(
+            [
+                w(i - 2), w(i - 1), w(i), w(i + 1), w(i + 2),
+                t(i - 2), t(i - 1), t(i), t(i + 1), t(i + 2),
+                wt(i - 2), wt(i - 1), wt(i), wt(i + 1), wt(i + 2),
+                t(i - 1) + "^" + t(i), t(i) + "^" + t(i + 1),
+                m(i - 1), m(i), m(i + 1),
+            ]
+        )
+    return out
 
 
-@dataclass
+def rel_instances(
+    words: list[str], heads: list[str], mods: list[str]
+) -> list[list[str]]:
+    """createRelInstances (Parser.cxx:694-879): 15 features per unit; the
+    n=1/2/3 special cases reduce to the general composed padding."""
+    n = len(words)
+
+    def w(j: int) -> str:
+        return words[j] if 0 <= j < n else "__"
+
+    def t(j: int) -> str:
+        return heads[j] if 0 <= j < n else "__"
+
+    out = []
+    for i in range(n):
+        out.append(
+            [
+                w(i - 2), w(i - 1), w(i), w(i + 1), w(i + 2),
+                mods[i],
+                t(i - 2), t(i - 1), t(i), t(i + 1), t(i + 2),
+                t(i - 1) + "^" + t(i), t(i) + "^" + t(i + 1),
+                t(i - 2) + "^" + t(i - 1) + "^" + t(i),
+                t(i) + "^" + t(i + 1) + "^" + t(i + 2),
+            ]
+        )
+    return out
+
+
+# --- constraints (formulateWCSP, csidp.cxx:75-163) ---------------------------
+
+
+class _Constraint:
+    __slots__ = ("weight", "rel", "direction")
+
+    def __init__(self, weight: float, rel: str = "", direction: str = ""):
+        self.weight = weight
+        self.rel = rel
+        self.direction = direction
+
+
 class Constraints:
-    # (dep, head or 0=ROOT) -> {rel: weight}; 1-based unit positions
-    dep_w: dict[tuple[int, int], dict[str, float]]
-    dir_w: list[dict[str, float]]  # per dep (1-based idx-1): dir -> w
-    inrel_w: list[dict[str, float]]  # per dep: rel -> w
+    """edge[dep][head] -> [HasDependency], in_dep[i] -> [HasIncomingRel],
+    out_dep[i] -> [DependencyDirection]; 1-based unit ids, head 0 = ROOT."""
+
+    def __init__(self, n: int):
+        self.edge: list[list[list[_Constraint]]] = [
+            [[] for _ in range(n + 1)] for _ in range(n + 1)
+        ]
+        self.in_dep: list[list[_Constraint]] = [[] for _ in range(n + 1)]
+        self.out_dep: list[list[_Constraint]] = [[] for _ in range(n + 1)]
+
+
+def split_dist(dist: dict[str, float]) -> dict[str, float]:
+    """csidp.cxx:55-73 — '|'-ambiguous classes spread their weight."""
+    out: dict[str, float] = {}
+    for s, val in dist.items():
+        for tag in s.split("|"):
+            out[tag] = out.get(tag, 0.0) + val
+    return out
 
 
 class DepParser:
@@ -112,7 +235,7 @@ class DepParser:
         self.dirs = dirs
         self.rels = rels
 
-    # -- training -----------------------------------------------------------
+    # -- training -------------------------------------------------------------
 
     @classmethod
     def train(cls, gold: list[GoldSentence]) -> "DepParser":
@@ -121,108 +244,80 @@ class DepParser:
         d_inst, d_cls = [], []
         r_inst, r_cls = [], []
         for s in gold:
-            words = [t.word for t in s.tokens]
-            tags = [t.pos for t in s.tokens]
-            lemmas = [t.lemma for t in s.tokens]
-            confs = [1.0] * len(words)
-            mus = resolve_mwus(words, tags, confs, lemmas, lexicon)
-            units = [(u.word, u.tag) for u in mus]
-            n = len(units)
-            for dep1, (head1, rel) in s.deps.items():
-                dep = dep1 - 1
-                # candidate-ROOT instance
-                p_inst.append(pair_features(units, dep, None))
-                p_cls.append(rel if head1 == 0 else "__")
-                for h in range(max(0, dep - MAX_DEP_SPAN), min(n, dep + MAX_DEP_SPAN + 1)):
-                    if h == dep:
-                        continue
-                    p_inst.append(pair_features(units, dep, h))
-                    p_cls.append(rel if head1 == h + 1 else "__")
-                d_inst.append(dir_features(units, dep))
-                if head1 == 0:
-                    d_cls.append("ROOT")
+            toks = s.tokens
+            mus = resolve_mwus(
+                [t.word for t in toks],
+                [t.pos for t in toks],
+                [1.0] * len(toks),
+                [t.lemma for t in toks],
+                lexicon,
+            )
+            words, heads, mods = prepare(mus)
+            pi, keys = pair_instances(words, heads, mods)
+            for inst, (dep, head) in zip(pi, keys):
+                gold_head, rel = s.deps.get(dep + 1, (-1, ""))
+                if head is None:
+                    p_cls.append(rel if gold_head == 0 else "__")
                 else:
-                    d_cls.append("LEFT" if head1 - 1 < dep else "RIGHT")
-                r_inst.append(rel_features(units, dep))
-                r_cls.append(rel)
+                    p_cls.append(rel if gold_head == head + 1 else "__")
+                p_inst.append(inst)
+            for i, inst in enumerate(dir_instances(words, heads, mods)):
+                gold_head, _rel = s.deps.get(i + 1, (-1, ""))
+                if gold_head == 0:
+                    d_cls.append("ROOT")
+                elif gold_head > 0:
+                    d_cls.append("LEFT" if gold_head - 1 < i else "RIGHT")
+                else:
+                    d_cls.append("ROOT")
+                d_inst.append(inst)
+            for i, inst in enumerate(rel_instances(words, heads, mods)):
+                _gh, rel = s.deps.get(i + 1, (0, "ROOT"))
+                r_cls.append(rel or "ROOT")
+                r_inst.append(inst)
         return cls(
             IGTree.train(p_inst, p_cls),
             IGTree.train(d_inst, d_cls),
             IGTree.train(r_inst, r_cls),
         )
 
-    # -- constraint generation (formulateWCSP) --------------------------------
+    # -- constraint generation -------------------------------------------------
 
-    def constraints(self, units: list[tuple[str, str]]) -> Constraints:
-        n = len(units)
-        # precompute per-unit feature primitives once (the O(n * span)
-        # pair loop below reuses them; profiling shows repeated
-        # lower()/split() otherwise dominates)
-        wl = [w.lower() for w, _ in units]
-        ht = [_head_tag(t) for _, t in units]
-        md = [_mods(t) for _, t in units]
-        pairs_dist = self.pairs.distribution
-        dep_w: dict[tuple[int, int], dict[str, float]] = {}
-        dir_w: list[dict[str, float]] = []
-        inrel_w: list[dict[str, float]] = []
-        for dep in range(n):
-            w_d, t_d, m_d = wl[dep], ht[dep], md[dep]
-            # must mirror pair_features(units, dep, None) exactly
-            dist = pairs_dist(
-                [w_d, t_d, "root", "ROOT", f"{t_d}^ROOT", "ROOT", m_d, "__"]
-            )
-            for rel, w in dist.items():
-                if rel != "__" and w > 0:
-                    dep_w.setdefault((dep + 1, 0), {})[rel] = w
-            for h in range(max(0, dep - MAX_DEP_SPAN), min(n, dep + MAX_DEP_SPAN + 1)):
-                if h == dep:
-                    continue
-                d = h - dep
-                pos = ("RIGHT" if d > 0 else "LEFT") + _dist_bucket(abs(d))
-                dist = pairs_dist(
-                    [w_d, t_d, wl[h], ht[h], f"{t_d}^{ht[h]}", pos, m_d, md[h]]
-                )
-                for rel, w in dist.items():
-                    if rel != "__" and w > 0:
-                        dep_w.setdefault((dep + 1, h + 1), {})[rel] = w
-            dir_w.append(self.dirs.distribution(dir_features(units, dep)))
-            inrel_w.append(self.rels.distribution(rel_features(units, dep)))
-        return Constraints(dep_w, dir_w, inrel_w)
+    def constraints(self, units: list[Unit]) -> Constraints:
+        words, heads, mods = prepare(units)
+        n = len(words)
+        c = Constraints(n)
+        p_inst, keys = pair_instances(words, heads, mods)
+        # D5: three classifier batches (OpenMP sections in the reference)
+        for inst, (dep, head) in zip(p_inst, keys):
+            top, conf = self.pairs.classify(inst)
+            if top != "__":
+                hid = 0 if head is None else head + 1
+                c.edge[dep + 1][hid].append(_Constraint(conf, rel=top))
+        for i, inst in enumerate(dir_instances(words, heads, mods)):
+            for direction, val in self.dirs.distribution(inst).items():
+                c.out_dep[i + 1].append(_Constraint(val, direction=direction))
+        for i, inst in enumerate(rel_instances(words, heads, mods)):
+            top, _conf = self.rels.classify(inst)
+            if top != "__":
+                splits = split_dist(self.rels.distribution(inst))
+                for rel in top.split("|"):
+                    c.in_dep[i + 1].append(
+                        _Constraint(splits.get(rel, 0.0), rel=rel)
+                    )
+        return c
 
-    # -- Eisner CKY -----------------------------------------------------------
+    # -- CKY (ckyparser.cxx:208-346) -------------------------------------------
 
-    def _edge(self, c: Constraints, head: int, dep: int) -> tuple[float, str]:
-        """Best (score, rel) for head->dep; positions 1-based, 0=ROOT.
-        Mirrors bestEdge (ckyparser.cxx:138-206): HasDependency weight plus
-        matching HasIncomingRel and DependencyDirection weights; -0.5 default."""
-        rels = c.dep_w.get((dep, head), {})
-        direction = "ROOT" if head == 0 else ("LEFT" if head < dep else "RIGHT")
-        dirw = c.dir_w[dep - 1].get(direction, 0.0)
-        best_s, best_r = DEFAULT_EDGE + dirw, "ROOT" if head == 0 else "mod"
-        for rel, w in rels.items():
-            s = w + c.inrel_w[dep - 1].get(rel, 0.0) + dirw
-            if s > best_s:
-                best_s, best_r = s, rel
-        return best_s, best_r
-
-    def parse_units(self, units: list[tuple[str, str]]) -> list[tuple[int, str]]:
-        """Return per-unit (head_index 1-based; 0=ROOT, -1=skipped, rel)."""
+    def parse_units(self, units: list[Unit]) -> list[tuple[int, str]]:
+        """Return per-unit (head 1-based; 0=ROOT, -1=skipped, rel)."""
         n = len(units)
         if n == 0:
             return []
         if n > MAX_PARSER_TOKENS:  # hard cap, FrogAPI.cxx:2189-2203
             return [(-1, "")] * n
         c = self.constraints(units)
-        score = [[DEFAULT_EDGE] * (n + 1) for _ in range(n + 1)]
-        rel = [["" for _ in range(n + 1)] for _ in range(n + 1)]
-        for d in range(1, n + 1):
-            for h in range(0, n + 1):
-                if h == d:
-                    continue
-                s, r = self._edge(c, h, d)
-                score[h][d], rel[h][d] = s, r
-        heads = _eisner(n, score)
-        return [(heads[d], rel[heads[d]][d] if heads[d] >= 0 else "") for d in range(1, n + 1)]
+        pr = _cky_parse(n, c)
+        return pr
 
     def parse(
         self,
@@ -233,71 +328,163 @@ class DepParser:
         lexicon: dict[str, list[tuple[list[str], str]]],
     ) -> tuple[list[Unit], list[tuple[int, str]]]:
         units = resolve_mwus(words, tags, confs, lemmas, lexicon)
-        parsed = self.parse_units([(u.word, u.tag) for u in units])
+        parsed = self.parse_units(units)
         return units, parsed
 
 
-def _eisner(n: int, score: list[list[float]]) -> list[int]:
-    """Projective Eisner decoding. score[h][d] over 0..n (0 = ROOT).
-    Chart items mirror ckyparser.cxx:86-112 (l/r x complete/incomplete).
-    Returns heads[1..n] (0 = ROOT)."""
-    NEG = float("-inf")
-    # [s][t]: I incomplete, C complete; 0 = left-headed (t head), 1 = right(s head)
-    I = [[[NEG, NEG] for _ in range(n + 1)] for _ in range(n + 1)]
-    C = [[[NEG, NEG] for _ in range(n + 1)] for _ in range(n + 1)]
-    bI = [[[0, 0] for _ in range(n + 1)] for _ in range(n + 1)]
-    bC = [[[0, 0] for _ in range(n + 1)] for _ in range(n + 1)]
-    for s in range(n + 1):
-        C[s][s][0] = C[s][s][1] = 0.0
-    for length in range(1, n + 1):
-        for s in range(0, n + 1 - length):
-            t = s + length
-            # incomplete
+class _SubTree:
+    __slots__ = ("score", "r", "label", "satisfied")
+
+    def __init__(self, score: float = 0.0, r: int = -1, label: str = ""):
+        self.score = score
+        self.r = r
+        self.label = label
+        self.satisfied: set[int] = set()
+
+
+def _best_edge(
+    c: Constraints,
+    left: _SubTree,
+    right: _SubTree,
+    head: int,
+    dep: int,
+) -> tuple[str, float, set[int]]:
+    """bestEdge (ckyparser.cxx:138-206). Constraint identity via id()."""
+    if head == 0:
+        best_score = 0.0
+        best: set[int] = set()
+        for con in c.out_dep[dep]:
+            if con.direction == "ROOT":
+                best_score = con.weight  # last ROOT-direction wins
+                best.add(id(con))
+        label = "ROOT"
+        for con in c.edge[dep][0]:
+            best_score += con.weight
+            best.add(id(con))
+            label = con.rel
+        return label, best_score, best
+    best_score = DEFAULT_EDGE
+    best_label = "None"
+    best = set()
+    lsat, rsat = left.satisfied, right.satisfied
+    for econ in c.edge[dep][head]:
+        my_score = econ.weight
+        my_label = econ.rel
+        my: set[int] = {id(econ)}
+        for con in c.in_dep[head]:
+            if con.rel == my_label and id(con) not in lsat and id(con) not in rsat:
+                my_score += con.weight
+                my.add(id(con))
+        for con in c.out_dep[dep]:
+            if (
+                (con.direction == "LEFT" and head < dep)
+                or (con.direction == "RIGHT" and head > dep)
+            ) and id(con) not in lsat and id(con) not in rsat:
+                my_score += con.weight
+                my.add(id(con))
+        if my_score > best_score:
+            best_score = my_score
+            best_label = my_label
+            best = my
+    return best_label, best_score, best
+
+
+def _cky_parse(n: int, c: Constraints) -> list[tuple[int, str]]:
+    """parse + backtrace (ckyparser.cxx:208-346): 4-item Eisner chart with
+    satisfied-constraint sets threaded through."""
+    NEG = -10e45
+    chart = [
+        [
+            {k: _SubTree() for k in ("l_True", "r_True", "l_False", "r_False")}
+            for _ in range(n + 1)
+        ]
+        for _ in range(n + 1)
+    ]
+    for k in range(1, n + 2):
+        for s in range(0, n + 1 - k):
+            t = s + k
+            # STEP 1: l_False (head=t, dep=s)
+            best_score, best_i, best_l, best_c = NEG, -1, "__", set()
             for r in range(s, t):
-                q = C[s][r][1] + C[r + 1][t][0]
-                if q == NEG:
-                    continue
-                if q + score[t][s] > I[s][t][0]:
-                    I[s][t][0] = q + score[t][s]
-                    bI[s][t][0] = r
-                if q + score[s][t] > I[s][t][1]:
-                    I[s][t][1] = q + score[s][t]
-                    bI[s][t][1] = r
-            # complete
+                lt, rt = chart[s][r]["r_True"], chart[r + 1][t]["l_True"]
+                label, edge_score, cons = _best_edge(c, lt, rt, t, s)
+                score = lt.score + rt.score + edge_score
+                if score > best_score:
+                    best_score, best_i, best_l, best_c = score, r, label, cons
+            st = _SubTree(best_score, best_i, best_l)
+            st.satisfied = (
+                chart[s][best_i]["r_True"].satisfied
+                | chart[best_i + 1][t]["l_True"].satisfied
+                | best_c
+            )
+            chart[s][t]["l_False"] = st
+            # STEP 2: r_False (head=s, dep=t)
+            best_score, best_i, best_l, best_c = NEG, -1, "__", set()
             for r in range(s, t):
-                q = C[s][r][0] + I[r][t][0]
-                if q > C[s][t][0]:
-                    C[s][t][0] = q
-                    bC[s][t][0] = r
+                lt, rt = chart[s][r]["r_True"], chart[r + 1][t]["l_True"]
+                label, edge_score, cons = _best_edge(c, lt, rt, s, t)
+                score = lt.score + rt.score + edge_score
+                if score > best_score:
+                    best_score, best_i, best_l, best_c = score, r, label, cons
+            st = _SubTree(best_score, best_i, best_l)
+            st.satisfied = (
+                chart[s][best_i]["r_True"].satisfied
+                | chart[best_i + 1][t]["l_True"].satisfied
+                | best_c
+            )
+            chart[s][t]["r_False"] = st
+            # STEP 3: l_True
+            best_score, best_i = NEG, -1
+            for r in range(s, t):
+                score = chart[s][r]["l_True"].score + chart[r][t]["l_False"].score
+                if score > best_score:
+                    best_score, best_i = score, r
+            st = _SubTree(best_score, best_i, "")
+            st.satisfied = (
+                chart[s][best_i]["l_True"].satisfied
+                | chart[best_i][t]["l_False"].satisfied
+            )
+            chart[s][t]["l_True"] = st
+            # STEP 4: r_True
+            best_score, best_i = NEG, -1
             for r in range(s + 1, t + 1):
-                q = I[s][r][1] + C[r][t][1]
-                if q > C[s][t][1]:
-                    C[s][t][1] = q
-                    bC[s][t][1] = r
-    heads = [-1] * (n + 1)
+                score = chart[s][r]["r_False"].score + chart[r][t]["r_True"].score
+                if score > best_score:
+                    best_score, best_i = score, r
+            st = _SubTree(best_score, best_i, "")
+            st.satisfied = (
+                chart[s][best_i]["r_False"].satisfied
+                | chart[best_i][t]["r_True"].satisfied
+            )
+            chart[s][t]["r_True"] = st
 
-    def rec_I(s: int, t: int, d: int) -> None:
-        if s == t:
-            return
-        r = bI[s][t][d]
-        if d == 0:
-            heads[s] = t
-        else:
-            heads[t] = s
-        rec_C(s, r, 1)
-        rec_C(r + 1, t, 0)
+    pr: list[tuple[int, str]] = [(0, "")] * n
 
-    def rec_C(s: int, t: int, d: int) -> None:
-        if s == t:
-            return
-        r = bC[s][t][d]
-        if d == 0:
-            rec_C(s, r, 0)
-            rec_I(r, t, 0)
-        else:
-            rec_I(s, r, 1)
-            rec_C(r, t, 1)
+    def right_complete(s: int, t: int) -> None:
+        r = chart[s][t]["r_True"].r
+        if r >= 0:
+            right_incomplete(s, r)
+            right_complete(r, t)
 
-    rec_C(0, n, 1)
-    heads[0] = -1
-    return heads
+    def right_incomplete(s: int, t: int) -> None:
+        cell = chart[s][t]["r_False"]
+        if cell.r >= 0:
+            pr[t - 1] = (s, cell.label)
+            right_complete(s, cell.r)
+            left_complete(cell.r + 1, t)
+
+    def left_complete(s: int, t: int) -> None:
+        r = chart[s][t]["l_True"].r
+        if r >= 0:
+            left_complete(s, r)
+            left_incomplete(r, t)
+
+    def left_incomplete(s: int, t: int) -> None:
+        cell = chart[s][t]["l_False"]
+        if cell.r >= 0:
+            pr[s - 1] = (t, cell.label)
+            right_complete(s, cell.r)
+            left_complete(cell.r + 1, t)
+
+    right_complete(0, n)
+    return pr

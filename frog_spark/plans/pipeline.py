@@ -286,7 +286,7 @@ class FrogPipeline:
                     rows[k]["unit_morph"] = u_morph
                     rows[k]["unit_conf"] = u.conf
             if cfg.do_parse and n <= MAX_PARSER_TOKENS:
-                parsed = self.parser.parse_units([(u.word, u.tag) for u in units])
+                parsed = self.parser.parse_units(units)
                 for u, (head, rel) in zip(units, parsed):
                     for k in range(u.start, u.end + 1):
                         rows[k]["parse_head"] = head
