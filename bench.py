@@ -29,7 +29,11 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     from frog_spark.corpus import transcripts_df_distributed
-    from frog_spark.plans.pipeline import FrogPipeline, triples_from_transcripts
+    from frog_spark.plans.pipeline import (
+        FrogPipeline,
+        PipelineTimers,
+        triples_from_transcripts,
+    )
     from frog_spark.session import get_spark
 
     import __spark_entry__ as entry
@@ -47,11 +51,15 @@ def main() -> None:
     tdf = transcripts_df_distributed(spark, n_turns, partitions=cpus, variants=True)
     tdf = tdf.persist()
     actual_turns = tdf.count()  # materialize input outside the timed region
+    timers = PipelineTimers(spark)  # O4 per-module wall time
     t0 = time.time()
-    n_triples = triples_from_transcripts(spark, tdf, pipe, num_partitions=cpus).count()
+    n_triples = triples_from_transcripts(
+        spark, tdf, pipe, num_partitions=cpus, timers=timers
+    ).count()
     kg_sec = time.time() - t0
     queries["kg_triple_extraction"] = round(kg_sec, 3)
     turns_per_sec = actual_turns / kg_sec
+    module_sec = {m: round(v, 3) for m, v in timers.seconds().items()}
     tdf.unpersist()
 
     # --- driver-table queries --------------------------------------------
@@ -86,6 +94,7 @@ def main() -> None:
                 "n_turns": actual_turns,
                 "n_triples": n_triples,
                 "turns_per_sec": round(turns_per_sec, 1),
+                "module_sec": module_sec,
                 "cpus": cpus,
             }
         )

@@ -15,6 +15,7 @@ generalizes edits to unseen words. The trained object is broadcast.
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict
 
 from frog_spark.models.igtree import IGTree
@@ -46,10 +47,31 @@ def _head(tag: str) -> str:
     return tag.split("(", 1)[0]
 
 
+def _split_tag(tag: str) -> list[str]:
+    """split_at_first_of(tag, "(,)") — head + feature parts."""
+    return re.split(r"[(),]", tag)
+
+
 class Mblem:
-    def __init__(self, tree: IGTree, memory: dict[str, str]):
+    def __init__(
+        self,
+        tree: IGTree,
+        memory: dict[str, str],
+        token_strip: dict[str, dict[str, int]] | None = None,
+        one_one_tags: set[str] | None = None,
+        keep_case: bool = False,
+    ):
+        from frog_spark.sources.resources import load_one_one_tags, load_token_strip
+
         self.tree = tree
         self.memory = memory  # word -> class string (exact-match shortcut)
+        self.token_strip = (
+            token_strip if token_strip is not None else load_token_strip()
+        )
+        self.one_one_tags = (
+            one_one_tags if one_one_tags is not None else load_one_one_tags()
+        )
+        self.keep_case = keep_case  # config 'keep_case' (mblem_mod.cxx:61)
 
     @classmethod
     def train(cls, triples: list[tuple[str, str, str]]) -> "Mblem":
@@ -92,45 +114,67 @@ class Mblem:
     # -- L4: tag filter -------------------------------------------------------
 
     @staticmethod
-    def _tag_matches(cand_tag: str, cgn_tag: str) -> int:
-        """2 = exact, 1 = fuzzy (same head), 0 = no
-        (cf. filterTag /root/reference/src/mblem_mod.cxx:296-352)."""
+    def _tag_matches(cand_tag: str, cgn_tag: str) -> bool:
+        """Literal port of filterTag
+        (/root/reference/src/mblem_mod.cxx:296-352): exact match, else a
+        fuzzy branch that requires equal heads AND that NO lemmatizer tag
+        part appears in the POS tag's parts. Since the head itself is
+        always shared when heads are equal, the fuzzy branch can never
+        succeed — a reference quirk (the comment there describes the
+        opposite test), replicated bug-for-bug so the candidate sets
+        match."""
         if cand_tag == cgn_tag:
-            return 2
-        if _head(cand_tag) == _head(cgn_tag):
-            return 1
-        return 0
+            return True
+        pos_parts = [p for p in _split_tag(cgn_tag) if p]
+        tag_parts = [p for p in _split_tag(cand_tag) if p]
+        if pos_parts and tag_parts and pos_parts[0] == tag_parts[0]:
+            found = True
+            for pit in tag_parts:
+                if pit in pos_parts:
+                    found = False
+                    break
+            return found
+        return False
 
     def lemmatize(
         self, word: str, cgn_tag: str, token_class: str = "WORD"
     ) -> list[str]:
-        """Return lemma alternatives, best first (L1-L6)."""
-        # L6 short-circuits (cheap-case gates run before the model)
-        if token_class == "ABBREVIATION":
-            return [word]
-        head = _head(cgn_tag)
-        if head in ("SPEC", "LET", "TW"):
-            return [word]
-
+        """Return lemma alternatives (Classify,
+        /root/reference/src/mblem_mod.cxx:404-479): ABBREVIATION -> word;
+        token-strip rules -> strip N chars; one-one tags -> word as-is;
+        else lowercase (unless keep_case), classify, filterTag,
+        makeUnique; empty -> the (lowercased) word itself."""
         from frog_spark.operators.tagger import unifilter
 
         word = unifilter(word)  # P2 char filter before classification
+        if token_class == "ABBREVIATION":
+            return [word]
+        strip = self.token_strip.get(cgn_tag)
+        if strip is not None:
+            n = strip.get(token_class)
+            if n is not None:
+                stripped = word[: len(word) - n] if n < len(word) else word
+                return [stripped if stripped else word]
+        if cgn_tag in self.one_one_tags:
+            return [word]
+        # legacy guard for tags outside the one-one list whose lemma is
+        # conventionally the surface form (SPEC/LET subtags not listed)
+        if _head(cgn_tag) in ("SPEC", "LET"):
+            return [word]
+        if not self.keep_case:
+            word = word.lower()
         cls_str = self.memory.get(word) or self.memory.get(word.lower())
         if cls_str is None:
             cls_str, _conf = self.tree.classify(_instance(word.lower()))
-        wl = word.lower()
-        decoded: list[tuple[int, str]] = []
+        decoded: list[str] = []
         for cand in cls_str.split("|"):
-            applied = self._apply(wl, cand)
+            applied = self._apply(word.lower(), cand)
             if applied is None:
                 continue
             tag, lemma = applied
-            score = self._tag_matches(tag, cgn_tag)
-            if score:
-                decoded.append((score, lemma))
+            if self._tag_matches(tag, cgn_tag):
+                decoded.append(lemma)
         if not decoded:
-            return [wl]
-        best = max(s for s, _ in decoded)
+            return [word]
         # L5 dedup: sort by lemma, unique (makeUnique, mblem_mod.cxx:362-380)
-        uniq = sorted({lemma for s, lemma in decoded if s == best})
-        return uniq
+        return sorted(set(decoded))

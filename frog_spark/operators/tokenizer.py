@@ -53,6 +53,11 @@ _RULES: list[tuple[str, str]] = [
     ("NUMBER-ORDINAL", r"\d+(?:ste|de|e)\b"),
     ("NUMBER", r"\d+(?:[.,]\d+)*"),
     ("CURRENCY", r"[€$£¥]"),
+    # possessive suffixes (Ucto classes consumed by MBLEM's token-strip
+    # rules, /root/reference/src/mblem_mod.cxx:75-116): Jan's -> strip 2,
+    # Alex' -> strip 1
+    ("WORD-WITHSUFFIX", r"[^\W\d_]+['’]s(?![^\W\d_])"),
+    ("QUOTE-SUFFIX", r"[^\W\d_]+['’](?![^\W\d_])"),
     # word with internal apostrophe/hyphen/diacritics: zo'n, user-based, 's
     ("WORD", r"[^\W\d_]+(?:[-'’][^\W\d_]+)*|['’][^\W\d_]+"),
     ("PUNCTUATION", r"[^\s\w]"),

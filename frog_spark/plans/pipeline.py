@@ -21,6 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -93,6 +94,42 @@ def _detect_lang(words: list[str]) -> str:
     if nl == 0 and en == 0:
         return "unk"
     return "nl" if nl >= en else "en"
+
+
+TIMER_MODULES = ("tagger", "mblem", "mbma", "ner", "iob", "mwu", "parser")
+
+
+class PipelineTimers:
+    """O4 per-module timers — the Spark analogue of the reference's
+    TimerBlocks (/root/reference/src/FrogAPI.cxx:2937-2967): one
+    DoubleAccumulator per module, fed from inside the annotation UDF after
+    every Arrow batch. ``seconds()`` reads them on the driver after an
+    action; ``table()`` materializes the metrics table the north rule's
+    lineage/counter requirement asks for."""
+
+    def __init__(self, spark: SparkSession):
+        self.acc = {
+            m: spark.sparkContext.accumulator(0.0) for m in TIMER_MODULES
+        }
+
+    def seconds(self) -> dict[str, float]:
+        return {m: a.value for m, a in self.acc.items()}
+
+    def table(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            [(m, float(v)) for m, v in sorted(self.seconds().items())],
+            "module string, wall_sec double",
+        )
+
+
+def _drain_timers(pipe: "FrogPipeline", timers: PipelineTimers | None) -> None:
+    """Move executor-local stage timings into the Spark accumulators."""
+    if timers is None:
+        return
+    local = getattr(pipe, "_local_timers", None)
+    if local:
+        for k in list(local):
+            timers.acc[k].add(local.pop(k, 0.0))
 
 
 class FrogPipeline:
@@ -238,19 +275,32 @@ class FrogPipeline:
         if detected not in (cfg.language, "unk"):
             return rows
 
+        # O4 per-module timers (TimerBlock analogue); executor-local dict
+        # drained into Spark accumulators per Arrow batch (_drain_timers)
+        timers = getattr(self, "_local_timers", None)
+        if timers is None:
+            timers = self._local_timers = {}
+        clock = time.perf_counter
+
+        t0 = clock()
         tagged = self.tagger.tag(words, token_classes)
         tags = [t for t, _ in tagged]
         confs = [c for _, c in tagged]
         for r, tag, conf in zip(rows, tags, confs):
             r["pos_tag"], r["pos_conf"] = tag, conf
+        timers["tagger"] = timers.get("tagger", 0.0) + clock() - t0
 
         # mbma || mblem per word (OpenMP sections, FrogAPI.cxx:2096-2134)
-        for i, r in enumerate(rows):
-            if cfg.do_lemma:
+        if cfg.do_lemma:
+            t0 = clock()
+            for i, r in enumerate(rows):
                 lemmas = self.mblem.lemmatize(words[i], tags[i], token_classes[i])
                 r["lemmas"] = lemmas
                 r["lemma"] = lemmas[0]
-            if cfg.do_morph:
+            timers["mblem"] = timers.get("mblem", 0.0) + clock() - t0
+        if cfg.do_morph:
+            t0 = clock()
+            for i, r in enumerate(rows):
                 # next_tag (P3) feeds MBMA's V2I inflection cleanup
                 # (cgn_tagger_mod.cxx:231-244 -> mbma_mod.cxx:446-510)
                 next_tag = tags[i + 1] if i + 1 < n else ""
@@ -258,21 +308,27 @@ class FrogPipeline:
                     words[i], tags[i], token_classes[i], next_tag
                 )
                 r["morph"], r["compound"] = morph, compound
+            timers["mbma"] = timers.get("mbma", 0.0) + clock() - t0
 
         # NER || IOB per sentence (FrogAPI.cxx:2140-2174)
         if cfg.do_ner:
+            t0 = clock()
             ner_tags, ner_confs, ner_spans = self.ner.tag(words, tags)
             for r, t, c in zip(rows, ner_tags, ner_confs):
                 r["ner_tag"], r["ner_conf"] = t, c
             for start, end, _cat, _conf in ner_spans:
                 rows[start]["span_text"] = " ".join(words[start : end + 1])
                 rows[start]["span_end"] = end
+            timers["ner"] = timers.get("ner", 0.0) + clock() - t0
         if cfg.do_iob:
+            t0 = clock()
             ch_tags, ch_confs, _cspans = self.chunker.tag(words, tags)
             for r, t, c in zip(rows, ch_tags, ch_confs):
                 r["chunk_tag"], r["chunk_conf"] = t, c
+            timers["iob"] = timers.get("iob", 0.0) + clock() - t0
 
         if cfg.do_mwu:
+            t0 = clock()
             lemmas_col = [r["lemma"] or w for r, w in zip(rows, words)]
             units = resolve_mwus(words, tags, confs, lemmas_col, self.mwu_lexicon)
             for ui, u in enumerate(units):
@@ -285,7 +341,9 @@ class FrogPipeline:
                     rows[k]["unit_lemma"] = u.lemma
                     rows[k]["unit_morph"] = u_morph
                     rows[k]["unit_conf"] = u.conf
+            timers["mwu"] = timers.get("mwu", 0.0) + clock() - t0
             if cfg.do_parse and n <= MAX_PARSER_TOKENS:
+                t0 = clock()
                 parsed = self.parser.parse_units(units)
                 for u, (head, rel) in zip(units, parsed):
                     for k in range(u.start, u.end + 1):
@@ -355,6 +413,7 @@ class FrogPipeline:
                         }
                         for s, p, o, sc, oc in lca_pair_triples_py(unit_rows, ents)
                     ]
+                timers["parser"] = timers.get("parser", 0.0) + clock() - t0
         else:
             for r in rows:
                 r["unit_lemma"] = r["lemma"] or r["word"]
@@ -513,6 +572,7 @@ def triples_from_transcripts(
     transcripts: DataFrame,
     pipeline: FrogPipeline | None = None,
     num_partitions: int | None = None,
+    timers: PipelineTimers | None = None,
 ) -> DataFrame:
     """End-to-end transcripts -> (subj, pred, obj) triples in ONE stage.
 
@@ -561,6 +621,7 @@ def triples_from_transcripts(
                                     t["subj_cat"], t["obj_cat"], src,
                                 )
                             )
+            _drain_timers(p, timers)
             yield pd.DataFrame(rows, columns=out_cols)
 
     return shuffled.mapInPandas(run, schema=TRIPLE_SCHEMA)
@@ -571,6 +632,7 @@ def annotate_transcripts(
     transcripts: DataFrame,
     pipeline: FrogPipeline | None = None,
     num_partitions: int | None = None,
+    timers: PipelineTimers | None = None,
 ) -> DataFrame:
     """transcripts (conv_id, turn_idx, role, text, tool, ts) -> annotated
     tokens.
@@ -620,6 +682,7 @@ def annotate_transcripts(
                         )
                         for c, v in zip(cols, row):
                             c.append(v)
+            _drain_timers(p, timers)
             yield pd.DataFrame(dict(zip(_OUT_COLS, cols)))
 
     return shuffled.mapInPandas(run, schema=ANNOTATED_SCHEMA)

@@ -108,6 +108,34 @@ def load_mwu_lexicon(path: str | None = None) -> dict[str, list[tuple[list[str],
     return out
 
 
+def load_token_strip(path: str | None = None) -> dict[str, dict[str, int]]:
+    """pos_tag -> {token_class: n_chars_to_strip}; cf. fill_ts_map
+    (/root/reference/src/mblem_mod.cxx:75-116)."""
+    path = path or os.path.join(RESOURCE_DIR, "token_strip.tsv")
+    out: dict[str, dict[str, int]] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            tag, cls, n = line.split("\t")
+            out.setdefault(tag, {})[cls] = int(n)
+    return out
+
+
+def load_one_one_tags(path: str | None = None) -> set[str]:
+    """Tags whose lemma is the word itself, case preserved; cf.
+    /root/reference/src/mblem_mod.cxx:207-214."""
+    path = path or os.path.join(RESOURCE_DIR, "one_one_tags.txt")
+    out: set[str] = set()
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                out.add(line)
+    return out
+
+
 def load_token_trans(path: str | None = None) -> dict[str, str]:
     """token_class -> forced POS tag; cf.
     /root/reference/src/tagger_base.cxx:79-108 (fill map) and

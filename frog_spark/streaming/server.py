@@ -30,13 +30,23 @@ def annotate_stream(
     pipeline: FrogPipeline | None = None,
 ) -> StreamingQuery:
     """stream: a streaming DataFrame with the transcript schema.
-    Writes annotated tokens to parquet, exactly-once via checkpointing."""
+    Writes annotated tokens to parquet partitioned by batch_id.
+
+    Effectively-once semantics: foreachBatch alone is only at-least-once
+    (a micro-batch that fails after a partial write is retried), so the
+    write is made IDEMPOTENT — each batch dynamically overwrites its own
+    batch_id=<id> partition; a retry replaces the partial output instead
+    of appending duplicates."""
     pipe = pipeline or FrogPipeline.build()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         ann = annotate_transcripts(spark, batch_df, pipe)
-        ann.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            output_path
+        (
+            ann.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_path)
         )
 
     return (

@@ -143,6 +143,55 @@ def test_against_reference_tst_ok_file(pipeline):
         assert a["chunk_tag"] == iob, (word, a["chunk_tag"], iob)
 
 
+def test_mblem_token_strip_rules(pipeline):
+    """L6 token-strip (/root/reference/src/mblem_mod.cxx:75-116,430-446):
+    Jan's (WORD-WITHSUFFIX) strips 2 chars, Alex' (QUOTE-SUFFIX) strips 1
+    — the reference's own problems.txt possessive cases."""
+    from frog_spark.operators.tokenizer import tokenize_text
+
+    toks = tokenize_text("Jan's fiets en Alex' hond.")
+    classes = {t.word: t.token_class for t in toks}
+    assert classes["Jan's"] == "WORD-WITHSUFFIX"
+    assert classes["Alex'"] == "QUOTE-SUFFIX"
+    mblem = pipeline.mblem
+    assert mblem.lemmatize("Jan's", "SPEC(deeleigen)", "WORD-WITHSUFFIX") == ["Jan"]
+    assert mblem.lemmatize("Alex'", "SPEC(deeleigen)", "QUOTE-SUFFIX") == ["Alex"]
+    # unicode apostrophe form normalizes through the P2 filter first
+    assert mblem.lemmatize("Jan’s", "SPEC(deeleigen)", "WORD-WITHSUFFIX") == ["Jan"]
+    # stripping everything falls back to the word itself
+    assert mblem.lemmatize("'s", "SPEC(deeleigen)", "WORD-WITHSUFFIX") == ["'s"]
+
+
+def test_mblem_one_one_and_case(pipeline):
+    """L6 one-one tags keep the surface form (case included); other paths
+    lowercase unless keep_case (mblem_mod.cxx:449-462)."""
+    mblem = pipeline.mblem
+    assert mblem.lemmatize("Wikipedia", "SPEC(deeleigen)", "WORD") == ["Wikipedia"]
+    assert mblem.lemmatize("Dhr.", "SPEC(afk)", "ABBREVIATION") == ["Dhr."]
+    # classifier path lowercases unknown words (keep_case=False default)
+    out = mblem.lemmatize("BLURKT", "WW(pv,tgw,met-t)", "WORD")
+    assert out and out[0] == out[0].lower()
+    # keep_case=True preserves the surface case on the fallback path
+    from frog_spark.operators.lemmatizer import Mblem
+
+    kc = Mblem(mblem.tree, mblem.memory, mblem.token_strip,
+               mblem.one_one_tags, keep_case=True)
+    out_kc = kc.lemmatize("Blurktograaf", "N(soort,ev,basis,zijd,stan)", "WORD")
+    assert out_kc == ["Blurktograaf"]
+
+
+def test_mblem_filter_tag_literal(pipeline):
+    """L4 literal filterTag port: exact tag match keeps, and the fuzzy
+    branch never fires (the reference's inverted subtag test,
+    mblem_mod.cxx:311-337) — a same-head different-features candidate is
+    dropped and the word falls back to itself."""
+    from frog_spark.operators.lemmatizer import Mblem
+
+    assert Mblem._tag_matches("WW(pv,tgw,met-t)", "WW(pv,tgw,met-t)")
+    assert not Mblem._tag_matches("WW(pv,tgw,ev)", "WW(pv,tgw,met-t)")
+    assert not Mblem._tag_matches("N(soort,ev)", "WW(pv,tgw,ev)")
+
+
 def test_ner_override_merge(gold):
     """N5: the override gazetteer forces its category over the classifier
     output (merge_override, /root/reference/src/ner_tagger_mod.cxx:542-617)."""

@@ -93,3 +93,25 @@ def test_stage_state_json_shape(spark, pipeline):
         assert "per_partition_rows" in st["counters"]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_per_module_timers(spark, pipeline):
+    """O4: per-module wall time accumulates through the annotation UDF
+    into Spark accumulators (TimerBlock analogue, FrogAPI.cxx:2937-2967)."""
+    from frog_spark.corpus import transcripts_df
+    from frog_spark.plans.pipeline import (
+        TIMER_MODULES,
+        PipelineTimers,
+        annotate_transcripts,
+    )
+
+    timers = PipelineTimers(spark)
+    tdf = transcripts_df(spark, n_turns=40)
+    ann = annotate_transcripts(spark, tdf, pipeline, timers=timers)
+    assert ann.count() > 0
+    secs = timers.seconds()
+    assert set(secs) == set(TIMER_MODULES)
+    # the heavy modules must have recorded real time
+    assert secs["tagger"] > 0 and secs["parser"] > 0 and secs["mbma"] > 0
+    rows = {r["module"]: r["wall_sec"] for r in timers.table(spark).collect()}
+    assert rows == {m: secs[m] for m in TIMER_MODULES}
