@@ -424,6 +424,27 @@ def _kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# domain gazetteer over the synthetic documents vocabulary — multi-word
+# entries exercise the longest-match-per-position semantics
+_DOC_GAZETTEER = [
+    ("op", "table scan"), ("op", "hash join"), ("op", "sort merge"),
+    ("op", "filter"), ("obj", "table"), ("obj", "window"),
+    ("obj", "vector"), ("eng", "spark"), ("op", "group by"),
+]
+
+
+def _kg_gazetteer_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1/N2 relationalized: gazetteer longest-match spans over the
+    documents table via broadcast hash join (SQL-expressible, unlike the
+    in-UDF NER scan)."""
+    from frog_spark.operators.ner import gazetteer_spans_relational
+
+    docs = _t(spark, sf_dir, "documents")
+    return gazetteer_spans_relational(docs, _DOC_GAZETTEER).orderBy(
+        "doc_id", "pos", "cat"
+    )
+
+
 def _mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.multimodal import extract_media_meta, make_fake_payload
 
@@ -475,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_nodes": _kg_canonical_nodes,
         "kg_cooccur_topk": _kg_cooccur_topk,
         "kg_two_hop": _kg_two_hop,
+        "kg_gazetteer_spans": _kg_gazetteer_spans,
         "mm_media_meta": _mm_media_meta,
     }
 
@@ -484,6 +506,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _WORDS = "string_split_regex(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+
+
+def _gazetteer_spans_sql() -> str:
+    """Oracle for kg_gazetteer_spans: the gazetteer is inlined as VALUES
+    (DuckDB only sees the 10 standard table views), n-grams are built by
+    lateral ranges over the word list, and QUALIFY keeps the longest
+    match per position — same semantics as the broadcast-join operator."""
+    entries = sorted({(cat, name.lower()) for cat, name in _DOC_GAZETTEER})
+    values = ", ".join(
+        "('" + cat.replace("'", "''") + "', '" + name.replace("'", "''") + "')"
+        for cat, name in entries
+    )
+    return f"""
+        WITH gaz(cat, name) AS (VALUES {values}),
+        norm AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        pos AS (SELECT doc_id, words,
+                       unnest(range(1, len(words) + 1)) AS i
+                FROM norm),
+        g AS (
+            SELECT doc_id, (i - 1)::INT AS pos, n::INT AS n,
+                   array_to_string(words[i:i+n-1], ' ') AS ngram
+            FROM pos, range(1, 4) r(n)
+            WHERE i + n - 1 <= len(words)
+        )
+        SELECT doc_id, pos, ngram AS span_text, cat, n
+        FROM g JOIN gaz ON g.ngram = gaz.name
+        QUALIFY n = max(n) OVER (PARTITION BY doc_id, pos)
+        ORDER BY doc_id, pos, cat
+    """
 _NL = "['de','het','een','en','van','ik','je','dat','niet','op']"
 _EN = "['the','a','an','and','of','i','you','that','not','on','is']"
 
@@ -704,10 +755,58 @@ def oracle_sql() -> dict[str, str]:
                    sqrt(list_dot_product(y.v, y.v))) >= 0.999
             ORDER BY a, b
         """,
-        # dedup_minhash / dedup_simhash: hash-family-dependent LSH recall
-        # is not SQL-reproducible -> rows-only check.
+        # dedup_minhash: the banded LSH (128 hashes / 32 bands) + exact
+        # verification equals the exact Jaccard join on any corpus where
+        # no J>=t pair slips all 32 bands (P ~= 3e-4 per pair at t;
+        # verified to hold at the driver's sf0.01), so the exact set-
+        # similarity join IS the oracle.
+        "dedup_minhash": f"""
+            WITH norm AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            g0 AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              range(1, greatest(len(words) - 2, 0) + 1),
+                              i -> array_to_string(words[i:i+2], ' '))) AS grams
+                   FROM norm),
+            g AS (SELECT doc_id AS id, unnest(grams) AS ngram FROM g0),
+            sizes AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
+            inter AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+                      FROM g x JOIN g y ON x.ngram = y.ngram AND x.id < y.id
+                      GROUP BY 1, 2)
+            SELECT a, b,
+                   round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = a
+            JOIN sizes sb ON sb.id = b
+            WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.7
+            ORDER BY a, b
+        """,
+        # dedup_simhash: the 60-bit fingerprint is md5-derived on purpose
+        # so BOTH engines compute it identically; the chunk blocking is
+        # pigeonhole-exact for hamming<=3, so the full fingerprint +
+        # Hamming self-join is a true oracle.
+        "dedup_simhash": r"""
+            WITH norm AS (SELECT doc_id,
+                                 list_distinct(string_split(lower(
+                                     regexp_replace(text,'\s+',' ','g')),' ')) AS words
+                          FROM documents),
+            w AS (SELECT doc_id AS id,
+                         ('0x' || substr(md5(unnest(words)), 1, 15))::BIGINT AS h
+                  FROM norm),
+            votes AS (SELECT id, b,
+                             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                      FROM w CROSS JOIN range(60) t(b) GROUP BY id, b),
+            sims AS (SELECT id,
+                            sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+                     FROM votes GROUP BY id)
+            SELECT x.id AS a, y.id AS b,
+                   bit_count(xor(x.simhash, y.simhash))::INTEGER AS hamming
+            FROM sims x JOIN sims y ON x.id < y.id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+            ORDER BY a, b
+        """,
+        "kg_gazetteer_spans": _gazetteer_spans_sql(),
         # sim_ivf_topk: approximate by construction -> rows-only check.
-        # kg_*: per-sentence sequential NLP (tagging, Eisner CKY) is not
-        # SQL-expressible -> rows-only check.
+        # kg_* (annotation-derived): per-sentence sequential NLP (tagging,
+        # Eisner CKY) is not SQL-expressible -> rows-only check.
         # mm_media_meta: binary payload decode -> rows-only check.
     }

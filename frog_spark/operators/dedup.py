@@ -141,12 +141,19 @@ def minhash_dedup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = 128,
+    bands: int = 32,
     threshold: float = 0.7,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs over word shingles."""
+    """MinHash-LSH near-duplicate pairs over word shingles.
+
+    Defaults (128 hashes, 32 bands of 4 rows) give P(candidate) =
+    1-(1-J^4)^32 ≈ 0.9998 at J=0.7 and ≈0.23 at J=0.3 — near-total recall
+    at the threshold with bounded spurious candidates; the true-Jaccard
+    verification step makes precision exact either way, so the output
+    equals the exact-join result on any corpus where no J>=t pair slips
+    all 32 bands."""
     # persisted: g feeds the signature agg, both verification sides, and
     # the size agg (see ngram_jaccard_pairs for rationale)
     g = word_ngrams(docs, id_col, text_col, shingle_n).persist(
@@ -200,22 +207,31 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over words: per-bit majority vote of word hashes.
+SIMHASH_BITS = 60  # 15 hex chars of md5 — cross-engine reproducible
 
-    Pure higher-order-function SQL (aggregate over the word array) —
-    no UDF, no shuffle; the fingerprint computes inside the scan stage.
-    Output: (doc_id, simhash).
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over words: per-bit majority vote of word hashes.
+
+    The word hash is the first 15 hex chars of md5 (a standard function
+    both Spark and DuckDB implement identically), which makes the whole
+    fingerprint — and therefore the Hamming-pair query — expressible as
+    an ANSI-SQL oracle. Pure higher-order-function SQL (aggregate over
+    the word array): no UDF, no shuffle; the fingerprint computes inside
+    the scan stage. Output: (doc_id, simhash).
     """
     from functools import reduce
 
     words = F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    hashes = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+    )
     # bit positions are unrolled in Python (shiftright takes a literal);
-    # votes materialize once per row, then the fingerprint ORs 64 getItems
+    # votes materialize once per row, then the fingerprint ORs the bits
     bit_votes = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0).cast("int"), 64),
+        F.array_repeat(F.lit(0).cast("int"), SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
             F.array(
@@ -223,7 +239,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
                     F.when(
                         F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
                     ).otherwise(-1)
-                    for b in range(64)
+                    for b in range(SIMHASH_BITS)
                 ]
             ),
             lambda a, v: a + v,
@@ -237,7 +253,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
                 F.col("votes").getItem(b) > 0,
                 F.shiftleft(F.lit(1).cast("long"), b),
             ).otherwise(F.lit(0).cast("long"))
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ],
     )
     return voted.select(F.col(id_col), sim.alias("simhash"))
@@ -246,8 +262,10 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def simhash_dup_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 4 16-bit
-    chunks (pigeonhole: distance<=3 pairs share at least one chunk)."""
+    """Near-dup pairs by SimHash Hamming distance, blocked on 4 15-bit
+    chunks (pigeonhole: distance<=3 pairs share at least one chunk) —
+    EXACT over the fingerprints; only the fingerprint itself is the
+    approximation."""
     s = simhash64(docs, id_col, text_col)
     chunks = s.select(
         F.col(id_col).alias("id"),
@@ -257,8 +275,8 @@ def simhash_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", i * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("key"),
                     )
                     for i in range(4)

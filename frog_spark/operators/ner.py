@@ -187,6 +187,62 @@ def merge_override(
     return out_t, out_c
 
 
+def gazetteer_spans_relational(
+    docs,
+    entries: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_n: int = 3,
+):
+    """N1/N2 at scale, relationally: gazetteer n-gram matching as a
+    broadcast hash join instead of the in-UDF rolling scan (the survey's
+    'at huge gazetteer scale switch to broadcast join' path,
+    /root/reference/src/ner_tagger_mod.cxx:251-289 relationalized).
+
+    Tokens are the whitespace words of the normalized text; every
+    position's n-grams (n=1..max_n) join against the broadcast gazetteer
+    and only the LONGEST match per (doc, position) survives — the
+    per-position greedy semantics of create_ner_list. Pure DataFrame ops:
+    posexplode -> lead windows -> broadcast join -> windowed max filter.
+    Output: (doc_id, pos, span_text, cat, n).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    gaz = spark.createDataFrame(
+        sorted({(cat, name.lower()) for cat, name in entries}),
+        "cat string, name string",
+    )
+    words = F.split(
+        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
+    toks = docs.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "w")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    grams = None
+    for n in range(1, max_n + 1):
+        parts = [F.col("w")] + [F.lead("w", k).over(w) for k in range(1, n)]
+        g = toks.select(
+            F.col(id_col),
+            "pos",
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", *parts).alias("ngram"),
+            parts[-1].alias("_last"),
+        ).filter(F.col("_last").isNotNull()).drop("_last")
+        grams = g if grams is None else grams.unionByName(g)
+    matched = grams.join(
+        F.broadcast(gaz), grams["ngram"] == gaz["name"]
+    ).select(id_col, "pos", F.col("ngram").alias("span_text"), "cat", "n")
+    longest = W.partitionBy(id_col, "pos")
+    return (
+        matched.withColumn("max_n", F.max("n").over(longest))
+        .filter(F.col("n") == F.col("max_n"))
+        .drop("max_n")
+    )
+
+
 class NerTagger:
     def __init__(
         self,

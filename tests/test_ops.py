@@ -238,3 +238,24 @@ def test_stateful_streaming_entity_memory(spark, tmp_path):
     }
     assert totals == src_counts
     assert res.filter("n_entity_mentions > 0").count() > 0
+
+
+def test_gazetteer_spans_relational(spark):
+    """N1/N2 relationalized: broadcast-join gazetteer matching keeps only
+    the longest match per (doc, position)."""
+    from frog_spark.operators.ner import gazetteer_spans_relational
+
+    docs = spark.createDataFrame(
+        [(1, "fast table scan beats slow scan"), (2, "the TABLE  Scan")],
+        "doc_id int, text string",
+    )
+    entries = [("op", "table scan"), ("obj", "table"), ("obj", "scan")]
+    rows = {
+        (r["doc_id"], r["pos"], r["span_text"], r["cat"], r["n"])
+        for r in gazetteer_spans_relational(docs, entries).collect()
+    }
+    assert (1, 1, "table scan", "op", 2) in rows      # longest wins at pos 1
+    assert (1, 1, "table", "obj", 1) not in rows      # shadowed 1-gram
+    assert (1, 2, "scan", "obj", 1) in rows           # inner word still marks
+    assert (1, 5, "scan", "obj", 1) in rows
+    assert (2, 1, "table scan", "op", 2) in rows      # case/space normalized
