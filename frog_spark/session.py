@@ -38,7 +38,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # size input splits to the tested SF: the small-SF parquet files are
+        # single-digit MB, and the default 128 MB split puts an entire scan
+        # stage on ONE core; 4 MB keeps local[32] busy while remaining a
+        # no-op at cluster scale (files there exceed any split size).
+        # Overridable per-session via extra_conf / spark-submit.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("FROG_SPARK_MAX_PARTITION_BYTES", "4194304"),
+        )
         .config("spark.driver.memory", os.environ.get("FROG_SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
