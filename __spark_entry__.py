@@ -243,6 +243,12 @@ def _txt_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _txt_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frog_spark.operators.textstats import clean_text
+
+    return clean_text(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def _txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.textstats import fingerprint
 
@@ -482,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_training_set": _txt_training_set,
         "txt_quality": _txt_quality,
         "txt_langid_counts": _txt_langid_counts,
+        "txt_clean": _txt_clean,
         "txt_fingerprint": _txt_fingerprint,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -688,6 +695,24 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'en' END AS lang_pred
                 FROM documents
             ) GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "txt_clean": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text, '(https?://|www\.)[^\s]+', ' ', 'g'),
+                               '[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+', ' ', 'g'),
+                           '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+                       '\s+', ' ', 'g')) AS clean,
+                   length(text) - length(trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text, '(https?://|www\.)[^\s]+', ' ', 'g'),
+                               '[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+', ' ', 'g'),
+                           '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+                       '\s+', ' ', 'g'))) AS n_removed_chars
+            FROM documents ORDER BY doc_id
         """,
         "txt_fingerprint": """
             SELECT doc_id,

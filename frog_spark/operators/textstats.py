@@ -72,6 +72,30 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+_URL_RE = r"(https?://|www\.)[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9.+_-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+"
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def clean_text(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pretraining-corpus text cleanup: strip URLs and e-mail addresses,
+    drop control characters, collapse whitespace runs, trim. Pure JVM
+    regexp chain inside the scan stage (zero shuffle — the shape a 100-TB
+    cleanup pass must have). Output: (doc_id, clean, n_removed_chars)."""
+    t = F.col(text_col)
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, _URL_RE, " "), _EMAIL_RE, " "),
+        _CTRL_RE,
+        " ",
+    )
+    clean = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean"),
+        (F.length(t) - F.length(clean)).alias("n_removed_chars"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of normalized text (exact)
     + first-8-words rolling prefix hash (fuzzy prefix matcher)."""

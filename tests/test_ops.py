@@ -259,3 +259,41 @@ def test_gazetteer_spans_relational(spark):
     assert (1, 2, "scan", "obj", 1) in rows           # inner word still marks
     assert (1, 5, "scan", "obj", 1) in rows
     assert (2, 1, "table scan", "op", 2) in rows      # case/space normalized
+
+
+def test_cli_entrypoint(spark, tmp_path):
+    """S4: the python -m frog_spark surface — annotate + triples commands
+    round-trip through parquet (the run_interactive/API analogue,
+    /root/reference/src/FrogAPI.cxx:1799-1938)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from frog_spark.corpus import transcripts_df
+
+    src = str(tmp_path / "in")
+    transcripts_df(spark, n_turns=12).write.parquet(src)
+    out = str(tmp_path / "out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    r = subprocess.run(
+        [sys.executable, "-m", "frog_spark", "triples",
+         "--input", src, "--output", out, "--partitions", "2"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert payload["triples"] == spark.read.parquet(out).count()
+
+
+def test_clean_text(spark):
+    from frog_spark.operators.textstats import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "see https://x.org/a?b=1 and mail me@example.com\x07 now   ok"),
+         (2, "  plain  text  ")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: (r["clean"], r["n_removed_chars"]) for r in clean_text(df).collect()}
+    assert out[1][0] == "see and mail now ok"
+    assert out[2] == ("plain text", 5)
