@@ -321,14 +321,16 @@ def _sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.similarity import (
         assign_buckets,
         ivf_topk,
-        train_centroids,
+        train_centroids_distributed,
     )
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     query = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
-    cents = train_centroids(emb, n_centroids=8)
+    # distributed Lloyd's: assignment scans stay in Spark, the driver only
+    # ever holds C x dim averaged coordinates (the 100-TB path)
+    cents = train_centroids_distributed(emb, n_centroids=8)
     bucketed = assign_buckets(emb, cents)
     tk = ivf_topk(bucketed, cents, query, k=10, n_probe=3)
     return tk.select("vec_id", F.round("cosine", 6).alias("cosine"))

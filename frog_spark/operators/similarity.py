@@ -82,6 +82,41 @@ def train_centroids(
     return cents
 
 
+def train_centroids_distributed(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means — the 100-TB path: every iteration's
+    ASSIGNMENT is a broadcast-centroid map over the full dataset (JVM
+    zip_with math inside the scan) and the UPDATE is a
+    posexplode -> groupBy(bucket, dim) -> avg whose collected result is
+    only C x dim coordinates, never data rows. Seeding is deterministic
+    (first C vectors by id). ``train_centroids`` (bounded driver sample)
+    remains the cheap variant for small inputs."""
+    seed = emb.orderBy(id_col).select(vec_col).limit(n_centroids).collect()
+    cents = [[float(x) for x in r[0]] for r in seed]
+    if len(cents) < n_centroids:
+        return cents
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = assign_buckets(emb, cents, id_col=id_col, vec_col=vec_col)
+        rows = (
+            assigned.select("bucket", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("bucket", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        means = {(r["bucket"], r["pos"]): float(r["m"]) for r in rows}
+        cents = [
+            [means.get((ci, p), cents[ci][p]) for p in range(dim)]
+            for ci in range(len(cents))
+        ]
+    return cents
+
+
 def assign_buckets(
     emb: DataFrame,
     centroids: list[list[float]],

@@ -297,3 +297,25 @@ def test_clean_text(spark):
     out = {r["doc_id"]: (r["clean"], r["n_removed_chars"]) for r in clean_text(df).collect()}
     assert out[1][0] == "see and mail now ok"
     assert out[2] == ("plain text", 5)
+
+
+def test_distributed_kmeans_ivf(spark):
+    """Distributed Lloyd's: the update step collects only C x dim
+    coordinates; probing the trained buckets finds the exact query vector
+    first."""
+    from frog_spark.operators.similarity import (
+        assign_buckets,
+        ivf_topk,
+        train_centroids_distributed,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    cents = train_centroids_distributed(emb, n_centroids=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == len(cents[0]) for c in cents)
+    query = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    bucketed = assign_buckets(emb, cents)
+    top = ivf_topk(bucketed, cents, query, k=5, n_probe=2).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-9
