@@ -220,18 +220,38 @@ def gazetteer_spans_relational(
     toks = docs.select(
         F.col(id_col), F.posexplode(words).alias("pos", "w")
     )
+    # ONE window pass computes all leads, then every position's 1..max_n
+    # grams explode from a single projection — a per-n union would
+    # re-shuffle the token relation max_n times
     w = W.partitionBy(id_col).orderBy("pos")
-    grams = None
+    with_leads = toks.select(
+        F.col(id_col),
+        "pos",
+        "w",
+        *[F.lead("w", k).over(w).alias(f"w{k}") for k in range(1, max_n)],
+    )
+    leads = [F.col("w")] + [F.col(f"w{k}") for k in range(1, max_n)]
+    gram_structs = []
     for n in range(1, max_n + 1):
-        parts = [F.col("w")] + [F.lead("w", k).over(w) for k in range(1, n)]
-        g = toks.select(
+        gram_structs.append(
+            F.when(
+                leads[n - 1].isNotNull(),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", *leads[:n]).alias("ngram"),
+                ),
+            )
+        )
+    grams = (
+        with_leads.select(
             F.col(id_col),
             "pos",
-            F.lit(n).alias("n"),
-            F.concat_ws(" ", *parts).alias("ngram"),
-            parts[-1].alias("_last"),
-        ).filter(F.col("_last").isNotNull()).drop("_last")
-        grams = g if grams is None else grams.unionByName(g)
+            F.explode(
+                F.filter(F.array(*gram_structs), lambda s: s.isNotNull())
+            ).alias("g"),
+        )
+        .select(id_col, "pos", "g.n", "g.ngram")
+    )
     matched = grams.join(
         F.broadcast(gaz), grams["ngram"] == gaz["name"]
     ).select(id_col, "pos", F.col("ngram").alias("span_text"), "cat", "n")
