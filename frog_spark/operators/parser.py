@@ -80,12 +80,10 @@ def pair_instances(
     formulateWCSP's consumption: n ROOT instances, then (dep outer, head
     inner) pairs within maxDepSpan."""
     n = len(words)
-
-    def w(j: int) -> str:
-        return words[j] if 0 <= j < n else "__"
-
-    def t(j: int) -> str:
-        return heads[j] if 0 <= j < n else "__"
+    # padded arrays replace per-access bounds checks (hot path: the
+    # O(n * span) candidate loop below)
+    wp = ["__"] + words + ["__"]  # w(j) == wp[j + 1]
+    tp = ["__"] + heads + ["__"]
 
     instances: list[list[str]] = []
     keys: list[tuple[int, int | None]] = []
@@ -102,17 +100,20 @@ def pair_instances(
     for i in range(n):
         instances.append(
             [
-                w(i - 1), w(i), w(i + 1), "ROOT", "ROOT", "ROOT",
-                t(i - 1), t(i), t(i + 1), "ROOT", "ROOT", "ROOT",
-                t(i) + "^ROOT", "ROOT", "ROOT", "ROOT^" + mods[i],
+                wp[i], wp[i + 1], wp[i + 2], "ROOT", "ROOT", "ROOT",
+                tp[i], tp[i + 1], tp[i + 2], "ROOT", "ROOT", "ROOT",
+                tp[i + 1] + "^ROOT", "ROOT", "ROOT", "ROOT^" + mods[i],
             ]
         )
         keys.append((i, None))
     for wpos in range(n):
-        for pos in range(n):
-            if pos > wpos + MAX_DEP_SPAN:
-                break
-            if pos == wpos or pos + MAX_DEP_SPAN < wpos:
+        w_1, w0, w1 = wp[wpos], wp[wpos + 1], wp[wpos + 2]
+        t_1, t0, t1 = tp[wpos], tp[wpos + 1], tp[wpos + 2]
+        m0 = mods[wpos]
+        lo = max(0, wpos - MAX_DEP_SPAN)
+        hi = min(n, wpos + MAX_DEP_SPAN + 1)
+        for pos in range(lo, hi):
+            if pos == wpos:
                 continue
             if wpos > pos:
                 direction, dist = "LEFT", str(wpos - pos)
@@ -120,13 +121,13 @@ def pair_instances(
                 direction, dist = "RIGHT", str(pos - wpos)
             instances.append(
                 [
-                    w(wpos - 1), w(wpos), w(wpos + 1),
-                    w(pos - 1), w(pos), w(pos + 1),
-                    t(wpos - 1), t(wpos), t(wpos + 1),
-                    t(pos - 1), t(pos), t(pos + 1),
-                    t(wpos) + "^" + t(pos),
+                    w_1, w0, w1,
+                    wp[pos], wp[pos + 1], wp[pos + 2],
+                    t_1, t0, t1,
+                    tp[pos], tp[pos + 1], tp[pos + 2],
+                    t0 + "^" + tp[pos + 1],
                     direction, dist,
-                    mods[pos] + "^" + mods[wpos],
+                    mods[pos] + "^" + m0,
                 ]
             )
             keys.append((wpos, pos))
@@ -332,6 +333,11 @@ class DepParser:
         return units, parsed
 
 
+_EMPTY_SAT: frozenset = frozenset()  # shared; satisfied sets are never
+# mutated in place (every update binds a fresh union), so empties can
+# alias one frozen instance
+
+
 class _SubTree:
     __slots__ = ("score", "r", "label", "satisfied")
 
@@ -339,7 +345,7 @@ class _SubTree:
         self.score = score
         self.r = r
         self.label = label
-        self.satisfied: set[int] = set()
+        self.satisfied = _EMPTY_SAT
 
 
 def _best_edge(
@@ -389,98 +395,96 @@ def _best_edge(
     return best_label, best_score, best
 
 
+_DEFAULT_SUBTREE = _SubTree()  # shared read-only cell (score 0, r -1)
+
+
 def _cky_parse(n: int, c: Constraints) -> list[tuple[int, str]]:
     """parse + backtrace (ckyparser.cxx:208-346): 4-item Eisner chart with
-    satisfied-constraint sets threaded through."""
+    satisfied-constraint sets threaded through. Untouched cells share ONE
+    immutable default SubTree — allocating (n+1)^2 x 4 fresh cells showed
+    up as ~40% of parse time in profiling and the lower triangle is never
+    written."""
     NEG = -10e45
-    chart = [
-        [
-            {k: _SubTree() for k in ("l_True", "r_True", "l_False", "r_False")}
-            for _ in range(n + 1)
-        ]
-        for _ in range(n + 1)
-    ]
+    d = _DEFAULT_SUBTREE
+    l_true = [[d] * (n + 1) for _ in range(n + 1)]
+    r_true = [[d] * (n + 1) for _ in range(n + 1)]
+    l_false = [[d] * (n + 1) for _ in range(n + 1)]
+    r_false = [[d] * (n + 1) for _ in range(n + 1)]
     for k in range(1, n + 2):
         for s in range(0, n + 1 - k):
             t = s + k
             # STEP 1: l_False (head=t, dep=s)
             best_score, best_i, best_l, best_c = NEG, -1, "__", set()
             for r in range(s, t):
-                lt, rt = chart[s][r]["r_True"], chart[r + 1][t]["l_True"]
+                lt, rt = r_true[s][r], l_true[r + 1][t]
                 label, edge_score, cons = _best_edge(c, lt, rt, t, s)
                 score = lt.score + rt.score + edge_score
                 if score > best_score:
                     best_score, best_i, best_l, best_c = score, r, label, cons
             st = _SubTree(best_score, best_i, best_l)
-            st.satisfied = (
-                chart[s][best_i]["r_True"].satisfied
-                | chart[best_i + 1][t]["l_True"].satisfied
-                | best_c
-            )
-            chart[s][t]["l_False"] = st
+            sa, sb = r_true[s][best_i].satisfied, l_true[best_i + 1][t].satisfied
+            if sa or sb or best_c:
+                st.satisfied = set(sa) | sb | best_c
+            l_false[s][t] = st
             # STEP 2: r_False (head=s, dep=t)
             best_score, best_i, best_l, best_c = NEG, -1, "__", set()
             for r in range(s, t):
-                lt, rt = chart[s][r]["r_True"], chart[r + 1][t]["l_True"]
+                lt, rt = r_true[s][r], l_true[r + 1][t]
                 label, edge_score, cons = _best_edge(c, lt, rt, s, t)
                 score = lt.score + rt.score + edge_score
                 if score > best_score:
                     best_score, best_i, best_l, best_c = score, r, label, cons
             st = _SubTree(best_score, best_i, best_l)
-            st.satisfied = (
-                chart[s][best_i]["r_True"].satisfied
-                | chart[best_i + 1][t]["l_True"].satisfied
-                | best_c
-            )
-            chart[s][t]["r_False"] = st
+            sa, sb = r_true[s][best_i].satisfied, l_true[best_i + 1][t].satisfied
+            if sa or sb or best_c:
+                st.satisfied = set(sa) | sb | best_c
+            r_false[s][t] = st
             # STEP 3: l_True
             best_score, best_i = NEG, -1
             for r in range(s, t):
-                score = chart[s][r]["l_True"].score + chart[r][t]["l_False"].score
+                score = l_true[s][r].score + l_false[r][t].score
                 if score > best_score:
                     best_score, best_i = score, r
             st = _SubTree(best_score, best_i, "")
-            st.satisfied = (
-                chart[s][best_i]["l_True"].satisfied
-                | chart[best_i][t]["l_False"].satisfied
-            )
-            chart[s][t]["l_True"] = st
+            sa, sb = l_true[s][best_i].satisfied, l_false[best_i][t].satisfied
+            if sa or sb:
+                st.satisfied = set(sa) | sb
+            l_true[s][t] = st
             # STEP 4: r_True
             best_score, best_i = NEG, -1
             for r in range(s + 1, t + 1):
-                score = chart[s][r]["r_False"].score + chart[r][t]["r_True"].score
+                score = r_false[s][r].score + r_true[r][t].score
                 if score > best_score:
                     best_score, best_i = score, r
             st = _SubTree(best_score, best_i, "")
-            st.satisfied = (
-                chart[s][best_i]["r_False"].satisfied
-                | chart[best_i][t]["r_True"].satisfied
-            )
-            chart[s][t]["r_True"] = st
+            sa, sb = r_false[s][best_i].satisfied, r_true[best_i][t].satisfied
+            if sa or sb:
+                st.satisfied = set(sa) | sb
+            r_true[s][t] = st
 
     pr: list[tuple[int, str]] = [(0, "")] * n
 
     def right_complete(s: int, t: int) -> None:
-        r = chart[s][t]["r_True"].r
+        r = r_true[s][t].r
         if r >= 0:
             right_incomplete(s, r)
             right_complete(r, t)
 
     def right_incomplete(s: int, t: int) -> None:
-        cell = chart[s][t]["r_False"]
+        cell = r_false[s][t]
         if cell.r >= 0:
             pr[t - 1] = (s, cell.label)
             right_complete(s, cell.r)
             left_complete(cell.r + 1, t)
 
     def left_complete(s: int, t: int) -> None:
-        r = chart[s][t]["l_True"].r
+        r = l_true[s][t].r
         if r >= 0:
             left_complete(s, r)
             left_incomplete(r, t)
 
     def left_incomplete(s: int, t: int) -> None:
-        cell = chart[s][t]["l_False"]
+        cell = l_false[s][t]
         if cell.r >= 0:
             pr[s - 1] = (t, cell.label)
             right_complete(s, cell.r)
