@@ -319,3 +319,31 @@ def test_distributed_kmeans_ivf(spark):
     bucketed = assign_buckets(emb, cents)
     top = ivf_topk(bucketed, cents, query, k=5, n_probe=2).collect()
     assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_folia_roundtrip(spark, pipeline):
+    """S8/S2: annotated tokens -> FoLiA XML documents -> parsed back;
+    word/pos/lemma/morph survive the round trip (the reference's
+    text-in == folia-in invariance, FrogAPI.cxx:2984-3171)."""
+    from frog_spark.corpus import transcripts_df
+    from frog_spark.plans.pipeline import annotate_transcripts
+    from frog_spark.sources.folia import folia_xml, parse_folia
+
+    tdf = transcripts_df(spark, n_turns=12)
+    ann = annotate_transcripts(spark, tdf, pipeline)
+    docs = folia_xml(ann)
+    assert docs.count() == 12
+    sample = docs.first()["folia"]
+    assert sample.startswith('<?xml version="1.0"')
+    assert "<FoLiA" in sample and "</FoLiA>" in sample
+    back = parse_folia(docs)
+    key = ["conv_id", "turn_idx", "sent_idx", "token_idx"]
+    orig = {
+        tuple(r[k] for k in key): (r["word"], r["pos_tag"], r["lemma"], r["morph"])
+        for r in ann.select(*key, "word", "pos_tag", "lemma", "morph").collect()
+    }
+    got = {
+        tuple(r[k] for k in key): (r["word"], r["pos_tag"], r["lemma"], r["morph"])
+        for r in back.collect()
+    }
+    assert got == orig
