@@ -47,20 +47,20 @@ def connected_components(
                 "new_component",
                 F.least(F.col("component"), F.coalesce("nbr_component", "component")),
             )
-            .select("node", F.col("new_component").alias("component"))
+            # the convergence flag rides along in the SAME pass — probing
+            # it needs no extra join against the previous round
+            .select(
+                "node",
+                F.col("new_component").alias("component"),
+                (F.col("new_component") != F.col("component")).alias("changed"),
+            )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
-    return labels
+    return labels.select("node", "component")
 
 
 def canonical_entities(
