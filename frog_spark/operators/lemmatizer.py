@@ -29,18 +29,34 @@ def _instance(word: str) -> list[str]:
     return [PAD] * (WINDOW - len(chars)) + chars
 
 
-def _edit_class(word: str, tag: str, lemma: str) -> str:
-    w = word.lower()
+def _suffix_edits(w: str, lemma: str) -> tuple[str, str]:
     pref = 0
     while pref < len(w) and pref < len(lemma) and w[pref] == lemma[pref]:
         pref += 1
-    dele, ins = w[pref:], lemma[pref:]
-    cls = tag
+    return w[pref:], lemma[pref:]
+
+
+def _edit_class(word: str, tag: str, lemma: str) -> str:
+    """Tagged edit-rule class ``TAG[+Ppref][+Ddel][+Iins]`` (L2/L3).
+
+    When the word carries a ``ge-`` prefix the lemma lacks (participles:
+    gemaakt -> maken), a P(refix)-strip edit is emitted first and the
+    suffix edits align the stripped form — far shorter edits than the
+    whole-word replacement plain alignment would produce, and the shape
+    that generalizes to unseen participles."""
+    w = word.lower()
+    dele, ins = _suffix_edits(w, lemma)
+    cls_ops: list[str] = []
+    if w.startswith("ge") and not lemma.startswith("ge"):
+        d2, i2 = _suffix_edits(w[2:], lemma)
+        if len(d2) + len(i2) < len(dele) - 2 + len(ins):
+            cls_ops.append("Pge")
+            dele, ins = d2, i2
     if dele:
-        cls += f"+D{dele}"
+        cls_ops.append(f"D{dele}")
     if ins:
-        cls += f"+I{ins}"
-    return cls
+        cls_ops.append(f"I{ins}")
+    return "+".join([tag] + cls_ops)
 
 
 def _head(tag: str) -> str:
@@ -107,8 +123,9 @@ class Mblem:
                 lemma = lemma + op[1:]
             elif op.startswith("P"):
                 pref = op[1:]
-                if lemma.startswith(pref):
-                    lemma = lemma[len(pref) :]
+                if not lemma.startswith(pref):
+                    return None  # prefix strip must match actual chars
+                lemma = lemma[len(pref) :]
         return tag, lemma
 
     # -- L4: tag filter -------------------------------------------------------

@@ -262,3 +262,16 @@ def test_ner_override_wired_into_pipeline(gold, tmp_path):
     ann2 = _annotate(base, "Dit is een test van Frog op de datum 09-01-2012!")
     frog2 = next(a for a in ann2 if a["word"] == "Frog")
     assert frog2["ner_tag"] == "B-per" and frog2["ner_conf"] == 1.0
+
+
+def test_mblem_prefix_edit_class(pipeline):
+    """L3: ge-participles train P(refix)-strip edit classes and decode
+    through them (gemaakt -> maken); a P edit whose chars don't match the
+    word rejects the candidate instead of misapplying."""
+    from frog_spark.operators.lemmatizer import Mblem, _edit_class
+
+    cls = _edit_class("gemaakt", "WW(vd,vrij,zonder)", "maken")
+    assert cls == "WW(vd,vrij,zonder)+Pge+Dakt+Iken"
+    assert pipeline.mblem.lemmatize("gemaakt", "WW(vd,vrij,zonder)") == ["maken"]
+    # P edit must match actual chars
+    assert Mblem._apply("werkt", "WW+Pge+Dt") is None
