@@ -125,7 +125,11 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                             [float(w % 251), float(h % 251), float(fi), 1.0],
                         )
                     )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "feature"])
+            cols_mm = ["media_id", "frame_idx", "feature"]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols_mm)
+            else:
+                yield pd.DataFrame({c: pd.Series([], dtype=object) for c in cols_mm})
 
     return media.filter(F.col("kind") == "video").select(
         "media_id", "payload"

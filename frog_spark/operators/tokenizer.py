@@ -237,7 +237,10 @@ def tokenize_turns(df: DataFrame) -> DataFrame:
                                 "nl",
                             )
                         )
-            yield pd.DataFrame(rows, columns=cols)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            else:
+                yield pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
 
     return df.select("conv_id", "turn_idx", "text").mapInPandas(
         run, schema=TOKEN_SCHEMA

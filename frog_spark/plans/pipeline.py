@@ -96,6 +96,15 @@ def _detect_lang(words: list[str]) -> str:
     return "nl" if nl >= en else "en"
 
 
+def _pdf(rows, columns):
+    """pandas DataFrame that stays Arrow-convertible when EMPTY: a frame
+    built from no rows defaults every column to float64, which Arrow
+    cannot cast to array/string fields — force object dtype instead."""
+    if len(rows) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in columns})
+    return pd.DataFrame(rows, columns=columns)
+
+
 TIMER_MODULES = ("tagger", "mblem", "mbma", "ner", "iob", "mwu", "parser")
 
 
@@ -545,9 +554,9 @@ def annotate_tokens(
             carry = rows[cut:]
             head = rows[:cut]
             if head:
-                yield pd.DataFrame(process_sentences(head), columns=_OUT_COLS)
+                yield _pdf(process_sentences(head), _OUT_COLS)
         if carry:
-            yield pd.DataFrame(process_sentences(carry), columns=_OUT_COLS)
+            yield _pdf(process_sentences(carry), _OUT_COLS)
 
     return shuffled.mapInPandas(run, schema=ANNOTATED_SCHEMA)
 
@@ -622,7 +631,7 @@ def triples_from_transcripts(
                                 )
                             )
             _drain_timers(p, timers)
-            yield pd.DataFrame(rows, columns=out_cols)
+            yield _pdf(rows, out_cols)
 
     return shuffled.mapInPandas(run, schema=TRIPLE_SCHEMA)
 
@@ -683,6 +692,9 @@ def annotate_transcripts(
                         for c, v in zip(cols, row):
                             c.append(v)
             _drain_timers(p, timers)
-            yield pd.DataFrame(dict(zip(_OUT_COLS, cols)))
+            if not cols[0]:
+                yield _pdf([], _OUT_COLS)
+            else:
+                yield pd.DataFrame(dict(zip(_OUT_COLS, cols)))
 
     return shuffled.mapInPandas(run, schema=ANNOTATED_SCHEMA)

@@ -164,8 +164,12 @@ def parse_folia(folia_df: DataFrame) -> DataFrame:
                                 morph.get("class", "") if morph is not None else "",
                             )
                         )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in _PARSED_SCHEMA.fields]
-            )
+            cols = [f.name for f in _PARSED_SCHEMA.fields]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            else:
+                # empty frames default to float64 columns, which Arrow
+                # cannot cast to the string schema — force object dtype
+                yield pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
 
     return folia_df.mapInPandas(run, schema=_PARSED_SCHEMA)

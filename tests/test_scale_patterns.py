@@ -115,3 +115,29 @@ def test_per_module_timers(spark, pipeline):
     assert secs["tagger"] > 0 and secs["parser"] > 0 and secs["mbma"] > 0
     rows = {r["module"]: r["wall_sec"] for r in timers.table(spark).collect()}
     assert rows == {m: secs[m] for m in TIMER_MODULES}
+
+
+def test_degenerate_turns_survive(spark, pipeline):
+    """Empty / whitespace-only / URL / emoji / very-long turns flow through
+    annotation and the fused triple path without Arrow failures (an empty
+    pandas batch used to default to float64 columns that Arrow cannot cast
+    to the array<string> schema)."""
+    from frog_spark.plans.pipeline import annotate_transcripts, triples_from_transcripts
+
+    rows = [
+        ("c1", 0, "user", "", None, None),
+        ("c1", 1, "user", "   ", None, None),
+        ("c1", 2, "user", "check https://example.org/x?a=1 en mail me@x.nl!!", None, None),
+        ("c1", 3, "user", "🤖🤖 €5,50 ---- @@@@", None, None),
+        ("c1", 4, "user", "a" * 5000, None, None),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    tdf = spark.createDataFrame(rows, schema)
+    ann = annotate_transcripts(spark, tdf, pipeline)
+    counts = {r["turn_idx"]: r["count"] for r in ann.groupBy("turn_idx").count().collect()}
+    assert 0 not in counts and 1 not in counts  # empty turns emit no rows
+    assert counts[2] > 0 and counts[3] > 0 and counts[4] == 1
+    assert triples_from_transcripts(spark, tdf, pipeline).count() == 0
+    # a batch that is ENTIRELY empty turns
+    empty = spark.createDataFrame([("c2", 0, "user", "", None, None)], schema)
+    assert annotate_transcripts(spark, empty, pipeline).count() == 0
