@@ -171,6 +171,51 @@ def _rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, mktsegment): per-segment, per-region and grand
+    totals in one pass (partial aggregation + single shuffle; Catalyst
+    expands the grouping sets)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+        )
+    )
+
+
+def _rel_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event-value total + rank — the classic analytic
+    window pair over the events table."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ), 2).alias("running_value"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("user_id", "rn")
+    )
+
+
 # -- text / dedup / similarity ----------------------------------------------
 
 
@@ -487,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_hourly_window": _rel_hourly_window,
         "rel_semi_anti": _rel_semi_anti,
         "rel_asof_join": _rel_asof_join,
+        "rel_rollup_revenue": _rel_rollup_revenue,
+        "rel_running_total": _rel_running_total,
         "txt_training_set": _txt_training_set,
         "txt_quality": _txt_quality,
         "txt_langid_counts": _txt_langid_counts,
@@ -621,6 +668,30 @@ def oracle_sql() -> dict[str, str]:
                        ) AS last_click_ts
                 FROM events
             ) WHERE event_type = 'error' ORDER BY event_id
+        """,
+        "rel_rollup_revenue": """
+            SELECT r_name, c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, c_mktsegment)
+            ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+        """,
+        "rel_running_total": """
+            SELECT user_id, event_id, running_value, rn FROM (
+                SELECT user_id, event_id,
+                       round(sum(value) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ), 2) AS running_value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 5 ORDER BY user_id, rn
         """,
         "txt_training_set": f"""
             WITH dedup AS (
