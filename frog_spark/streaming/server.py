@@ -58,6 +58,25 @@ def annotate_stream(
     )
 
 
+def windowed_turn_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming tumbling-window turn counts per conversation with a
+    watermark bounding late-data state (SURVEY.md §2.1 S3: 'watermarks +
+    windowed aggs for late data'). Works identically on a batch frame
+    (same code path, no watermark state)."""
+    wm = stream.withWatermark("ts", watermark) if stream.isStreaming else stream
+    return (
+        wm.groupBy(F.window("ts", window).alias("w"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("w").start.alias("window_start"), "conv_id", "n_turns"
+        )
+    )
+
+
 def file_stream_source(spark: SparkSession, path: str) -> DataFrame:
     """Micro-batch file source with the transcript schema (the sandbox
     stand-in for a Kafka topic of turns)."""

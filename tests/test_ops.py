@@ -347,3 +347,43 @@ def test_folia_roundtrip(spark, pipeline):
         for r in back.collect()
     }
     assert got == orig
+
+
+def test_streaming_windowed_turn_counts(spark, tmp_path):
+    """S3: watermarked tumbling-window aggregation over a turn stream;
+    the streaming result equals the batch result of the same function."""
+    import datetime
+
+    from frog_spark.streaming.server import file_stream_source, windowed_turn_counts
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("c1", i, "user", f"turn {i}", None, base + datetime.timedelta(minutes=17 * i))
+        for i in range(12)
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    src = str(tmp_path / "turns")
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.parquet(src)
+    out = str(tmp_path / "agg")
+    q = (
+        windowed_turn_counts(file_stream_source(spark, src))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["conv_id"]): r["n_turns"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["window_start"], r["conv_id"]): r["n_turns"]
+        for r in windowed_turn_counts(batch_df).collect()
+    }
+    # append mode only emits windows the watermark has closed; every
+    # emitted window must match the batch result, and most windows close
+    assert got and all(want[k] == v for k, v in got.items())
