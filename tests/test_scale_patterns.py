@@ -141,3 +141,37 @@ def test_degenerate_turns_survive(spark, pipeline):
     # a batch that is ENTIRELY empty turns
     empty = spark.createDataFrame([("c2", 0, "user", "", None, None)], schema)
     assert annotate_transcripts(spark, empty, pipeline).count() == 0
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Co-located joins via bucketing: two tables bucketed on the join key
+    sort-merge-join with NO Exchange on either side — the pre-shuffle
+    technique a recurring 100-TB join pipeline would use instead of
+    re-shuffling per query."""
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS bq_orders")
+    spark.sql("DROP TABLE IF EXISTS bq_customer")
+    orders = spark.range(0, 2000).select(
+        F.col("id").alias("o_id"), (F.col("id") % 200).alias("custkey"),
+        (F.rand(7) * 100).alias("price"),
+    )
+    customer = spark.range(0, 200).select(
+        F.col("id").alias("custkey"), F.concat(F.lit("c"), F.col("id")).alias("name")
+    )
+    (orders.write.bucketBy(8, "custkey").sortBy("custkey")
+        .mode("overwrite").saveAsTable("bq_orders"))
+    (customer.write.bucketBy(8, "custkey").sortBy("custkey")
+        .mode("overwrite").saveAsTable("bq_customer"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bq_orders").join(spark.table("bq_customer"), "custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketed scans are pre-partitioned
+        assert j.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bq_orders")
+        spark.sql("DROP TABLE IF EXISTS bq_customer")
