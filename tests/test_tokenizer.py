@@ -61,3 +61,30 @@ def test_all_gold_sentences_tokenize_exactly(gold):
         sents = split_sentences(tokenize_text(s.text))
         assert len(sents) == 1, s.sent_id
         assert [t.word for t in sents[0]] == [t.word for t in s.tokens], s.sent_id
+
+
+def test_reference_problems_corpus_roundtrip():
+    """Drive the tokenizer over the reference's own known-problem corpus
+    (/root/reference/test/problems.txt: quotes, ALL-CAPS, <utt> markers,
+    unicode apostrophes, accented clitics): every line must tokenize
+    without error and detokenize back to its whitespace-normalized text
+    (with <utt> markers consumed)."""
+    import os
+    import re
+
+    from frog_spark.operators.tokenizer import detokenize, tokenize_text
+
+    path = "/root/reference/test/problems.txt"
+    if not os.path.exists(path):
+        return
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    for raw in text.split("\n"):
+        if not raw.strip():
+            continue
+        toks = tokenize_text(raw)
+        norm = " ".join(re.sub(r"<utt>", " ", raw).split())
+        if not norm:
+            continue
+        assert detokenize(toks) == norm, raw
+        assert all(t.word for t in toks)
