@@ -15,6 +15,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition an UNDER-PARALLEL relation to the session's
+    default parallelism; a no-op whenever the source already has that many
+    partitions.
+
+    Why it exists: a small parquet file (or a single row group) yields one
+    input split, so CPU-heavy row-local stages (gram explosion, MinHash
+    signatures) would run on one core no matter how many are free. On a
+    real-scale input the scan has thousands of splits, the guard is false,
+    and no shuffle is added — so callers can apply this unconditionally
+    without paying a full-corpus shuffle at 100 TB."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

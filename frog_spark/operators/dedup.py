@@ -24,7 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from frog_spark.functions.skew import spread
 
 
 def _norm_text(col):
@@ -49,20 +50,34 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def word_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, ngram) exploded distinct word n-grams."""
+def gram_sets(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, grams: array<string>, sz) — distinct word n-grams per doc.
+
+    Entirely row-local (split + transform + array_distinct inside the scan
+    stage): the gram SET never leaves its row, so downstream consumers can
+    choose between exploding it (global aggregates like document frequency)
+    and shipping the whole array (pairwise verification), whichever moves
+    fewer bytes."""
     words = F.split(_norm_text(F.col(text_col)), " ")
     cnt = F.size(words) - (n - 1)
-    grams = F.when(
-        cnt > 0,
-        F.transform(
-            F.sequence(F.lit(0), cnt - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.array_distinct(
+        F.when(
+            cnt > 0,
+            F.transform(
+                F.sequence(F.lit(0), cnt - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
     return docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(grams)).alias("ngram"),
+        F.col(id_col).alias("id"), grams.alias("grams"), F.size(grams).alias("sz")
+    )
+
+
+def word_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, ngram) exploded distinct word n-grams."""
+    return gram_sets(docs, id_col, text_col, n).select(
+        "id", F.explode("grams").alias("ngram")
     )
 
 
@@ -83,36 +98,31 @@ def ngram_jaccard_pairs(
     self-join hits only low-df keys — the frequent-gram key explosion
     that kills a naive gram join at 100 TB never happens, with zero
     recall loss (verification computes true Jaccard over full sets).
+
+    Verification ships the candidate ids back to the per-doc gram ARRAYS
+    (array_intersect, row-local) instead of re-joining the exploded gram
+    relation — the round-2 version needed a persist of the exploded grams
+    to avoid recomputing them for four consumers; this shape has no
+    multi-consumer hot relation, so nothing is cached and nothing leaks.
     """
-    # the exploded gram relation feeds FOUR consumers (df counts, sizes,
-    # prefix ranking, and both sides of the verification join) — without a
-    # persist Spark recomputes the explode per consumer, which dominated the
-    # bench (33 s -> recompute x4). MEMORY_AND_DISK so a 100-TB run spills
-    # instead of evicting.
-    g = word_ngrams(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    d = gram_sets(spread(docs), id_col, text_col, n)
+    # sz is carried through the explode projection (row-local), so no
+    # separate sizes aggregate + join is needed
+    g = d.select("id", "sz", F.explode("grams").alias("ngram"))
     df_ = g.groupBy("ngram").agg(F.count("*").alias("df"))
-    sizes = g.groupBy("id").agg(F.count("*").alias("sz"))
-    ranked = (
-        g.join(df_, "ngram")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy("df", "ngram")
-            ),
-        )
-        .join(sizes, "id")
+    ranked = g.join(df_, "ngram").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "ngram")),
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "ngram")
-    # carry sizes through the prefix join so the PPJoin LENGTH FILTER
-    # (J >= t requires t*|A| <= |B| <= |A|/t) prunes candidates BEFORE the
-    # expensive full-set verification — on low-entropy corpora (tiny
-    # vocabularies) prefix grams alone stay frequent and this filter is
-    # what keeps the candidate set bounded
-    psz = prefix.join(sizes, "id")
-    pa = psz.select(F.col("id").alias("a"), "ngram", F.col("sz").alias("sz_a"))
-    pb = psz.select(F.col("id").alias("b"), "ngram", F.col("sz").alias("sz_b"))
+    ).select("id", "sz", "ngram")
+    # PPJoin LENGTH FILTER (J >= t requires t*|A| <= |B| <= |A|/t) prunes
+    # candidates BEFORE the expensive full-set verification — on low-entropy
+    # corpora (tiny vocabularies) prefix grams alone stay frequent and this
+    # filter is what keeps the candidate set bounded
+    pa = prefix.select(F.col("id").alias("a"), "ngram", F.col("sz").alias("sz_a"))
+    pb = prefix.select(F.col("id").alias("b"), "ngram", F.col("sz").alias("sz_b"))
     cands = (
         pa.join(pb, "ngram")
         .filter(
@@ -120,18 +130,29 @@ def ngram_jaccard_pairs(
             & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
             & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
         )
-        .select("a", "b", "sz_a", "sz_b")
+        .select("a", "b")
         .distinct()
     )
-    sa = g.select(F.col("id").alias("a"), "ngram")
-    sb = g.select(F.col("id").alias("b"), "ngram")
-    inter = cands.join(sa, "a").join(sb, ["b", "ngram"]).groupBy(
-        "a", "b", "sz_a", "sz_b"
-    ).agg(F.count("*").alias("inter"))
+    return _verify_jaccard(cands, d, threshold)
+
+
+def _verify_jaccard(cands: DataFrame, gram_sets_df: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over per-doc gram arrays for candidate (a, b) pairs.
+
+    Two shuffle joins ship each candidate's gram array once; the
+    intersection itself is row-local (array_intersect), so the pairwise
+    work never re-aggregates the exploded gram relation."""
+    da = gram_sets_df.select(
+        F.col("id").alias("a"), F.col("grams").alias("ga"), F.col("sz").alias("sz_a")
+    )
+    db = gram_sets_df.select(
+        F.col("id").alias("b"), F.col("grams").alias("gb"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     return (
-        inter.withColumn(
-            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-        )
+        cands.join(da, "a")
+        .join(db, "b")
+        .withColumn("jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
@@ -153,30 +174,51 @@ def minhash_dedup_pairs(
     at the threshold with bounded spurious candidates; the true-Jaccard
     verification step makes precision exact either way, so the output
     equals the exact-join result on any corpus where no J>=t pair slips
-    all 32 bands."""
-    # persisted: g feeds the signature agg, both verification sides, and
-    # the size agg (see ngram_jaccard_pairs for rationale)
-    g = word_ngrams(docs, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    all 32 bands.
+
+    Signature plan (round-3 rewrite): the whole 128-hash signature is
+    ROW-LOCAL — one xxhash64 per shingle, then 128 universal-hash
+    derivations (a_i*h + b_i mod 2^61-1, the standard MinHash family,
+    same construction as Spark MLlib's MinHashLSH) folded over the gram
+    array with aggregate+zip_with(least). The round-2 version instead ran
+    128 independent min(xxhash64(i, ngram)) aggregates over the EXPLODED
+    gram relation: 128 string hashes per gram AND a groupBy shuffle of
+    every gram row. This shape hashes each shingle once, shuffles
+    nothing for signatures (they compute inside the scan stage), and
+    needs no persist — the only shuffles left are the band-bucket
+    self-join and the two verification joins."""
+    rows_per_band = num_hashes // bands
+    # fixed-seed universal-hash constants: a,b < 2^31 so a*h31 + b < 2^62
+    # never overflows a signed long (Spark 4 ANSI mode would throw)
+    rng = np.random.default_rng(0xF09)
+    ab = rng.integers(1, 1 << 31, size=(num_hashes, 2))
+    M61 = (1 << 61) - 1
+
+    def _hash_vec(h31):
+        return F.array(
+            *[
+                (F.lit(int(a)) * h31 + F.lit(int(b))) % F.lit(M61)
+                for a, b in ab
+            ]
+        )
+
+    d = gram_sets(spread(docs), id_col, text_col, shingle_n)
+    base = F.transform(F.col("grams"), lambda g: F.pmod(F.xxhash64(g), F.lit(1 << 31)))
+    sig = F.aggregate(
+        base,
+        F.array_repeat(F.lit(M61).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(acc, _hash_vec(h), lambda x, y: F.least(x, y)),
     )
-    sig = g.groupBy("id").agg(
+    band_keys = F.array(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("ngram"))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.xxhash64(
+                *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+            )
+            for bi in range(bands)
         ]
     )
-    rows_per_band = num_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("key"),
-        )
-        for bi in range(bands)
-    ]
-    buckets = sig.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "id", "bk.band", "bk.key"
+    buckets = d.select("id", sig.alias("sig")).select(
+        "id", F.posexplode(band_keys).alias("band", "key")
     )
     cands = (
         buckets.alias("x")
@@ -189,22 +231,7 @@ def minhash_dedup_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    # verify with true Jaccard over shingles
-    sa = g.select(F.col("id").alias("a"), "ngram")
-    sb = g.select(F.col("id").alias("b"), "ngram")
-    sizes = g.groupBy("id").agg(F.count("*").alias("sz"))
-    inter = cands.join(sa, "a").join(sb, ["b", "ngram"]).groupBy("a", "b").agg(
-        F.count("*").alias("inter")
-    )
-    return (
-        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
-        .withColumn(
-            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    return _verify_jaccard(cands, d, threshold)
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 — cross-engine reproducible
@@ -307,6 +334,29 @@ def simhash_dup_pairs(
     )
 
 
+def _estimate_rows(df: DataFrame, vec_col: str, default_dim: int = 64) -> int:
+    """Approximate row count from Catalyst plan statistics — zero jobs.
+
+    sizeInBytes for file sources is the on-disk size; an embedding row is
+    ~4 bytes/float + key overhead, so n ≈ size / (4*dim). Only the LOG2 of
+    the estimate is consumed (LSH bits per band), so being off by even 4x
+    shifts the bucket size by two bits — recall is unaffected because
+    verification is exact and multiple independent bands back each other
+    up."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        row_count = stats.rowCount()
+        if row_count.isDefined():
+            return int(str(row_count.get()))
+        dim = default_dim
+        first_field = df.schema[vec_col]
+        # arrays don't carry a length; assume default_dim unless metadata says
+        dim = int(first_field.metadata.get("dim", default_dim)) if first_field.metadata else default_dim
+        return max(2, int(stats.sizeInBytes()) // (4 * dim + 16))
+    except Exception:  # py4j surface changed or non-JVM plan — one real count
+        return df.count()
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -315,6 +365,7 @@ def embedding_dup_pairs(
     bands: int = 4,
     bits_per_band: int | None = None,
     target_bucket_size: int = 128,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an array<float> column.
 
@@ -331,11 +382,18 @@ def embedding_dup_pairs(
 
     Zero-norm vectors cannot have a defined cosine; they are excluded
     explicitly (not silently nulled out).
+
+    Auto-sizing: pass ``bits_per_band`` or an approximate ``n_hint``
+    (log2 granularity — a 2x error moves the bucket size by one bit).
+    With neither, the row count is estimated from Catalyst's plan
+    statistics (sizeInBytes / Arrow row width) — NO extra scan job; a
+    driver-side count() here would be a full pass over the table per
+    call at 100 TB.
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
     if bits_per_band is None:
-        n = emb.count()
+        n = n_hint if n_hint is not None else _estimate_rows(emb, vec_col)
         bits_per_band = min(24, max(4, math.ceil(math.log2(max(n, 2) / target_bucket_size))))
     r, b = bits_per_band, bands
 
@@ -368,19 +426,20 @@ def embedding_dup_pairs(
         lambda acc, v: acc + v,
     )
     norm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
-    e = (
-        emb.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-            norm.alias("nrm"),
-            band_udf(F.col(vec_col).cast("array<double>")).alias("keys"),
-        )
-        .filter(F.col("nrm") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    buckets = e.select(
-        "id", F.posexplode("keys").alias("band", "key")
-    )
+    # the pandas-UDF band keys feed ONLY the bucket branch; the
+    # verification sides recompute (v, nrm) with pure JVM expressions from
+    # the scan — no shared hot relation, so nothing needs persisting (the
+    # round-2 persist here was never unpersisted and leaked across calls)
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        norm.alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    buckets = emb.select(
+        F.col(id_col).alias("id"),
+        norm.alias("nrm"),
+        band_udf(F.col(vec_col).cast("array<double>")).alias("keys"),
+    ).filter(F.col("nrm") > 0).select("id", F.posexplode("keys").alias("band", "key"))
     cands = (
         buckets.alias("x")
         .join(
