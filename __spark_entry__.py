@@ -9,11 +9,16 @@ rounded on BOTH sides so cross-engine value hashes agree.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+# golden-parquet oracles live next to the code so the DuckDB side can
+# read_parquet them with an absolute path regardless of the driver's cwd
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "resources", "golden")
 
 _PIPELINE = None
 
@@ -903,8 +908,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "kg_gazetteer_spans": _gazetteer_spans_sql(),
-        # sim_ivf_topk: approximate by construction -> rows-only check.
-        # kg_* (annotation-derived): per-sentence sequential NLP (tagging,
-        # Eisner CKY) is not SQL-expressible -> rows-only check.
+        # kg_* (annotation-derived): the per-sentence NLP (MBT tagging,
+        # Eisner CKY) is not SQL-*formula*-expressible, so the oracle is a
+        # committed GOLDEN PARQUET — the reference's own test philosophy
+        # (reference/src/tst.sh:1-4 diffs frog output against tests/*.ok)
+        # lifted into the driver's rows+schema+value-hash gate. Goldens are
+        # generated once by scripts/make_goldens.py at the gate's sf0.01,
+        # reviewed, and committed; pytest re-checks one of them
+        # (tests/test_goldens.py) so a silent regression can't hide until
+        # the driver run.
+        **{
+            name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
+            for name in (
+                "kg_annotated",
+                "kg_entity_spans",
+                "kg_triples",
+                "kg_canonical_nodes",
+                "kg_cooccur_topk",
+                "kg_two_hop",
+            )
+        },
+        # sim_ivf_topk: approximate by construction -> rows-only check
+        # (recall vs the exact oracle is asserted in tests instead).
         # mm_media_meta: binary payload decode -> rows-only check.
     }
