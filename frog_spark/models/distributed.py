@@ -1,0 +1,418 @@
+"""Distributed IGTree/MBT/MBLEM training — training as a Spark job.
+
+The reference trains its shipped models on corpora far beyond a driver
+loop: a 10.9M-token POS corpus, the 595k-entry e-Lex lemma lexicon and
+3.2M CELEX-derived MBMA instances (/root/reference/docs/source/
+advanced.rst:121-191,260-287 — froggen drives Timbl/Mbt over these
+files single-node). This module re-expresses that training stage as
+Spark jobs so the same pipeline scales to cluster-sized corpora:
+
+  * instance extraction is row/sentence-local (pandas UDFs over the
+    corpus DataFrame — the same per-sentence independence the annotation
+    pass exploits);
+  * gain-ratio feature weighting is two JVM-side aggregations over the
+    melted (feature, value, class) relation — no Python in the loop and
+    nothing larger than #features rows ever reaches the driver;
+  * the IGTree trie itself is built by PARTITIONED RECURSION: instances
+    are shuffled once on their top-k feature-value prefix (the first
+    levels of the trie in gain order), every prefix group builds its
+    subtree independently inside applyInPandas, and the driver only
+    assembles the top k levels from pickled subtrees + per-prefix class
+    counts. The assembled tree is bit-for-bit the tree the single-node
+    trainer produces (tests/test_train_distributed.py asserts parity)
+    because IGTree's compression rule is local: a child is kept iff it
+    has children of its own or disagrees with its parent's label.
+
+Driver memory stays bounded by the COMPRESSED model size (which must be
+broadcast for classification anyway), never by the instance count.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from collections import Counter
+from typing import Iterator  # noqa: UP035 — pyspark typehint resolution
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from frog_spark.models.igtree import IGTree, _Node
+
+__all__ = [
+    "gain_ratios_distributed",
+    "mbt_instances",
+    "train_mbt_distributed",
+    "train_igtree_distributed",
+    "mblem_instances",
+    "train_mblem_distributed",
+    "synthetic_lexicon",
+]
+
+
+# --------------------------------------------------------------------------
+# gain-ratio feature ordering as two Spark aggregations
+# --------------------------------------------------------------------------
+
+def gain_ratios_distributed(inst: DataFrame, feats_col: str = "feats", cls_col: str = "cls") -> list[float]:
+    """Gain ratio per feature, computed JVM-side.
+
+    H terms use the log-sum identity H = log2(n) - sum(c*log2(c))/n so a
+    single groupBy((feat,value,class)) + groupBy((feat,value)) +
+    groupBy(feat) cascade yields every conditional entropy; only
+    #features rows are collected.
+    """
+    n_feat = inst.select(F.size(feats_col).alias("k")).first()["k"]
+    total = inst.count()
+    base_rows = inst.groupBy(cls_col).count().collect()
+    base = _entropy_from_counts([r["count"] for r in base_rows])
+
+    melted = inst.select(
+        F.col(cls_col).alias("cls"),
+        F.posexplode(F.col(feats_col)).alias("feat", "val"),
+    )
+    c3 = melted.groupBy("feat", "val", "cls").agg(F.count("*").alias("c"))
+    lg2 = math.log(2.0)
+    per_fv = c3.groupBy("feat", "val").agg(
+        F.sum("c").alias("n_v"),
+        F.sum(F.col("c") * F.log("c") / F.lit(lg2)).alias("clogc"),
+    )
+    # H(C|f=v) = log2(n_v) - clogc/n_v ; rem(f) = sum_v n_v/N * H(C|f=v)
+    per_f = (
+        per_fv.withColumn(
+            "h_v", F.log("n_v") / F.lit(lg2) - F.col("clogc") / F.col("n_v")
+        )
+        .groupBy("feat")
+        .agg(
+            F.sum(F.col("n_v") * F.col("h_v")).alias("rem_num"),
+            F.sum(F.col("n_v") * (F.log("n_v") / F.lit(lg2))).alias("nlogn"),
+            F.sum("n_v").alias("n"),
+        )
+        .collect()
+    )
+    gains = [0.0] * n_feat
+    for r in per_f:
+        rem = r["rem_num"] / total
+        # split info = entropy of the value-count distribution
+        split_info = math.log2(total) - r["nlogn"] / total
+        gain = base - rem
+        gains[r["feat"]] = gain / split_info if split_info > 0 else 0.0
+    return gains
+
+
+def _entropy_from_counts(counts: list[int]) -> float:
+    total = sum(counts)
+    if total == 0:
+        return 0.0
+    return sum(-(c / total) * math.log2(c / total) for c in counts if c)
+
+
+# --------------------------------------------------------------------------
+# partitioned trie build
+# --------------------------------------------------------------------------
+
+def train_igtree_distributed(
+    inst: DataFrame,
+    feats_col: str = "feats",
+    cls_col: str = "cls",
+    feature_order: list[int] | None = None,
+    prefix_depth: int = 2,
+) -> IGTree:
+    """Build an IGTree from a DataFrame of (features array, class) rows.
+
+    One shuffle on the top-``prefix_depth`` feature-value prefix; each
+    prefix group recurses independently (IGTree._build, the exact
+    single-node code path) inside applyInPandas and returns a pickled
+    subtree. ``prefix_depth=2`` bounds group skew: the hottest single
+    top value (e.g. final character 'n' over a Dutch lexicon — the -en
+    suffix) is split by its second feature into many groups.
+    """
+    # the instance relation feeds several jobs (root counts, inner-level
+    # counts, the subtree build — plus gain ratios when the order is
+    # derived); an un-cached UDF-produced lineage would re-run the
+    # extraction once per job (branch re-execution), so cache it for the
+    # duration of training unless the caller already did
+    we_persisted = False
+    if not inst.is_cached:
+        inst = inst.persist(StorageLevel.MEMORY_AND_DISK)
+        we_persisted = True
+    if feature_order is None:
+        gains = gain_ratios_distributed(inst, feats_col, cls_col)
+        feature_order = sorted(range(len(gains)), key=lambda f: -gains[f])
+    d = max(1, min(prefix_depth, len(feature_order)))
+    top = feature_order[:d]
+    order = list(feature_order)
+
+    # per-prefix-level class counts for the driver-assembled INNER levels
+    # (1..d-1 only: depth-d nodes arrive as pickled subtrees that carry
+    # their own distributions, so level-d counts would be redundant
+    # driver traffic)
+    level_counts: list[list] = []
+    for j in range(d - 1):
+        keys = [F.col(feats_col)[top[i]].alias(f"k{i}") for i in range(j + 1)]
+        level_counts.append(
+            inst.groupBy(*keys, F.col(cls_col).alias("cls"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+    root_rows = inst.groupBy(F.col(cls_col).alias("cls")).agg(F.count("*").alias("c")).collect()
+
+    key_cols = [f"k{i}" for i in range(d)]
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        insts = pdf[feats_col].tolist()
+        classes = pdf[cls_col].tolist()
+        node = IGTree._build(insts, classes, order, d)
+        out = {f"k{i}": [str(pdf[f"k{i}"].iloc[0])] for i in range(d)}
+        out["subtree"] = [pickle.dumps(node, protocol=4)]
+        return pd.DataFrame(out)
+
+    keyed = inst.select(
+        feats_col,
+        cls_col,
+        *[F.col(feats_col)[top[i]].alias(f"k{i}") for i in range(d)],
+    )
+    sub_schema = ", ".join([f"k{i} string" for i in range(d)] + ["subtree binary"])
+    sub_rows = (
+        keyed.groupBy(*key_cols)
+        .applyInPandas(build_group, schema=sub_schema)
+        .collect()
+    )
+    if we_persisted:
+        inst.unpersist()
+
+    # assemble the top d levels from the collected aggregates
+    def node_from(counter: Counter) -> _Node:
+        label = min(counter.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        return _Node(label, dict(counter))
+
+    root = node_from(Counter({r["cls"]: r["c"] for r in root_rows}))
+    # prefix -> node for levels 1..d-1 (inner), d (subtrees)
+    by_prefix: dict[tuple, _Node] = {(): root}
+    for j in range(d - 1):
+        agg: dict[tuple, Counter] = {}
+        for r in level_counts[j]:
+            key = tuple(str(r[f"k{i}"]) for i in range(j + 1))
+            agg.setdefault(key, Counter())[r["cls"]] = r["c"]
+        for key, counter in agg.items():
+            by_prefix[key] = node_from(counter)
+
+    for r in sub_rows:
+        key = tuple(str(r[f"k{i}"]) for i in range(d))
+        # the subtree IS the depth-d node (dist included in the pickle)
+        by_prefix[key] = pickle.loads(bytes(r["subtree"]))
+
+    # attach children bottom-up with IGTree's compression rule
+    for j in range(d, 0, -1):
+        for key, node in list(by_prefix.items()):
+            if len(key) != j:
+                continue
+            parent = by_prefix[key[:-1]]
+            if node.children or node.label != parent.label:
+                parent.children[key[-1]] = node
+    return IGTree(feature_order, root)
+
+
+# --------------------------------------------------------------------------
+# MBLEM training as a Spark job (L1/L2 at e-Lex scale)
+# --------------------------------------------------------------------------
+
+def mblem_instances(lexicon: DataFrame) -> DataFrame:
+    """(word, tag, lemma) rows -> (word, feats array<string>, cls) —
+    one row per distinct word, class = '|'-joined sorted edit-rule
+    alternatives. Everything except the edit-class derivation (a pandas
+    UDF over Arrow batches) is JVM-side."""
+    from frog_spark.operators.lemmatizer import WINDOW, _edit_class, _instance
+
+    @F.pandas_udf("string")
+    def edit_class(word: pd.Series, tag: pd.Series, lemma: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_edit_class(w, t, le) for w, t, le in zip(word, tag, lemma)],
+            dtype=object,
+        )
+
+    @F.pandas_udf("array<string>")
+    def char_window(word: pd.Series) -> pd.Series:
+        return pd.Series([_instance(w) for w in word], dtype=object)
+
+    per_word = (
+        lexicon.select(
+            F.col("word"), edit_class("word", "tag", "lemma").alias("ec")
+        )
+        .groupBy("word")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_set("ec"))).alias("cls"))
+    )
+    return per_word.select("word", char_window("word").alias("feats"), "cls")
+
+
+def train_mblem_distributed(spark: SparkSession, lexicon: DataFrame):
+    """Full Mblem from a lexicon DataFrame: memory map + IGTree, both via
+    Spark jobs. Alternative classes are sorted (deterministic under any
+    partitioning — first-seen order does not exist in a distributed
+    input). Returns an operators.lemmatizer.Mblem ready for
+    FrogPipeline."""
+    from frog_spark.operators.lemmatizer import WINDOW, Mblem
+
+    inst = mblem_instances(lexicon).persist(StorageLevel.MEMORY_AND_DISK)
+    # the memory (exact-match shortcut) is the same relation the
+    # instances come from — one pass, fetched as Arrow batches (toPandas;
+    # row-by-row py4j collect of half a million rows costs more than the
+    # whole training job), materialized as the word->class dict Timbl's
+    # instance base stores. The persist covers the memory fetch AND every
+    # training job (unpersisted before return — no cache outlives the
+    # call).
+    mem_pdf = inst.select("word", "cls").toPandas()
+    memory = dict(zip(mem_pdf["word"], mem_pdf["cls"]))
+    order = list(range(WINDOW - 1, -1, -1))  # right-aligned suffix window
+    tree = train_igtree_distributed(inst, feature_order=order, prefix_depth=2)
+    inst.unpersist()
+    return Mblem(tree, memory)
+
+
+# --------------------------------------------------------------------------
+# MBT (POS tagger) training as a Spark job (P1 at 10.9M-token-corpus scale)
+# --------------------------------------------------------------------------
+
+def mbt_instances(sent_df: DataFrame, ambitag: dict[str, str]):
+    """Tagged-sentence DataFrame (words array, tags array) -> (known,
+    unknown) instance DataFrames. Extraction is sentence-local (training
+    contexts use GOLD previous tags, tagger_base.cxx training mode), so
+    one mapInPandas pass per base emits every windowed instance; the
+    ambitag map rides along in the UDF closure exactly like the
+    annotation-time broadcast."""
+    from frog_spark.models.mbt import BOUNDARY, _unknown_feats, _word_key
+
+    def extract(batches: Iterator[pd.DataFrame], unknown: bool) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats, cls = [], []
+            for words, tags in zip(b["words"], b["tags"]):
+                prev_tag = BOUNDARY
+                n = len(words)
+                for i in range(n):
+                    word, tag = words[i], tags[i]
+                    next_ambi = (
+                        ambitag.get(_word_key(words[i + 1]), BOUNDARY)
+                        if i + 1 < n
+                        else BOUNDARY
+                    )
+                    if unknown:
+                        if any(ch.isalnum() for ch in word):
+                            feats.append(_unknown_feats(prev_tag, word, next_ambi))
+                            cls.append(tag)
+                    else:
+                        feats.append([prev_tag, _word_key(word), next_ambi])
+                        cls.append(tag)
+                    prev_tag = tag
+            yield pd.DataFrame({"feats": pd.Series(feats, dtype=object), "cls": pd.Series(cls, dtype=object)})
+
+    schema = "feats array<string>, cls string"
+    known = sent_df.mapInPandas(lambda it: extract(it, False), schema=schema)
+    unk = sent_df.mapInPandas(lambda it: extract(it, True), schema=schema)
+    return known, unk
+
+
+def train_mbt_distributed(spark: SparkSession, sent_df: DataFrame):
+    """MBTagger trained by Spark jobs: lexicon/ambitag from one groupBy
+    over exploded (word, tag) pairs, both case bases via the partitioned
+    IGTree build with MBT's fixed feature orders (models/mbt.py:93-96).
+    The collected lexicon is the model's own broadcastable state — the
+    instance relation itself never reaches the driver."""
+    from frog_spark.models.mbt import MBTagger, _word_key
+
+    @F.pandas_udf("string")
+    def word_key(w: pd.Series) -> pd.Series:
+        return pd.Series([_word_key(x) for x in w], dtype=object)
+
+    pairs = sent_df.select(
+        F.explode(F.arrays_zip("words", "tags")).alias("p")
+    ).select(word_key(F.col("p.words")).alias("w"), F.col("p.tags").alias("t"))
+    lex_rows = pairs.groupBy("w", "t").agg(F.count("*").alias("c")).collect()
+    lexicon: dict[str, Counter] = {}
+    for r in lex_rows:
+        lexicon.setdefault(r["w"], Counter())[r["t"]] = r["c"]
+    ambitag = {w: "|".join(sorted(cnt)) for w, cnt in lexicon.items()}
+
+    known, unk = mbt_instances(sent_df, ambitag)
+    known_tree = train_igtree_distributed(known, feature_order=[1, 0, 2], prefix_depth=2)
+    unknown_tree = train_igtree_distributed(
+        unk, feature_order=[1, 4, 5, 6, 0, 2, 3, 7], prefix_depth=2
+    )
+    return MBTagger(lexicon, known_tree, unknown_tree)
+
+
+# --------------------------------------------------------------------------
+# synthetic e-Lex-scale lexicon (deterministic, generated IN Spark)
+# --------------------------------------------------------------------------
+
+_ONSETS = ["b", "d", "f", "g", "h", "k", "l", "m", "n", "p", "r", "s", "t", "v", "w", "z", "st", "sl", "kr", "br"]
+_NUCLEI = ["a", "e", "i", "o", "u", "aa", "ee", "oo", "eu", "ie", "oe", "ui", "ij"]
+_CODAS = ["k", "l", "m", "n", "p", "r", "s", "t", "g", "f", "nk", "rt", "ts", "nd"]
+
+# (surface suffix, CGN tag, lemma rule) — lemma rule: how the lemma is
+# derived from the stem, mirroring real Dutch inflection classes so the
+# suffix-window IGTree learns real edit structure
+_FORMS = [
+    ("", "N(soort,ev,basis,zijd,stan)", "stem"),          # noun sg
+    ("en", "N(soort,mv,basis)", "stem"),                  # noun pl -> stem
+    ("je", "N(soort,ev,dim,onz,stan)", "stem"),           # diminutive
+    ("en", "WW(inf,vrij,zonder)", "stem+en"),             # infinitive (identity)
+    ("t", "WW(pv,tgw,met-t)", "stem+en"),                 # 3sg present
+    ("te", "WW(pv,verl,ev)", "stem+en"),                  # past sg
+    ("ge~d", "WW(vd,vrij,zonder)", "stem+en"),            # participle ge-...-d
+    ("e", "ADJ(prenom,basis,met-e,stan)", "stem"),        # inflected adj
+]
+
+
+def synthetic_lexicon(spark: SparkSession, n_rows: int = 595_000) -> DataFrame:
+    """Deterministic (word, tag, lemma) lexicon of ``n_rows`` rows sized
+    like e-Lex (595k entries, reference/docs/source/advanced.rst:121-136),
+    generated DISTRIBUTED from spark.range — no driver loop, no files.
+    Row i maps arithmetically to (stem_idx, form_idx); stems are CVC+CVC
+    syllable pairs, forms follow real Dutch inflection classes, so the
+    trained tree faces realistic suffix->edit-rule structure."""
+    n_forms = len(_FORMS)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        on, nu, co = _ONSETS, _NUCLEI, _CODAS
+        n_syl = len(on) * len(nu) * len(co)
+        for b in batches:
+            ids = b["id"].to_numpy()
+            stem_idx = ids // n_forms
+            form_idx = ids % n_forms
+            # Knuth multiplicative hash is a bijection mod 2^31 (odd
+            # multiplier), then the hash indexes the syllable PAIR space
+            # (n_syl^2 ≈ 13.2M) — distinct stem indices map to distinct
+            # stems up to rare birthday collisions, unlike two linear
+            # congruences mod n_syl whose joint period is only n_syl
+            h = (stem_idx * 2654435761) % (1 << 31)
+            s1 = h % n_syl
+            s2 = (h // n_syl) % n_syl
+            def syl(s):
+                return [
+                    on[v // (len(nu) * len(co))]
+                    + nu[(v // len(co)) % len(nu)]
+                    + co[v % len(co)]
+                    for v in s
+                ]
+            stems = [a + b2 for a, b2 in zip(syl(s1), syl(s2))]
+            words, tags, lemmas = [], [], []
+            for st, fi in zip(stems, form_idx):
+                suf, tag, rule = _FORMS[fi]
+                if suf == "ge~d":
+                    w = "ge" + st + "d"
+                else:
+                    w = st + suf
+                words.append(w)
+                tags.append(tag)
+                lemmas.append(st + "en" if rule == "stem+en" else st)
+            yield pd.DataFrame({"word": words, "tag": tags, "lemma": lemmas})
+
+    return (
+        spark.range(n_rows)
+        .repartition(max(2, spark.sparkContext.defaultParallelism))
+        .mapInPandas(gen, schema="word string, tag string, lemma string")
+    )

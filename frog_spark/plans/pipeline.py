@@ -169,13 +169,25 @@ class FrogPipeline:
         cls,
         config: PipelineConfig | None = None,
         corpus_path: str | None = None,
+        mblem_lexicon=None,
+        pos_corpus=None,
     ) -> "FrogPipeline":
-        """Driver-side model training/loading (run_api, FrogAPI.cxx:893-1050).
+        """Model training/loading (run_api, FrogAPI.cxx:893-1050).
 
         ``corpus_path`` is the froggen analogue (SURVEY.md §2.10 O5,
         /root/reference/docs/source/advanced.rst:1-40): point it at any
         annotated corpus in the gold_corpus.tsv format to train a fresh
         model set from scratch.
+
+        Training at corpus scale is a SPARK JOB, not a driver loop:
+        pass ``mblem_lexicon`` (a DataFrame of (word, tag, lemma) rows —
+        the e-Lex shape, advanced.rst:121-136) and/or ``pos_corpus`` (a
+        DataFrame of (words array, tags array) sentences) and the MBLEM /
+        POS models are trained by the distributed trainers in
+        frog_spark.models.distributed (partitioned IGTree recursion;
+        parity with the driver trainer is test-asserted). The small
+        committed gold corpus remains the default for every component
+        not given a large-scale source.
         """
         import os
 
@@ -192,9 +204,25 @@ class FrogPipeline:
                 else cfg.ner_override_path
             )
             override = Gazetteer(load_gazetteer(p))
+        if mblem_lexicon is not None:
+            from frog_spark.models.distributed import train_mblem_distributed
+
+            mblem = train_mblem_distributed(mblem_lexicon.sparkSession, mblem_lexicon)
+        else:
+            mblem = Mblem.train(lemma_training(gold))
+        if pos_corpus is not None:
+            from frog_spark.models.distributed import train_mbt_distributed
+            from frog_spark.sources.resources import load_token_trans
+
+            tagger = PosTagger(
+                train_mbt_distributed(pos_corpus.sparkSession, pos_corpus),
+                load_token_trans(),
+            )
+        else:
+            tagger = PosTagger.train(gold)
         return cls(
-            tagger=PosTagger.train(gold),
-            mblem=Mblem.train(lemma_training(gold)),
+            tagger=tagger,
+            mblem=mblem,
             mbma=Mbma.train(morph_training(gold)),
             ner=NerTagger.train(
                 gold,
