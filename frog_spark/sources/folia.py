@@ -43,9 +43,129 @@ def _esc(col):
     return F.regexp_replace(c, '"', "&quot;")
 
 
+def _bio_span_layer(
+    tok: DataFrame, tag_col: str, layer: str, element: str
+) -> DataFrame:
+    """BIO-tagged tokens -> one `<layer>...</layer>` string per sentence.
+
+    Span grouping is the standard lag-window trick (a new span starts at
+    B-*, or at I-* after O / a different category — the same repair
+    semantics N4 applies), entirely JVM-side. Mirrors the reference's
+    span writers (ner_tagger_mod.cxx:625-702 entities,
+    iob_tagger_mod.cxx:177-264 chunking)."""
+    from pyspark.sql import Window
+
+    sw = Window.partitionBy("conv_id", "turn_idx", "sent_idx").orderBy("token_idx")
+    cat = F.substring_index(F.col(tag_col), "-", -1)
+    prev_tag = F.lag(tag_col, 1, "O").over(sw)
+    prev_cat = F.substring_index(prev_tag, "-", -1)
+    starts = (F.col(tag_col) != "O") & (
+        F.col(tag_col).startswith("B-")
+        | (prev_tag == "O")
+        | (prev_cat != cat)
+    )
+    spans = (
+        tok.withColumn("_start", starts.cast("int"))
+        .withColumn("_span", F.sum("_start").over(sw))
+        .filter(F.col(tag_col) != "O")
+        .groupBy("conv_id", "turn_idx", "sent_idx", "_span")
+        .agg(
+            F.min(F.struct("token_idx", F.substring_index(tag_col, "-", -1).alias("cat")))["cat"].alias("cat"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("token_idx", "w_id", "word"))),
+                    lambda s: F.concat(
+                        F.lit('<wref id="'), s["w_id"], F.lit('" t="'),
+                        _esc(s["word"]), F.lit('"/>'),
+                    ),
+                ),
+                "",
+            ).alias("wrefs"),
+        )
+        .withColumn(
+            "span_xml",
+            F.concat(
+                F.lit(f'<{element} class="'), _esc(F.col("cat")), F.lit('">'),
+                F.col("wrefs"), F.lit(f"</{element}>"),
+            ),
+        )
+    )
+    return spans.groupBy("conv_id", "turn_idx", "sent_idx").agg(
+        F.concat(
+            F.lit(f"<{layer}>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_span", "span_xml"))),
+                    lambda s: s["span_xml"],
+                ),
+                "",
+            ),
+            F.lit(f"</{layer}>"),
+        ).alias(f"{layer}_xml")
+    )
+
+
+def _dependency_layer(tok: DataFrame) -> DataFrame:
+    """Per-sentence `<dependencies>` layer (Parser.cxx:1220-1273).
+
+    One `<dependency class="rel">` per parse UNIT (MWU-collapsed), hd and
+    dep each holding the unit's word wrefs; a unit headed by ROOT
+    (parse_head 0) gets an empty `<hd/>` — a documented subset deviation
+    that keeps the layer round-trippable without a phantom root word."""
+    units = (
+        tok.filter((F.col("parse_head") >= 0) & (F.col("parse_role") != ""))
+        .groupBy("conv_id", "turn_idx", "sent_idx", "unit_idx")
+        .agg(
+            F.first("parse_head").alias("head_unit"),
+            F.first("parse_role").alias("role"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("token_idx", "w_id", "word"))),
+                    lambda s: F.concat(
+                        F.lit('<wref id="'), s["w_id"], F.lit('" t="'),
+                        _esc(s["word"]), F.lit('"/>'),
+                    ),
+                ),
+                "",
+            ).alias("wrefs"),
+        )
+    )
+    heads = units.select(
+        "conv_id", "turn_idx", "sent_idx",
+        F.col("unit_idx").alias("head_unit"),
+        F.col("wrefs").alias("head_wrefs"),
+    )
+    deps = (
+        units.join(heads, ["conv_id", "turn_idx", "sent_idx", "head_unit"], "left")
+        .withColumn(
+            "dep_xml",
+            F.concat(
+                F.lit('<dependency class="'), _esc(F.col("role")), F.lit('"><hd>'),
+                F.coalesce(F.col("head_wrefs"), F.lit("")),
+                F.lit("</hd><dep>"), F.col("wrefs"), F.lit("</dep></dependency>"),
+            ),
+        )
+    )
+    return deps.groupBy("conv_id", "turn_idx", "sent_idx").agg(
+        F.concat(
+            F.lit("<dependencies>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("unit_idx", "dep_xml"))),
+                    lambda s: s["dep_xml"],
+                ),
+                "",
+            ),
+            F.lit("</dependencies>"),
+        ).alias("dependencies_xml")
+    )
+
+
 def folia_xml(annotated: DataFrame) -> DataFrame:
     """Annotated token rows -> one FoLiA document string per turn.
-    Output: (conv_id, turn_idx, folia).
+    Output: (conv_id, turn_idx, folia). Emits the full layer set the
+    reference writes: per-word pos/lemma/morphology plus per-sentence
+    entities, chunking, and dependencies span layers.
     """
     doc_id = F.concat_ws(".", F.col("conv_id"), F.col("turn_idx").cast("string"))
     w_id = F.concat_ws(
@@ -61,11 +181,17 @@ def folia_xml(annotated: DataFrame) -> DataFrame:
         F.lit('"/><morphology class="'), _esc(F.col("morph")),
         F.lit('"/></w>'),
     )
+    tok = annotated.select(
+        "conv_id", "turn_idx", "sent_idx", "token_idx", "word",
+        "ner_tag", "chunk_tag", "unit_idx", "parse_head", "parse_role",
+        w_id.alias("w_id"), w_xml.alias("w_xml"),
+    )
+    ents = _bio_span_layer(tok, "ner_tag", "entities", "entity")
+    chunks = _bio_span_layer(tok, "chunk_tag", "chunking", "chunk")
+    deps = _dependency_layer(tok)
+    keys = ["conv_id", "turn_idx", "sent_idx"]
     sents = (
-        annotated.select(
-            "conv_id", "turn_idx", "sent_idx", "token_idx", w_xml.alias("w_xml")
-        )
-        .groupBy("conv_id", "turn_idx", "sent_idx")
+        tok.groupBy(*keys)
         .agg(
             F.array_join(
                 F.transform(
@@ -75,6 +201,9 @@ def folia_xml(annotated: DataFrame) -> DataFrame:
                 "",
             ).alias("s_body")
         )
+        .join(ents, keys, "left")
+        .join(chunks, keys, "left")
+        .join(deps, keys, "left")
         .select(
             "conv_id",
             "turn_idx",
@@ -86,7 +215,11 @@ def folia_xml(annotated: DataFrame) -> DataFrame:
                     F.col("conv_id"), F.col("turn_idx").cast("string"),
                     F.lit("s"), F.col("sent_idx").cast("string"),
                 ),
-                F.lit('">'), F.col("s_body"), F.lit("</s>"),
+                F.lit('">'), F.col("s_body"),
+                F.coalesce(F.col("entities_xml"), F.lit("")),
+                F.coalesce(F.col("chunking_xml"), F.lit("")),
+                F.coalesce(F.col("dependencies_xml"), F.lit("")),
+                F.lit("</s>"),
             ).alias("s_xml"),
         )
     )
@@ -173,3 +306,73 @@ def parse_folia(folia_df: DataFrame) -> DataFrame:
                 yield pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
 
     return folia_df.mapInPandas(run, schema=_PARSED_SCHEMA)
+
+
+_SPAN_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("sent_idx", IntegerType(), False),
+        StructField("layer", StringType(), False),  # entity | chunk | dependency
+        StructField("cls", StringType(), False),
+        StructField("span_start", IntegerType(), False),  # token_idx of first dep/span wref
+        StructField("span_end", IntegerType(), False),
+        StructField("head_start", IntegerType(), True),  # dependencies only; null = ROOT
+    ]
+)
+
+
+def _tok_of(wref_id: str) -> int:
+    # w_id = <doc>.s.<sent>.w.<tok>
+    return int(wref_id.rsplit(".", 1)[1])
+
+
+def parse_folia_spans(folia_df: DataFrame) -> DataFrame:
+    """Parse the entities / chunking / dependencies layers back out of
+    FoLiA documents (round-trip counterpart of the span writers; the
+    reference reads these layers through libfolia in run_folia_engine).
+    Output: one row per span / dependency."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
+        ns = {"f": FOLIA_NS}
+        for b in batches:
+            rows = []
+            for conv_id, turn_idx, xml_str in zip(
+                b["conv_id"], b["turn_idx"], b["folia"]
+            ):
+                root = ET.fromstring(xml_str)
+                for si, s in enumerate(root.iterfind(".//f:s", ns)):
+                    for layer, el in (("entity", "f:entities/f:entity"),
+                                      ("chunk", "f:chunking/f:chunk")):
+                        for span in s.iterfind(el, ns):
+                            toks = [
+                                _tok_of(w.get("id"))
+                                for w in span.iterfind("f:wref", ns)
+                            ]
+                            rows.append(
+                                (conv_id, int(turn_idx), si, layer,
+                                 span.get("class", ""), min(toks), max(toks), None)
+                            )
+                    for dep in s.iterfind("f:dependencies/f:dependency", ns):
+                        dtoks = [
+                            _tok_of(w.get("id"))
+                            for w in dep.iterfind("f:dep/f:wref", ns)
+                        ]
+                        htoks = [
+                            _tok_of(w.get("id"))
+                            for w in dep.iterfind("f:hd/f:wref", ns)
+                        ]
+                        rows.append(
+                            (conv_id, int(turn_idx), si, "dependency",
+                             dep.get("class", ""), min(dtoks), max(dtoks),
+                             min(htoks) if htoks else None)
+                        )
+            cols = [f.name for f in _SPAN_SCHEMA.fields]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            else:
+                yield pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+
+    return folia_df.mapInPandas(run, schema=_SPAN_SCHEMA)

@@ -348,6 +348,52 @@ def test_folia_roundtrip(spark, pipeline):
     }
     assert got == orig
 
+    # full layer set (S8): entities, chunking, dependencies survive too
+    from frog_spark.kg.triples import entity_spans
+    from frog_spark.sources.folia import parse_folia_spans
+
+    spans = parse_folia_spans(docs).collect()
+    got_ents = {
+        (r["conv_id"], r["turn_idx"], r["sent_idx"], r["cls"], r["span_start"], r["span_end"])
+        for r in spans if r["layer"] == "entity"
+    }
+    want_ents = {
+        (r["conv_id"], r["turn_idx"], r["sent_idx"], r["ner_cat"], r["start"], r["end"])
+        for r in entity_spans(ann).collect()
+    }
+    assert got_ents == want_ents and len(want_ents) > 0
+
+    got_chunks = {k for k in spans if k["layer"] == "chunk"}
+    assert len(got_chunks) > 0
+    # chunk spans reconstruct the BIO runs of the original tags
+    bio = {}
+    for r in ann.select("conv_id", "turn_idx", "sent_idx", "token_idx", "chunk_tag").collect():
+        bio[(r["conv_id"], r["turn_idx"], r["sent_idx"], r["token_idx"])] = r["chunk_tag"]
+    for r in got_chunks:
+        first = bio[(r["conv_id"], r["turn_idx"], r["sent_idx"], r["span_start"])]
+        assert first.endswith(r["cls"])
+
+    # dependencies: every unit's (head_first_token, role) survives
+    unit_first = {}
+    for r in ann.select("conv_id", "turn_idx", "sent_idx", "token_idx", "unit_idx",
+                        "parse_head", "parse_role").collect():
+        k = (r["conv_id"], r["turn_idx"], r["sent_idx"], r["unit_idx"])
+        if k not in unit_first or r["token_idx"] < unit_first[k][0]:
+            unit_first[k] = (r["token_idx"], r["parse_head"], r["parse_role"])
+    want_deps = set()
+    by_sent_first = {}
+    for (c, t, si, u), (tok0, head, role) in unit_first.items():
+        by_sent_first[(c, t, si, u)] = tok0
+    for (c, t, si, u), (tok0, head, role) in unit_first.items():
+        if head >= 0 and role:
+            head_tok = by_sent_first.get((c, t, si, head)) if head > 0 else None
+            want_deps.add((c, t, si, role, tok0, head_tok))
+    got_deps = {
+        (r["conv_id"], r["turn_idx"], r["sent_idx"], r["cls"], r["span_start"], r["head_start"])
+        for r in spans if r["layer"] == "dependency"
+    }
+    assert got_deps == want_deps and len(want_deps) > 0
+
 
 def test_streaming_windowed_turn_counts(spark, tmp_path):
     """S3: watermarked tumbling-window aggregation over a turn stream;
