@@ -596,8 +596,10 @@ def _gazetteer_spans_sql() -> str:
         QUALIFY n = max(n) OVER (PARTITION BY doc_id, pos)
         ORDER BY doc_id, pos, cat
     """
-_NL = "['de','het','een','en','van','ik','je','dat','niet','op']"
-_EN = "['the','a','an','and','of','i','you','that','not','on','is']"
+from frog_spark.functions.langmarkers import EN_MARKERS, NL_MARKERS, sql_list
+
+_NL = sql_list(NL_MARKERS)
+_EN = sql_list(EN_MARKERS)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -11,9 +11,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# tiny high-frequency stopword sets (n-gram heuristic language ID)
-NL_STOP = ["de", "het", "een", "en", "van", "ik", "je", "dat", "niet", "op"]
-EN_STOP = ["the", "a", "an", "and", "of", "i", "you", "that", "not", "on", "is"]
+# the single shared marker table (functions/langmarkers.py) — the DuckDB
+# oracle SQL is generated from the same lists, so they cannot drift
+from frog_spark.functions.langmarkers import EN_MARKERS as EN_STOP
+from frog_spark.functions.langmarkers import NL_MARKERS as NL_STOP
 
 
 def _words(text_col: Column) -> Column:

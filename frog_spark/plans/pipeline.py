@@ -77,13 +77,16 @@ class PipelineConfig:
             self.do_parse = False  # parser requires MWU (FrogAPI.cxx:470-533)
 
 
-# marker sets kept disjoint ACROSS languages: words that exist in both
-# (is, of, in) appear in neither list, or Dutch sentences leak to 'en'
-_NL_STOP = {
-    "de", "het", "een", "en", "van", "ik", "je", "dat", "niet", "op",
-    "om", "te", "met", "hij", "zijn", "naar", "voor", "bij",
-}
-_EN_STOP = {"the", "an", "and", "you", "that", "not", "this", "with", "are", "for"}
+from frog_spark.functions.langmarkers import (
+    EN_SENTENCE_ONLY,
+    NL_MARKERS,
+    NL_SENTENCE_EXTRA,
+)
+
+# sentence-gate variants of the shared marker table (see langmarkers.py
+# for why the sentence gate uses a wider NL set and a narrower EN set)
+_NL_STOP = set(NL_MARKERS) | set(NL_SENTENCE_EXTRA)
+_EN_STOP = set(EN_SENTENCE_ONLY)
 
 
 def _detect_lang(words: list[str]) -> str:
