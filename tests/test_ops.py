@@ -461,3 +461,24 @@ def test_streaming_windowed_turn_counts(spark, tmp_path):
     # append mode only emits windows the watermark has closed; every
     # emitted window must match the batch result, and most windows close
     assert got and all(want[k] == v for k, v in got.items())
+
+
+def test_dedup_queries_leave_no_cached_relations(spark):
+    """Cache-lifetime hygiene (VERDICT r2 #3): the round-3 dedup shapes
+    persist nothing, and distributed training unpersists what it caches —
+    a long-lived driver running many calls must not accumulate storage."""
+    from frog_spark.models.distributed import synthetic_lexicon, train_mblem_distributed
+    from frog_spark.operators.dedup import (
+        embedding_dup_pairs,
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ngram_jaccard_pairs(docs).count()
+    minhash_dedup_pairs(docs).count()
+    embedding_dup_pairs(emb, id_col="vec_id", threshold=0.999).count()
+    train_mblem_distributed(spark, synthetic_lexicon(spark, 500))
+    cached = spark.sparkContext._jsc.getPersistentRDDs()
+    assert cached.size() == 0, f"{cached.size()} cached RDDs leaked"
