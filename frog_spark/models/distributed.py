@@ -48,6 +48,8 @@ __all__ = [
     "train_igtree_distributed",
     "mblem_instances",
     "train_mblem_distributed",
+    "mbma_word_rows",
+    "train_mbma_distributed",
     "synthetic_lexicon",
 ]
 
@@ -343,6 +345,94 @@ def train_mbt_distributed(spark: SparkSession, sent_df: DataFrame):
 
 
 # --------------------------------------------------------------------------
+# MBMA training as a Spark job (M2 at CELEX scale — 3.2M instances,
+# reference advanced.rst:182-191)
+# --------------------------------------------------------------------------
+
+def mbma_word_rows(lexicon: DataFrame) -> DataFrame:
+    """(word, tag, morph) rows -> per-word training rows via the SAME
+    rule the driver trainer applies (Mbma.train_word_row: class
+    synthesis + full rule-engine round-trip verification, all row-local
+    Python inside Arrow batches). Output: (kind 'mem'|'exc', key,
+    classes array — engine classes for mem, [morph] for exc)."""
+    from frog_spark.operators.morpho import Mbma
+
+    one_per_word = (
+        lexicon.groupBy("word")
+        .agg(F.min(F.struct("tag", "morph")).alias("tm"))
+        .select("word", F.col("tm.tag").alias("tag"), F.col("tm.morph").alias("morph"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            kinds, keys, payloads = [], [], []
+            seen: set[str] = set()  # per-batch; global dedup done above
+            for word, tag, morph in zip(b["word"], b["tag"], b["morph"]):
+                row = Mbma.train_word_row(word, tag, morph, seen)
+                if row is None:
+                    continue
+                kind, key, payload = row
+                kinds.append(kind)
+                keys.append(key)
+                payloads.append(payload if kind == "mem" else [payload])
+            yield pd.DataFrame(
+                {
+                    "kind": pd.Series(kinds, dtype=object),
+                    "key": pd.Series(keys, dtype=object),
+                    "classes": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return one_per_word.mapInPandas(
+        run, schema="kind string, key string, classes array<string>"
+    )
+
+
+def train_mbma_distributed(spark: SparkSession, lexicon: DataFrame):
+    """Full Mbma from a (word, tag, morph) lexicon DataFrame.
+
+    Class synthesis + rule-engine round-trip run distributed
+    (mbma_word_rows); the per-char 6+1+6 instance windows explode in a
+    second Arrow pass; the IGTree builds via the partitioned recursion
+    with MBMA's center-out feature order. Deviation from the driver
+    trainer: duplicate surface words resolve by min(tag, morph) instead
+    of input order (a distributed input has no first-seen order)."""
+    from frog_spark.operators.morpho import CONTEXT, PAD, Mbma
+
+    rows = mbma_word_rows(lexicon).persist(StorageLevel.MEMORY_AND_DISK)
+    mem_pdf = rows.filter(F.col("kind") == "mem").select("key", "classes").toPandas()
+    memory = {k: list(v) for k, v in zip(mem_pdf["key"], mem_pdf["classes"])}
+    exc_pdf = rows.filter(F.col("kind") == "exc").select("key", "classes").toPandas()
+    exceptions: dict[str, tuple[str, str]] = {}
+    for k, v in zip(exc_pdf["key"], exc_pdf["classes"]):
+        exceptions[k] = (v[0], "0")
+        exceptions[k.lower()] = (v[0], "0")
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        span = 2 * CONTEXT + 1
+        for b in batches:
+            feats, cls = [], []
+            for base, classes in zip(b["key"], b["classes"]):
+                lb = base.lower()
+                padded = PAD * CONTEXT + lb + PAD * CONTEXT
+                for i, c in enumerate(classes):
+                    feats.append(list(padded[i : i + span]))
+                    cls.append(c)
+            yield pd.DataFrame(
+                {"feats": pd.Series(feats, dtype=object), "cls": pd.Series(cls, dtype=object)}
+            )
+
+    inst = rows.filter(F.col("kind") == "mem").mapInPandas(
+        windows, schema="feats array<string>, cls string"
+    )
+    tree = train_igtree_distributed(
+        inst, feature_order=Mbma.feature_order(), prefix_depth=2
+    )
+    rows.unpersist()
+    return Mbma(tree, memory, exceptions)
+
+
+# --------------------------------------------------------------------------
 # synthetic e-Lex-scale lexicon (deterministic, generated IN Spark)
 # --------------------------------------------------------------------------
 
@@ -350,18 +440,18 @@ _ONSETS = ["b", "d", "f", "g", "h", "k", "l", "m", "n", "p", "r", "s", "t", "v",
 _NUCLEI = ["a", "e", "i", "o", "u", "aa", "ee", "oo", "eu", "ie", "oe", "ui", "ij"]
 _CODAS = ["k", "l", "m", "n", "p", "r", "s", "t", "g", "f", "nk", "rt", "ts", "nd"]
 
-# (surface suffix, CGN tag, lemma rule) — lemma rule: how the lemma is
-# derived from the stem, mirroring real Dutch inflection classes so the
-# suffix-window IGTree learns real edit structure
+# (surface suffix, CGN tag, lemma rule, morph segmentation) — mirroring
+# real Dutch inflection classes so both the suffix-window MBLEM tree and
+# the char-window MBMA tree learn real edit/segmentation structure
 _FORMS = [
-    ("", "N(soort,ev,basis,zijd,stan)", "stem"),          # noun sg
-    ("en", "N(soort,mv,basis)", "stem"),                  # noun pl -> stem
-    ("je", "N(soort,ev,dim,onz,stan)", "stem"),           # diminutive
-    ("en", "WW(inf,vrij,zonder)", "stem+en"),             # infinitive (identity)
-    ("t", "WW(pv,tgw,met-t)", "stem+en"),                 # 3sg present
-    ("te", "WW(pv,verl,ev)", "stem+en"),                  # past sg
-    ("ge~d", "WW(vd,vrij,zonder)", "stem+en"),            # participle ge-...-d
-    ("e", "ADJ(prenom,basis,met-e,stan)", "stem"),        # inflected adj
+    ("", "N(soort,ev,basis,zijd,stan)", "stem", ["stem"]),          # noun sg
+    ("en", "N(soort,mv,basis)", "stem", ["stem", "en"]),            # noun pl
+    ("je", "N(soort,ev,dim,onz,stan)", "stem", ["stem", "je"]),     # diminutive
+    ("en", "WW(inf,vrij,zonder)", "stem+en", ["stem", "en"]),       # infinitive
+    ("t", "WW(pv,tgw,met-t)", "stem+en", ["stem", "t"]),            # 3sg present
+    ("te", "WW(pv,verl,ev)", "stem+en", ["stem", "te"]),            # past sg
+    ("ge~d", "WW(vd,vrij,zonder)", "stem+en", ["ge", "stem", "d"]), # participle
+    ("e", "ADJ(prenom,basis,met-e,stan)", "stem", ["stem", "e"]),   # inflected adj
 ]
 
 
@@ -399,9 +489,9 @@ def synthetic_lexicon(spark: SparkSession, n_rows: int = 595_000) -> DataFrame:
                     for v in s
                 ]
             stems = [a + b2 for a, b2 in zip(syl(s1), syl(s2))]
-            words, tags, lemmas = [], [], []
+            words, tags, lemmas, morphs = [], [], [], []
             for st, fi in zip(stems, form_idx):
-                suf, tag, rule = _FORMS[fi]
+                suf, tag, rule, segs = _FORMS[fi]
                 if suf == "ge~d":
                     w = "ge" + st + "d"
                 else:
@@ -409,10 +499,13 @@ def synthetic_lexicon(spark: SparkSession, n_rows: int = 595_000) -> DataFrame:
                 words.append(w)
                 tags.append(tag)
                 lemmas.append(st + "en" if rule == "stem+en" else st)
-            yield pd.DataFrame({"word": words, "tag": tags, "lemma": lemmas})
+                morphs.append("".join(f"[{st if p == 'stem' else p}]" for p in segs))
+            yield pd.DataFrame(
+                {"word": words, "tag": tags, "lemma": lemmas, "morph": morphs}
+            )
 
     return (
         spark.range(n_rows)
         .repartition(max(2, spark.sparkContext.defaultParallelism))
-        .mapInPandas(gen, schema="word string, tag string, lemma string")
+        .mapInPandas(gen, schema="word string, tag string, lemma string, morph string")
     )

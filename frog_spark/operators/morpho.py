@@ -131,59 +131,81 @@ class Mbma:
         string exactly go to the exceptions table instead (guaranteeing
         gold parity regardless of engine corner cases).
         """
-        from frog_spark.operators.tagger import unifilter
-
         memory: dict[str, list[str]] = {}
         exceptions: dict[str, tuple[str, str]] = {}
         instances: list[list[str]] = []
         classes_out: list[str] = []
         seen: set[str] = set()
         for word, tag, morph in triples:
-            head = tag.split("(", 1)[0]
-            if head in ("LET", "SPEC"):
-                continue  # pass-through at inference (M8)
-            w = unifilter("".join(word.split()))
-            if w in seen:
+            row = cls.train_word_row(word, tag, morph, seen)
+            if row is None:
                 continue
-            seen.add(w)
-            celex = mr.TAG_MAIN.get(head)
-            if celex is None or celex in ("SPEC", "LET"):
-                continue
-            segs = parse_segmentation(morph)
-            joined = "".join(segs)
-            if joined == w:
-                base = w
-                char_classes = synthesize_classes(base, segs, celex)
-            elif joined == w.lower():
-                base = w.lower()
-                char_classes = synthesize_classes(base, segs, celex)
-            elif len(segs) == 1 and w:
-                # non-surface analysis (is -> [zijn]): one replace edit
-                base = w.lower()
-                char_classes = ["0"] * len(base)
-                char_classes[0] = f"{celex}+R{segs[0]}>{base}"
+            kind, key, payload = row
+            if kind == "exc":
+                exceptions[key] = (payload, "0")
+                exceptions[key.lower()] = (payload, "0")
             else:
-                exceptions[w] = (morph, "0")
-                exceptions[w.lower()] = (morph, "0")
-                continue
-            # round-trip verification through the engine
-            feats_str = tag.split("(", 1)[1].rstrip(")") if "(" in tag else ""
-            feats = [f for f in feats_str.split(",") if f]
-            got, _ = cls._run_engine(base, char_classes, head, feats, "")
-            if got != morph:
-                exceptions[w] = (morph, "0")
-                exceptions[w.lower()] = (morph, "0")
-                continue
-            memory[base] = char_classes
-            lb = base.lower()
-            for inst, c in zip(_instances(lb), char_classes):
-                instances.append(inst)
-                classes_out.append(c)
+                memory[key] = payload
+                for inst, c in zip(_instances(key.lower()), payload):
+                    instances.append(inst)
+                    classes_out.append(c)
+        tree = IGTree.train(
+            instances, classes_out, feature_order=cls.feature_order()
+        )
+        return cls(tree, memory, exceptions)
+
+    @staticmethod
+    def feature_order() -> list[int]:
+        """Center-out fixed order for the 6+1+6 char window."""
         order = [CONTEXT]
         for d in range(1, CONTEXT + 1):
             order += [CONTEXT - d, CONTEXT + d]
-        tree = IGTree.train(instances, classes_out, feature_order=order)
-        return cls(tree, memory, exceptions)
+        return order
+
+    @classmethod
+    def train_word_row(
+        cls, word: str, tag: str, morph: str, seen: set[str]
+    ) -> tuple[str, str, object] | None:
+        """One lexicon row -> ("mem", base, char_classes) for a
+        round-trip-verified analysis, ("exc", w, morph) for the
+        exceptions table, or None (skipped). The SINGLE per-word
+        training rule, shared by the driver trainer above and the
+        distributed trainer (models/distributed.train_mbma_distributed)
+        so both produce identical memory/instances."""
+        from frog_spark.operators.tagger import unifilter
+
+        head = tag.split("(", 1)[0]
+        if head in ("LET", "SPEC"):
+            return None  # pass-through at inference (M8)
+        w = unifilter("".join(word.split()))
+        if w in seen:
+            return None
+        seen.add(w)
+        celex = mr.TAG_MAIN.get(head)
+        if celex is None or celex in ("SPEC", "LET"):
+            return None
+        segs = parse_segmentation(morph)
+        joined = "".join(segs)
+        if joined == w:
+            base = w
+            char_classes = synthesize_classes(base, segs, celex)
+        elif joined == w.lower():
+            base = w.lower()
+            char_classes = synthesize_classes(base, segs, celex)
+        elif len(segs) == 1 and w:
+            # non-surface analysis (is -> [zijn]): one replace edit
+            base = w.lower()
+            char_classes = ["0"] * len(base)
+            char_classes[0] = f"{celex}+R{segs[0]}>{base}"
+        else:
+            return ("exc", w, morph)
+        # round-trip verification through the engine
+        feats_str = tag.split("(", 1)[1].rstrip(")") if "(" in tag else ""
+        feats = [f for f in feats_str.split(",") if f]
+        got, _ = cls._run_engine(base, char_classes, head, feats, "")
+        if got != morph:
+            return ("exc", w, morph)
+        return ("mem", base, char_classes)
 
     @staticmethod
     def _run_engine(

@@ -95,6 +95,25 @@ def main() -> None:
     }
     print("single-node 74k (tree build only):", out["single_node_74k_tree_only"], flush=True)
 
+    # -- MBMA at CELEX scale: ~3.2M char-window instances ------------------
+    # (the reference's mbma.igtree trains on 3,179,331 instances,
+    # advanced.rst:182-191; ~8.6 chars/word -> ~375k words gets there)
+    from frog_spark.models.distributed import train_mbma_distributed
+
+    lex_m = synthetic_lexicon(spark, n_rows=430_000)
+    t0 = time.time()
+    mbma = train_mbma_distributed(spark, lex_m)
+    n_inst = sum(len(v) for v in mbma.memory.values())
+    out["mbma_distributed_celex_scale"] = {
+        "lexicon_rows": 430_000,
+        "memory_words": len(mbma.memory),
+        "char_instances": n_inst,
+        "wall_sec": round(time.time() - t0, 2),
+        "driver_peak_rss_mb": round(rss_mb(), 1),
+        "tree_nodes": mbma.tree.node_count(),
+    }
+    print("mbma distributed (CELEX scale):", out["mbma_distributed_celex_scale"], flush=True)
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "BENCH", "training_scale.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

@@ -144,3 +144,36 @@ def test_pipeline_consumes_distributed_models(spark):
     assert len(pipe.mblem.memory) > 100
     ann = annotate_transcripts(spark, transcripts_df(spark, n_turns=12), pipe)
     assert ann.count() > 0
+
+
+def test_mbma_distributed_matches_driver(spark):
+    """Distributed MBMA training reproduces the driver trainer exactly
+    (same memory map, exceptions, and trie) when the input has one row
+    per word — the only documented deviation is duplicate-word
+    resolution order, removed here by pre-deduplicating."""
+    from frog_spark.models.distributed import train_mbma_distributed
+    from frog_spark.operators.morpho import Mbma
+
+    lex = synthetic_lexicon(spark, n_rows=3000)
+    pdf = lex.toPandas().sort_values(["word", "tag", "morph"])
+    pdf = pdf.drop_duplicates("word", keep="first")
+    triples = list(zip(pdf["word"], pdf["tag"], pdf["morph"]))
+    want = Mbma.train(triples)
+    got = train_mbma_distributed(spark, lex)
+    assert got.memory == want.memory
+    assert got.exceptions == want.exceptions
+    assert got.tree.node_count() == want.tree.node_count()
+    assert _tree_equal(got.tree.root, want.tree.root)
+
+
+def test_mbma_distributed_analyzes(spark):
+    """The Spark-trained MBMA segments unseen inflections of seen-ish
+    stems via the char-window tree."""
+    from frog_spark.models.distributed import train_mbma_distributed
+
+    mbma = train_mbma_distributed(spark, synthetic_lexicon(spark, 20000))
+    assert len(mbma.memory) > 1000
+    # a trained word reproduces its gold segmentation from memory
+    k = sorted(mbma.memory)[0]
+    morph, _ = mbma.analyze(k, "N(soort,ev,basis,zijd,stan)", "")
+    assert morph.startswith("[")
