@@ -71,6 +71,13 @@ class PipelineConfig:
     ner_override_path: str | None = "default"
     ner_override_unconditional: bool = True
     ner_override_only_n_spec: bool = False
+    # lexical-substitution training augmentation (sources/augment.py),
+    # OFF by default: measured on the external held-out protocol it
+    # trades recall for precision (original-replication needed for
+    # training-set parity deepens the pairs classifier's "no relation"
+    # majority; BENCH/BASELINE.md) — kept as an opt-in lever for larger
+    # corpora where parity-by-replication is unnecessary.
+    augment_variants: int = 0
 
     def __post_init__(self) -> None:
         if self.do_parse and not self.do_mwu:
@@ -198,6 +205,10 @@ class FrogPipeline:
 
         cfg = config or PipelineConfig()
         gold = load_gold_corpus(corpus_path)
+        if cfg.augment_variants > 0:
+            from frog_spark.sources.augment import augment_gold
+
+            gold = augment_gold(gold, n_variants=cfg.augment_variants)
         gaz = Gazetteer(load_gazetteer())
         override = None
         if cfg.ner_override_path is not None:
