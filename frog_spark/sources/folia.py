@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     StringType,
@@ -306,6 +307,65 @@ def parse_folia(folia_df: DataFrame) -> DataFrame:
                 yield pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
 
     return folia_df.mapInPandas(run, schema=_PARSED_SCHEMA)
+
+
+_CORRECTED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("sent_idx", IntegerType(), False),
+        StructField("token_idx", IntegerType(), False),  # post-correction index
+        StructField("word", StringType(), False),
+        StructField("token_class", StringType(), False),
+        StructField("corrected", BooleanType(), False),
+        StructField("original", StringType(), True),  # pre-split word when corrected
+    ]
+)
+
+
+def correct_folia_words(folia_df: DataFrame) -> DataFrame:
+    """T4 word correction (UctoTokenizer::correct_words,
+    /root/reference/src/ucto_tokenizer_mod.cxx:756-775): a pre-tokenized
+    FoLiA document may contain words the tokenizer would split further
+    ("gisteren?" -> "gisteren" + "?"); re-run the rule tokenizer on every
+    <w> and emit the corrected token stream, flagging split tokens with
+    their original — the relational analogue of the reference's FoLiA
+    <correction><new> records. Row-local (mapInPandas over documents)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
+        from frog_spark.operators.tokenizer import tokenize_text
+
+        ns = {"f": FOLIA_NS}
+        for b in batches:
+            rows = []
+            for conv_id, turn_idx, xml_str in zip(
+                b["conv_id"], b["turn_idx"], b["folia"]
+            ):
+                root = ET.fromstring(xml_str)
+                for si, s in enumerate(root.iterfind(".//f:s", ns)):
+                    ti = 0
+                    for w in s.iterfind("f:w", ns):
+                        surface = w.findtext("f:t", "", ns)
+                        toks = tokenize_text(surface)
+                        split = len(toks) > 1
+                        for tok in toks:
+                            rows.append(
+                                (
+                                    conv_id, int(turn_idx), si, ti,
+                                    tok.word, tok.token_class,
+                                    split, surface if split else None,
+                                )
+                            )
+                            ti += 1
+            cols = [f.name for f in _CORRECTED_SCHEMA.fields]
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            else:
+                yield pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+
+    return folia_df.mapInPandas(run, schema=_CORRECTED_SCHEMA)
 
 
 _SPAN_SCHEMA = StructType(

@@ -485,3 +485,26 @@ def test_dedup_queries_leave_no_cached_relations(spark):
     # delta-based: other tests' session fixtures may hold caches of
     # their own; THESE calls must add none
     assert after == before, f"{after - before} cached RDDs leaked"
+
+
+def test_folia_word_correction(spark, pipeline):
+    """T4 (correct_words, ucto_tokenizer_mod.cxx:756-775): a FoLiA doc
+    whose <w> elements are under-tokenized gets a corrected token stream
+    with the original word recorded on every split token."""
+    from frog_spark.sources.folia import FOLIA_NS, correct_folia_words
+
+    doc = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        f'<FoLiA xmlns="{FOLIA_NS}" xml:id="c.0" version="2.5"><text><p>'
+        '<s xml:id="c.0.s.0">'
+        '<w xml:id="c.0.s.0.w.0"><t>Dit</t></w>'
+        '<w xml:id="c.0.s.0.w.1"><t>klopt</t></w>'
+        '<w xml:id="c.0.s.0.w.2"><t>gisteren?</t></w>'
+        "</s></p></text></FoLiA>"
+    )
+    df = spark.createDataFrame([("c", 0, doc)], "conv_id string, turn_idx int, folia string")
+    out = correct_folia_words(df).orderBy("token_idx").collect()
+    assert [r["word"] for r in out] == ["Dit", "klopt", "gisteren", "?"]
+    assert [r["corrected"] for r in out] == [False, False, True, True]
+    assert out[2]["original"] == "gisteren?" and out[3]["original"] == "gisteren?"
+    assert out[3]["token_class"] == "PUNCTUATION"
