@@ -354,6 +354,22 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("a", "b", F.round("cosine", 6).alias("cosine")).orderBy("a", "b")
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters -> canonical doc per cluster (the
+    keep-one-per-cluster step a real dedup pipeline ends with)."""
+    from frog_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.7)
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
+def _txt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frog_spark.operators.dedup import split_assign
+
+    return split_assign(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def _sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -548,6 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
+        "dedup_clusters": _dedup_clusters,
+        "txt_split": _txt_split,
         "dedup_embedding": _dedup_embedding,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_ivf_topk": _sim_ivf_topk,
@@ -908,6 +926,54 @@ def oracle_sql() -> dict[str, str]:
             FROM sims x JOIN sims y ON x.id < y.id
             WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
             ORDER BY a, b
+        """,
+        # dedup_clusters: connected components over the EXACT J>=0.7
+        # pair set (same oracle basis as dedup_minhash) via a recursive
+        # reachability CTE; canonical = min id in the component.
+        "dedup_clusters": f"""
+            WITH RECURSIVE norm AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            g0 AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              range(1, greatest(len(words) - 2, 0) + 1),
+                              i -> array_to_string(words[i:i+2], ' '))) AS grams
+                   FROM norm),
+            g AS (SELECT doc_id AS id, unnest(grams) AS ngram FROM g0),
+            sizes AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
+            inter AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+                      FROM g x JOIN g y ON x.ngram = y.ngram AND x.id < y.id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT a, b FROM inter
+                      JOIN sizes sa ON sa.id = a
+                      JOIN sizes sb ON sb.id = b
+                      WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.7),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            ),
+            comp AS (SELECT src AS id, least(src, min(dst)) AS canonical
+                     FROM reach GROUP BY src),
+            labeled AS (SELECT d.doc_id,
+                               coalesce(c.canonical, d.doc_id) AS canonical_id
+                        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+            csz AS (SELECT canonical_id, count(*) AS cluster_size
+                    FROM labeled GROUP BY canonical_id)
+            SELECT l.doc_id, l.canonical_id, s.cluster_size
+            FROM labeled l JOIN csz s USING (canonical_id)
+            ORDER BY doc_id
+        """,
+        # txt_split: md5-of-id bucketing, the same cross-engine hash
+        # construction the simhash oracle relies on
+        "txt_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+                  FROM documents)
+            ORDER BY doc_id
         """,
         "kg_gazetteer_spans": _gazetteer_spans_sql(),
         # kg_* (annotation-derived): the per-sentence NLP (MBT tagging,

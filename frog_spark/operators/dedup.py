@@ -234,6 +234,62 @@ def minhash_dedup_pairs(
     return _verify_jaccard(cands, d, threshold)
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs -> one canonical document per CLUSTER.
+
+    A real training-data pipeline doesn't stop at pairs: transitive
+    duplicates (A~B, B~C) must collapse to one kept document. Connected
+    components (min-label propagation, kg/canonicalize.py — the same
+    machinery that canonicalizes KG entities) assign every paired doc
+    its cluster's minimum id; unpaired docs are their own canonical.
+    Output: (doc_id, canonical_id, cluster_size) for EVERY input doc —
+    filter canonical_id == doc_id for the keep-set."""
+    from frog_spark.kg.canonicalize import connected_components
+
+    comp = connected_components(pairs, src="a", dst="b")
+    labeled = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("canonical_id", F.coalesce("component", F.col("doc_id")))
+        .select("doc_id", "canonical_id")
+    )
+    sizes = labeled.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "canonical_id").select(
+        "doc_id", "canonical_id", "cluster_size"
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (90, 5, 5),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    The bucket is derived from the md5 of the id's STRING form (the same
+    cross-engine-reproducible construction simhash64 uses), so the split
+    is stable across runs, engines, partitionings and cluster sizes —
+    the property that matters when a 100-TB corpus is re-split
+    incrementally. Output: (id, split)."""
+    total = sum(weights)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(total),
+    )
+    split = (
+        F.when(bucket < weights[0], "train")
+        .when(bucket < weights[0] + weights[1], "val")
+        .otherwise("test")
+    )
+    return df.select(F.col(id_col), split.alias("split"))
+
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 — cross-engine reproducible
 
 

@@ -508,3 +508,21 @@ def test_folia_word_correction(spark, pipeline):
     assert [r["corrected"] for r in out] == [False, False, True, True]
     assert out[2]["original"] == "gisteren?" and out[3]["original"] == "gisteren?"
     assert out[3]["token_class"] == "PUNCTUATION"
+
+
+def test_dedup_clusters_and_split(spark):
+    """Transitive dup clusters collapse to the min id; the hash split is
+    deterministic and roughly proportioned."""
+    from frog_spark.operators.dedup import dedup_clusters, split_assign
+
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(8)], "doc_id int, text string")
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (2, 6)], "a int, b int")
+    out = {r["doc_id"]: (r["canonical_id"], r["cluster_size"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert out[1] == (1, 3) and out[3] == (1, 3) and out[5] == (1, 3)
+    assert out[2] == (2, 2) and out[6] == (2, 2)
+    assert out[0] == (0, 1) and out[7] == (7, 1)
+
+    s1 = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in split_assign(docs.repartition(5)).collect()}
+    assert s1 == s2  # partitioning-independent
+    assert set(s1.values()) <= {"train", "val", "test"}
