@@ -370,6 +370,25 @@ def _txt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def _txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap flags: the 'benchmark' is a deterministic slice
+    of the corpus itself (every 25th document), so contamination is
+    guaranteed present and the oracle is pure SQL."""
+    from frog_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select("text")
+    return decontaminate(docs, bench, n=8).orderBy("doc_id")
+
+
+def _txt_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frog_spark.operators.dedup import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"), max_tokens=512, buckets=8).orderBy(
+        "doc_id"
+    )
+
+
 def _sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -566,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
         "txt_split": _txt_split,
+        "txt_decontaminate": _txt_decontaminate,
+        "txt_pack": _txt_pack,
         "dedup_embedding": _dedup_embedding,
         "sim_cosine_topk": _sim_cosine_topk,
         "sim_ivf_topk": _sim_ivf_topk,
@@ -974,6 +995,36 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
                   FROM documents)
             ORDER BY doc_id
+        """,
+        # txt_decontaminate: 8-gram overlap vs the every-25th-doc slice
+        "txt_decontaminate": f"""
+            WITH norm AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            g0 AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              range(1, greatest(len(words) - 7, 0) + 1),
+                              i -> array_to_string(words[i:i+7], ' '))) AS grams
+                   FROM norm),
+            dg AS (SELECT doc_id AS id, unnest(grams) AS ngram FROM g0),
+            bg AS (SELECT DISTINCT ngram FROM dg WHERE id % 25 = 0),
+            hits AS (SELECT DISTINCT id FROM dg JOIN bg USING (ngram))
+            SELECT d.doc_id, h.id IS NOT NULL AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+            ORDER BY doc_id
+        """,
+        # txt_pack: stream-offset packing, one running-sum window per
+        # hash bucket
+        "txt_pack": """
+            WITH t AS (SELECT doc_id,
+                              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS bucket,
+                              len(string_split(trim(text), ' ')) AS n_tokens
+                       FROM documents),
+            o AS (SELECT doc_id, bucket, n_tokens,
+                         coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                  FROM t)
+            SELECT doc_id, bucket, off::BIGINT AS "offset",
+                   (off // 512)::BIGINT AS bin_id, n_tokens::BIGINT AS n_tokens
+            FROM o ORDER BY doc_id
         """,
         "kg_gazetteer_spans": _gazetteer_spans_sql(),
         # kg_* (annotation-derived): the per-sentence NLP (MBT tagging,

@@ -234,6 +234,83 @@ def minhash_dedup_pairs(
     return _verify_jaccard(cands, d, threshold)
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with an evaluation/benchmark set (the standard
+    13-gram/8-gram overlap rule used for LLM training corpora).
+
+    Scale shape: the benchmark side is exploded to distinct n-grams and
+    deduplicated; the join is a LEFT SEMI against that (typically small)
+    relation, so Spark broadcasts it and the training corpus is touched
+    exactly once with no shuffle of document text. Output: (doc_id,
+    contaminated)."""
+    doc_grams = gram_sets(docs, id_col, text_col, n).select(
+        F.col("id"), F.explode("grams").alias("ngram")
+    )
+    bench_grams = (
+        gram_sets(benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text_col)), "_bid", bench_text_col, n)
+        .select(F.explode("grams").alias("ngram"))
+        .distinct()
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "ngram", "left_semi").select("id").distinct()
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits.withColumnRenamed("id", "doc_id").withColumn("c", F.lit(True)), "doc_id", "left")
+        .select("doc_id", F.coalesce("c", F.lit(False)).alias("contaminated"))
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 32,
+) -> DataFrame:
+    """Sequence packing for training-batch prep: assign each document to
+    a fixed-capacity bin of ~``max_tokens`` whitespace tokens.
+
+    Pretraining packing concatenates documents head-to-tail and slices
+    the stream into fixed-length sequences, letting documents straddle
+    sequence boundaries — so the assignment is closed-form: a document's
+    bin is the window its stream OFFSET falls in, computed by one
+    running-sum. A single global stream would serialize the scan at
+    scale, so documents hash into ``buckets`` independent streams
+    (deterministic — md5 of the id, the cross-engine construction) and
+    each stream packs by id order via one window pass. Output: (doc_id,
+    bucket, offset, bin_id, n_tokens) — deterministic under any
+    partitioning, one shuffle at 100 TB."""
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    df = docs.select(
+        F.col(id_col), bucket.alias("bucket"), n_tok.alias("n_tokens")
+    ).withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return df.select(
+        id_col,
+        "bucket",
+        "offset",
+        F.floor(F.col("offset") / max_tokens).cast("long").alias("bin_id"),
+        "n_tokens",
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

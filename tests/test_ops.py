@@ -526,3 +526,27 @@ def test_dedup_clusters_and_split(spark):
     s2 = {r["doc_id"]: r["split"] for r in split_assign(docs.repartition(5)).collect()}
     assert s1 == s2  # partitioning-independent
     assert set(s1.values()) <= {"train", "val", "test"}
+
+
+def test_decontaminate_and_pack(spark):
+    from frog_spark.operators.dedup import decontaminate, pack_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h extra words here"),
+            (2, "totally different content with no overlap at all x y"),
+            (3, "prefix a b c d e f g h suffix"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([("a b c d e f g h benchmark item",)], "text string")
+    got = {r["doc_id"]: r["contaminated"] for r in decontaminate(docs, bench, n=8).collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+    packed = pack_documents(docs, max_tokens=16, buckets=1).orderBy("doc_id").collect()
+    # single bucket: offsets are running sums in doc_id order
+    assert [r["offset"] for r in packed] == [0, 11, 21]
+    assert [r["bin_id"] for r in packed] == [0, 0, 1]
+    # deterministic under repartitioning
+    again = pack_documents(docs.repartition(3), max_tokens=16, buckets=1).orderBy("doc_id").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in packed]
