@@ -121,6 +121,7 @@ def train_igtree_distributed(
     cls_col: str = "cls",
     feature_order: list[int] | None = None,
     prefix_depth: int = 2,
+    hash_bucket_groups: int | None = None,
 ) -> IGTree:
     """Build an IGTree from a DataFrame of (features array, class) rows.
 
@@ -130,6 +131,14 @@ def train_igtree_distributed(
     subtree. ``prefix_depth=2`` bounds group skew: the hottest single
     top value (e.g. final character 'n' over a Dutch lexicon — the -en
     suffix) is split by its second feature into many groups.
+
+    ``hash_bucket_groups``: when the top feature is HIGH-CARDINALITY
+    (MBT's known-word tree keys on the word itself — one group per
+    vocabulary entry would mean millions of tiny applyInPandas
+    invocations), set this to hash the prefix into that many COARSE
+    groups instead; each group builds every distinct prefix's subtree it
+    received in one pandas pass. The assembled tree is identical either
+    way — only the shuffle granularity changes.
     """
     # the instance relation feeds several jobs (root counts, inner-level
     # counts, the subtree build — plus gain ratios when the order is
@@ -162,6 +171,7 @@ def train_igtree_distributed(
     root_rows = inst.groupBy(F.col(cls_col).alias("cls")).agg(F.count("*").alias("c")).collect()
 
     key_cols = [f"k{i}" for i in range(d)]
+    sub_schema = ", ".join([f"k{i} string" for i in range(d)] + ["subtree binary"])
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         insts = pdf[feats_col].tolist()
@@ -171,17 +181,45 @@ def train_igtree_distributed(
         out["subtree"] = [pickle.dumps(node, protocol=4)]
         return pd.DataFrame(out)
 
+    def build_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one coarse hash bucket holds MANY distinct prefixes: build each
+        # prefix's subtree with the same recursion, one output row per
+        # prefix (identical trees, fewer/larger shuffle groups)
+        out_keys: list[list[str]] = [[] for _ in range(d)]
+        blobs = []
+        for key, sub in pdf.groupby(key_cols, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            node = IGTree._build(
+                sub[feats_col].tolist(), sub[cls_col].tolist(), order, d
+            )
+            for i in range(d):
+                out_keys[i].append(str(key[i]))
+            blobs.append(pickle.dumps(node, protocol=4))
+        out = {f"k{i}": out_keys[i] for i in range(d)}
+        out["subtree"] = blobs
+        return pd.DataFrame(out)
+
     keyed = inst.select(
         feats_col,
         cls_col,
         *[F.col(feats_col)[top[i]].alias(f"k{i}") for i in range(d)],
     )
-    sub_schema = ", ".join([f"k{i} string" for i in range(d)] + ["subtree binary"])
-    sub_rows = (
-        keyed.groupBy(*key_cols)
-        .applyInPandas(build_group, schema=sub_schema)
-        .collect()
-    )
+    if hash_bucket_groups:
+        bucketed = keyed.withColumn(
+            "_g",
+            F.pmod(F.xxhash64(*key_cols), F.lit(hash_bucket_groups)),
+        )
+        sub_rows = (
+            bucketed.groupBy("_g")
+            .applyInPandas(build_bucket, schema=sub_schema)
+            .collect()
+        )
+    else:
+        sub_rows = (
+            keyed.groupBy(*key_cols)
+            .applyInPandas(build_group, schema=sub_schema)
+            .collect()
+        )
     if we_persisted:
         inst.unpersist()
 
@@ -315,7 +353,9 @@ def mbt_instances(sent_df: DataFrame, ambitag: dict[str, str]):
     return known, unk
 
 
-def train_mbt_distributed(spark: SparkSession, sent_df: DataFrame):
+def train_mbt_distributed(
+    spark: SparkSession, sent_df: DataFrame, hash_bucket_groups: int = 256
+):
     """MBTagger trained by Spark jobs: lexicon/ambitag from one groupBy
     over exploded (word, tag) pairs, both case bases via the partitioned
     IGTree build with MBT's fixed feature orders (models/mbt.py:93-96).
@@ -337,9 +377,16 @@ def train_mbt_distributed(spark: SparkSession, sent_df: DataFrame):
     ambitag = {w: "|".join(sorted(cnt)) for w, cnt in lexicon.items()}
 
     known, unk = mbt_instances(sent_df, ambitag)
-    known_tree = train_igtree_distributed(known, feature_order=[1, 0, 2], prefix_depth=2)
+    # the known tree keys on the WORD: per-value groups would mean one
+    # applyInPandas invocation per vocabulary entry, so hash the prefix
+    # into coarse buckets (identical tree, bounded group count)
+    known_tree = train_igtree_distributed(
+        known, feature_order=[1, 0, 2], prefix_depth=2,
+        hash_bucket_groups=hash_bucket_groups,
+    )
     unknown_tree = train_igtree_distributed(
-        unk, feature_order=[1, 4, 5, 6, 0, 2, 3, 7], prefix_depth=2
+        unk, feature_order=[1, 4, 5, 6, 0, 2, 3, 7], prefix_depth=2,
+        hash_bucket_groups=hash_bucket_groups,
     )
     return MBTagger(lexicon, known_tree, unknown_tree)
 
@@ -508,4 +555,38 @@ def synthetic_lexicon(spark: SparkSession, n_rows: int = 595_000) -> DataFrame:
         spark.range(n_rows)
         .repartition(max(2, spark.sparkContext.defaultParallelism))
         .mapInPandas(gen, schema="word string, tag string, lemma string, morph string")
+    )
+
+
+def synthetic_tagged_corpus(
+    spark: SparkSession, n_sentences: int = 100_000, words_per_sentence: int = 12,
+    vocab_rows: int = 64_000,
+) -> DataFrame:
+    """Deterministic (words array, tags array) corpus sized like a POS
+    training set (the reference's tagger trains on a 10.9M-token corpus,
+    advanced.rst:260-287). Words+tags sample the synthetic lexicon by
+    hashed indices — generated distributed from spark.range, like
+    synthetic_lexicon."""
+    lex = synthetic_lexicon(spark, n_rows=vocab_rows).collect()
+    vocab = [(r["word"], r["tag"]) for r in lex]
+    bc = spark.sparkContext.broadcast(vocab)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = bc.value
+        n = len(v)
+        for b in batches:
+            words_out, tags_out = [], []
+            for sid in b["id"]:
+                base = int(sid) * 2654435761
+                idxs = [((base + 40503 * j) % (1 << 31)) % n for j in range(words_per_sentence)]
+                words_out.append([v[i][0] for i in idxs])
+                tags_out.append([v[i][1] for i in idxs])
+            yield pd.DataFrame(
+                {"words": pd.Series(words_out, dtype=object), "tags": pd.Series(tags_out, dtype=object)}
+            )
+
+    return (
+        spark.range(n_sentences)
+        .repartition(max(2, spark.sparkContext.defaultParallelism))
+        .mapInPandas(gen, schema="words array<string>, tags array<string>")
     )

@@ -114,6 +114,29 @@ def main() -> None:
     }
     print("mbma distributed (CELEX scale):", out["mbma_distributed_celex_scale"], flush=True)
 
+    # -- MBT (POS tagger) at 1.2M training tokens --------------------------
+    # (the reference's tagger corpus is 10.9M tokens, advanced.rst:260-287;
+    # 100k 12-word sentences exercise the same extraction + bucketed
+    # known/unknown tree builds at 1/9 of that scale in bench-friendly time)
+    from frog_spark.models.distributed import (
+        synthetic_tagged_corpus,
+        train_mbt_distributed,
+    )
+
+    corpus = synthetic_tagged_corpus(spark, n_sentences=100_000, vocab_rows=64_000)
+    t0 = time.time()
+    mbt = train_mbt_distributed(spark, corpus, hash_bucket_groups=256)
+    out["mbt_distributed_1m_tokens"] = {
+        "sentences": 100_000,
+        "tokens": 1_200_000,
+        "wall_sec": round(time.time() - t0, 2),
+        "driver_peak_rss_mb": round(rss_mb(), 1),
+        "lexicon_words": len(mbt.lexicon),
+        "known_tree_nodes": mbt.known_tree.node_count(),
+        "unknown_tree_nodes": mbt.unknown_tree.node_count(),
+    }
+    print("mbt distributed (1.2M tokens):", out["mbt_distributed_1m_tokens"], flush=True)
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "BENCH", "training_scale.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

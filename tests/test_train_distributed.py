@@ -177,3 +177,28 @@ def test_mbma_distributed_analyzes(spark):
     k = sorted(mbma.memory)[0]
     morph, _ = mbma.analyze(k, "N(soort,ev,basis,zijd,stan)", "")
     assert morph.startswith("[")
+
+
+def test_igtree_hash_bucketed_equals_pervalue(spark, lex_small):
+    """Coarse hash-bucket grouping builds the identical tree — only the
+    shuffle granularity differs (the shape for high-cardinality top
+    features like MBT's word key)."""
+    inst_df = mblem_instances(lex_small)
+    order = list(range(20 - 1, -1, -1))
+    a = train_igtree_distributed(inst_df, feature_order=order, prefix_depth=2)
+    b = train_igtree_distributed(
+        inst_df, feature_order=order, prefix_depth=2, hash_bucket_groups=7
+    )
+    assert a.node_count() == b.node_count()
+    assert _tree_equal(a.root, b.root)
+
+
+def test_synthetic_tagged_corpus(spark):
+    from frog_spark.models.distributed import synthetic_tagged_corpus
+
+    c = synthetic_tagged_corpus(spark, n_sentences=200, vocab_rows=2000)
+    rows = c.collect()
+    assert len(rows) == 200
+    assert all(len(r["words"]) == len(r["tags"]) == 12 for r in rows)
+    again = {tuple(r["words"]) for r in synthetic_tagged_corpus(spark, 200, vocab_rows=2000).collect()}
+    assert {tuple(r["words"]) for r in rows} == again  # deterministic
