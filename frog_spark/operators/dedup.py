@@ -1,18 +1,28 @@
-"""Deduplication operators for large-scale training-data pipelines.
+"""Training-data pipeline operators: dedup, decontamination, splitting,
+packing.
 
 All operators consume a DataFrame with (id, text) — typically the
 ``documents`` table — and are built from JVM-side functions only
-(whole-stage codegen; no Python in the hot path). Each has a matching
-ANSI-SQL oracle in __spark_entry__.py.
+(whole-stage codegen; no Python in the hot path except the embedding
+band-key matmul). Each has a matching ANSI-SQL oracle in
+__spark_entry__.py.
 
-  * exact_dedup        — hash-groupBy on normalized text (one shuffle)
-  * ngram_jaccard_pairs— word n-gram Jaccard similarity join (token-
-                         blocked to avoid O(n^2))
-  * minhash_dedup      — MinHash + LSH banding (shared with kg/linking)
-  * simhash_buckets    — 64-bit SimHash fingerprint + Hamming-adjacent
-                         bucketing
-  * embedding_dedup    — cosine near-duplicate pairs over an embedding
-                         column (brute force within LSH-ish norm buckets)
+  * exact_dedup         — hash-groupBy on the md5 of normalized text
+  * ngram_jaccard_pairs — EXACT set-similarity join (PPJoin prefix +
+                          length filters, array-intersect verification)
+  * minhash_dedup_pairs — MinHash-LSH banding, row-local signatures,
+                          exact verification
+  * simhash_dup_pairs   — 60-bit cross-engine SimHash + pigeonhole
+                          Hamming blocking
+  * embedding_dup_pairs — banded random-hyperplane LSH over vectors,
+                          exact cosine verification
+  * dedup_clusters      — connected components over near-dup pairs ->
+                          canonical doc per transitive cluster
+  * decontaminate       — benchmark n-gram-overlap flags (broadcast
+                          semi-join against the distinct benchmark grams)
+  * split_assign        — deterministic md5-hash train/val/test split
+  * pack_documents      — training-sequence packing by stream offset
+                          (hash-bucketed streams, one window pass)
 """
 
 from __future__ import annotations
