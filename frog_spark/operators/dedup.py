@@ -198,25 +198,33 @@ def minhash_dedup_pairs(
     needs no persist — the only shuffles left are the band-bucket
     self-join and the two verification joins."""
     rows_per_band = num_hashes // bands
-    # fixed-seed universal-hash constants: a,b < 2^31 so a*h31 + b < 2^62
-    # never overflows a signed long (Spark 4 ANSI mode would throw)
+    # fixed-seed universal-hash family over Z_p with p = 2^31 - 1 (the
+    # Mersenne prime): h_i = (a_i*h + b_i) mod p with h, a_i < p is a TRUE
+    # permutation of the base-hash domain, which the minhash property
+    # requires. (A larger modulus over a 2^31-bounded domain — the first
+    # version of this rewrite — makes every affine map monotone except at
+    # one wraparound, so all "permutations" share nearly the same argmin
+    # and band recall collapses; caught by the brute-force-equality
+    # invariant test on a random corpus.) a_i*h + b_i < 2^62 never
+    # overflows a signed long (Spark 4 ANSI mode would throw).
+    P31 = (1 << 31) - 1
     rng = np.random.default_rng(0xF09)
-    ab = rng.integers(1, 1 << 31, size=(num_hashes, 2))
-    M61 = (1 << 61) - 1
+    a_consts = rng.integers(1, P31, size=num_hashes)
+    b_consts = rng.integers(0, P31, size=num_hashes)
 
     def _hash_vec(h31):
         return F.array(
             *[
-                (F.lit(int(a)) * h31 + F.lit(int(b))) % F.lit(M61)
-                for a, b in ab
+                (F.lit(int(a)) * h31 + F.lit(int(b))) % F.lit(P31)
+                for a, b in zip(a_consts, b_consts)
             ]
         )
 
     d = gram_sets(spread(docs), id_col, text_col, shingle_n)
-    base = F.transform(F.col("grams"), lambda g: F.pmod(F.xxhash64(g), F.lit(1 << 31)))
+    base = F.transform(F.col("grams"), lambda g: F.pmod(F.xxhash64(g), F.lit(P31)))
     sig = F.aggregate(
         base,
-        F.array_repeat(F.lit(M61).cast("long"), num_hashes),
+        F.array_repeat(F.lit(P31).cast("long"), num_hashes),
         lambda acc, h: F.zip_with(acc, _hash_vec(h), lambda x, y: F.least(x, y)),
     )
     band_keys = F.array(

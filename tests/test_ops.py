@@ -41,7 +41,7 @@ def test_ngram_jaccard_pairs(docs):
 def test_minhash_pairs(docs):
     from frog_spark.operators.dedup import minhash_dedup_pairs
 
-    pairs = {(r["a"], r["b"]) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    pairs = {(r["a"], r["b"]) for r in minhash_dedup_pairs(docs, threshold=0.7).collect()}
     assert (0, 1) in pairs
     assert (0, 4) not in pairs
 
@@ -550,3 +550,67 @@ def test_decontaminate_and_pack(spark):
     # deterministic under repartitioning
     again = pack_documents(docs.repartition(3), max_tokens=16, buckets=1).orderBy("doc_id").collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in packed]
+
+
+def test_dedup_invariants_random_corpus(spark):
+    """Seeded-random-corpus invariants: MinHash-LSH + exact verification
+    equals the brute-force Jaccard join (precision AND recall), cluster
+    canonicals are component minima, and packing offsets are exact
+    per-bucket running sums."""
+    import itertools
+    import random
+
+    from frog_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+        pack_documents,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(6, 18))]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.3:  # planted near-dup: copy with small edit
+            dup = list(words)
+            dup[rng.randrange(len(dup))] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(dup)))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def grams(text, n=3):
+        ws = text.split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    gsets = {i: grams(t) for i, t in rows}
+    want = set()
+    for (a, ga), (b, gb) in itertools.combinations(sorted(gsets.items()), 2):
+        if not ga or not gb:
+            continue
+        j = len(ga & gb) / len(ga | gb)
+        if j >= 0.7:
+            want.add((a, b))
+    # bands=64 of 2 rows: P(miss) at J=0.7 is (1-0.49)^64 ~ 1e-19, so
+    # LSH+exact-verify must EQUAL the brute-force join on this corpus
+    # (the default 32x4 banding has a ~2e-4 per-pair miss rate right at
+    # the threshold — one planted pair at J=0.714 deterministically
+    # slips it with the fixed seeds)
+    got = {(r["a"], r["b"]) for r in minhash_dedup_pairs(docs, threshold=0.7, bands=64).collect()}
+    assert got == want
+
+    pairs = minhash_dedup_pairs(docs, threshold=0.7, bands=64)
+    cl = dedup_clusters(docs, pairs).collect()
+    by_comp = {}
+    for r in cl:
+        by_comp.setdefault(r["canonical_id"], []).append(r["doc_id"])
+    for canon, members in by_comp.items():
+        assert canon == min(members)
+    assert sum(r["cluster_size"] for r in cl if r["doc_id"] == r["canonical_id"]) == len(rows)
+
+    packed = pack_documents(docs, max_tokens=32, buckets=4).collect()
+    by_bucket = {}
+    for r in sorted(packed, key=lambda r: (r["bucket"], r["doc_id"])):
+        run = by_bucket.setdefault(r["bucket"], [0])
+        assert r["offset"] == run[-1]
+        run.append(run[-1] + r["n_tokens"])
+        assert r["bin_id"] == r["offset"] // 32
