@@ -1039,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         **{
             name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
             for name in (
+                "sim_ivf_topk",
                 "kg_annotated",
                 "kg_entity_spans",
                 "kg_triples",
@@ -1047,7 +1048,8 @@ def oracle_sql() -> dict[str, str]:
                 "kg_two_hop",
             )
         },
-        # sim_ivf_topk: approximate by construction -> rows-only check
-        # (recall vs the exact oracle is asserted in tests instead).
+        # sim_ivf_topk carries a golden too: approximate by construction
+        # but deterministic (seeded k-means), with recall vs the exact
+        # top-k additionally test-asserted.
         # mm_media_meta: binary payload decode -> rows-only check.
     }
