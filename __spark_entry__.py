@@ -1040,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
             name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
             for name in (
                 "sim_ivf_topk",
+                "mm_media_meta",
                 "kg_annotated",
                 "kg_entity_spans",
                 "kg_triples",
@@ -1050,6 +1051,8 @@ def oracle_sql() -> dict[str, str]:
         },
         # sim_ivf_topk carries a golden too: approximate by construction
         # but deterministic (seeded k-means), with recall vs the exact
-        # top-k additionally test-asserted.
-        # mm_media_meta: binary payload decode -> rows-only check.
+        # top-k additionally test-asserted. mm_media_meta's golden pins
+        # the deterministic Spark plumbing around the documented fake
+        # codec (real decoders absent in this environment). Every driver
+        # query is now value-hash-checked.
     }

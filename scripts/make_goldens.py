@@ -34,6 +34,12 @@ GOLDEN_QUERIES = [
     # processes and parallelism levels), so a golden captures it exactly;
     # its recall vs the exact top-k oracle is separately test-asserted.
     "sim_ivf_topk",
+    # mm_media_meta's decode is the documented FAKE codec (real image/
+    # audio libraries absent in this environment) — but the Spark
+    # machinery around it (binary schema, Arrow batching, frame
+    # sampling arithmetic) is real and deterministic, so the golden
+    # pins exactly that.
+    "mm_media_meta",
     "kg_annotated",
     "kg_entity_spans",
     "kg_triples",
