@@ -327,7 +327,11 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.dedup import minhash_dedup_pairs
 
-    p = minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
+    # bands=64 of 2 rows: P(missing a pair at J=0.7) ~ (1-0.49)^64 = 2e-19,
+    # so the exact-join SQL oracle is safe against banding misses on ANY
+    # corpus (the default 32x4 leaves a ~2e-4 per-pair gap right at the
+    # threshold); precision is exact either way via verification
+    p = minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.7, bands=64)
     return p.select("a", "b", F.round("jaccard", 6).alias("jaccard")).orderBy("a", "b")
 
 
@@ -360,7 +364,9 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, threshold=0.7)
+    # bands=64: a single banding-missed edge would relabel whole clusters
+    # vs the exact recursive-CTE oracle (see _dedup_minhash note)
+    pairs = minhash_dedup_pairs(docs, threshold=0.7, bands=64)
     return dedup_clusters(docs, pairs).orderBy("doc_id")
 
 
@@ -1013,10 +1019,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # txt_pack: stream-offset packing, one running-sum window per
         # hash bucket
-        "txt_pack": """
+        "txt_pack": r"""
             WITH t AS (SELECT doc_id,
                               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS bucket,
-                              len(string_split(trim(text), ' ')) AS n_tokens
+                              len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
                        FROM documents),
             o AS (SELECT doc_id, bucket, n_tokens,
                          coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id

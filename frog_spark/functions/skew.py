@@ -28,6 +28,17 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     without paying a full-corpus shuffle at 100 TB."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+    # only consult .rdd for FILE-SCAN leaves: on a derived frame (joins/
+    # aggregates upstream) .rdd under AQE can materialize query stages
+    # eagerly just to count partitions, doubling the upstream work. A
+    # derived frame's partitioning is already shuffle-determined, so the
+    # guard is a no-op there anyway.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -51,6 +62,11 @@ def salted_join(
     exploded ``salt`` times so every (key, salt) bucket finds its match.
     Output == plain join, shuffle skew bounded by count(hot_key)/salt.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti", "leftsemi", "leftanti"):
+        # right/full joins would emit `salt` copies of every unmatched
+        # small-side row (each exploded copy null-extends) — refuse
+        # rather than return silently wrong results
+        raise ValueError(f"salted_join does not support how={how!r}")
     salted_big = big.withColumn(
         "_salt",
         F.pmod(

@@ -187,7 +187,7 @@ def train_igtree_distributed(
         # prefix (identical trees, fewer/larger shuffle groups)
         out_keys: list[list[str]] = [[] for _ in range(d)]
         blobs = []
-        for key, sub in pdf.groupby(key_cols, sort=False):
+        for key, sub in pdf.groupby(key_cols, sort=False, dropna=False):
             key = key if isinstance(key, tuple) else (key,)
             node = IGTree._build(
                 sub[feats_col].tolist(), sub[cls_col].tolist(), order, d
@@ -446,7 +446,15 @@ def train_mbma_distributed(spark: SparkSession, lexicon: DataFrame):
     of input order (a distributed input has no first-seen order)."""
     from frog_spark.operators.morpho import CONTEXT, PAD, Mbma
 
-    rows = mbma_word_rows(lexicon).persist(StorageLevel.MEMORY_AND_DISK)
+    # two raw words can normalize to the same cleaned key (unifilter +
+    # whitespace strip) across partitions; resolve deterministically by
+    # minimum classes array so the model never depends on collect order
+    rows = (
+        mbma_word_rows(lexicon)
+        .groupBy("kind", "key")
+        .agg(F.min("classes").alias("classes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     mem_pdf = rows.filter(F.col("kind") == "mem").select("key", "classes").toPandas()
     memory = {k: list(v) for k, v in zip(mem_pdf["key"], mem_pdf["classes"])}
     exc_pdf = rows.filter(F.col("kind") == "exc").select("key", "classes").toPandas()

@@ -220,7 +220,10 @@ def minhash_dedup_pairs(
             ]
         )
 
-    d = gram_sets(spread(docs), id_col, text_col, shingle_n)
+    # docs with fewer than shingle_n words have NO grams: their signature
+    # would stay at the all-sentinel init value, colliding every such doc
+    # in every band (O(m^2) candidates on a web corpus full of short docs)
+    d = gram_sets(spread(docs), id_col, text_col, shingle_n).filter(F.col("sz") > 0)
     base = F.transform(F.col("grams"), lambda g: F.pmod(F.xxhash64(g), F.lit(P31)))
     sig = F.aggregate(
         base,
@@ -305,7 +308,12 @@ def pack_documents(
     each stream packs by id order via one window pass. Output: (doc_id,
     bucket, offset, bin_id, n_tokens) — deterministic under any
     partitioning, one shuffle at 100 TB."""
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    # token count over NORMALIZED whitespace (runs collapsed first) so the
+    # SQL oracle's single-space split sees identical counts on text with
+    # tabs/newlines/double spaces
+    n_tok = F.size(
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    ).cast("long")
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long"),
         F.lit(buckets),

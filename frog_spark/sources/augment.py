@@ -21,7 +21,6 @@ never augmented.
 from __future__ import annotations
 
 import random
-import re
 from dataclasses import replace
 
 from frog_spark.sources.resources import GoldSentence, GoldToken
@@ -85,10 +84,17 @@ def augment_gold(
 
 
 def _retext(text: str, old: list[GoldToken], new: list[GoldToken]) -> str:
-    """Rebuild the sentence text with substituted surface forms; the
-    corpus text is space-joined words modulo punctuation attachment, so
-    a word-by-word replace on the original text keeps spacing intact."""
+    """Rebuild the sentence text with substituted surface forms by
+    walking the tokens LEFT-TO-RIGHT with a cursor, so each replacement
+    targets the occurrence at that token's position (a first-match
+    replace could hit an earlier duplicate of the same word — or a word
+    just substituted in — and desynchronize text from tokens)."""
+    pos = 0
     for o, n in zip(old, new):
+        idx = text.find(o.word, pos)
+        if idx == -1:
+            continue
         if o.word != n.word:
-            text = re.sub(rf"\b{re.escape(o.word)}\b", n.word, text, count=1)
+            text = text[:idx] + n.word + text[idx + len(o.word):]
+        pos = idx + len(n.word)
     return text
