@@ -1022,7 +1022,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_pack": r"""
             WITH t AS (SELECT doc_id,
                               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS bucket,
-                              len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
+                              CASE WHEN len(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+                                   ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens
                        FROM documents),
             o AS (SELECT doc_id, bucket, n_tokens,
                          coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id

@@ -35,9 +35,15 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     # guard is a no-op there anyway.
     try:
         files = df.inputFiles()
+        # inputFiles() is non-empty for ANY plan containing a file leaf,
+        # so additionally require a scan-only plan shape (no joins/aggs/
+        # windows upstream) before touching .rdd
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         return df
     if not files:
+        return df
+    if any(op in plan for op in ("Join", "Aggregate", "Window", "Sort", "Deduplicate")):
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -77,3 +83,15 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")
+
+
+def md5_bucket(col, mod: int):
+    """Deterministic cross-engine bucket in [0, mod): the md5-hex-to-long
+    construction DuckDB computes identically
+    (('0x'||substr(md5(x::VARCHAR),1,15))::BIGINT % mod). The ONE
+    definition shared by split_assign, pack_documents, and any future
+    engine-reproducible hashing — keep in sync with the oracle recipe."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(mod),
+    )

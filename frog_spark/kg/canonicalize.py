@@ -31,6 +31,10 @@ def connected_components(
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .unionByName(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
         .distinct()
+        # sym is consumed once PER ITERATION; without materialization the
+        # whole upstream lineage (e.g. a MinHash-LSH candidate join) would
+        # re-execute every round
+        .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("x").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))
@@ -60,6 +64,15 @@ def connected_components(
         labels = new_labels.drop("changed")
         if changed == 0:
             break
+    else:
+        # a silent non-converged return would hand back WRONG components
+        # (long duplicate chains legitimately need O(diameter) rounds);
+        # fail loudly so the caller raises max_iter instead of shipping
+        # split clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (propagation needs O(component diameter) rounds)"
+        )
     return labels.select("node", "component")
 
 

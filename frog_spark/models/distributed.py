@@ -149,6 +149,12 @@ def train_igtree_distributed(
     if not inst.is_cached:
         inst = inst.persist(StorageLevel.MEMORY_AND_DISK)
         we_persisted = True
+    if inst.first() is None:
+        # empty instance base (e.g. an all-punctuation corpus's unknown-
+        # word base) — mirror IGTree.train's empty-tree return
+        if we_persisted:
+            inst.unpersist()
+        return IGTree(feature_order or [], _Node("", {}))
     if feature_order is None:
         gains = gain_ratios_distributed(inst, feats_col, cls_col)
         feature_order = sorted(range(len(gains)), key=lambda f: -gains[f])
@@ -315,16 +321,19 @@ def train_mblem_distributed(spark: SparkSession, lexicon: DataFrame):
 # MBT (POS tagger) training as a Spark job (P1 at 10.9M-token-corpus scale)
 # --------------------------------------------------------------------------
 
-def mbt_instances(sent_df: DataFrame, ambitag: dict[str, str]):
+def mbt_instances(sent_df: DataFrame, ambitag):
     """Tagged-sentence DataFrame (words array, tags array) -> (known,
     unknown) instance DataFrames. Extraction is sentence-local (training
     contexts use GOLD previous tags, tagger_base.cxx training mode), so
-    one mapInPandas pass per base emits every windowed instance; the
-    ambitag map rides along in the UDF closure exactly like the
-    annotation-time broadcast."""
+    one mapInPandas pass per base emits every windowed instance.
+    ``ambitag`` may be a plain dict or an ``sc.broadcast`` handle — pass
+    the broadcast at corpus scale so the vocabulary-sized map ships once
+    per executor instead of being pickled into every task (both
+    extraction passes would otherwise carry it)."""
     from frog_spark.models.mbt import BOUNDARY, _unknown_feats, _word_key
 
     def extract(batches: Iterator[pd.DataFrame], unknown: bool) -> Iterator[pd.DataFrame]:
+        amb = ambitag.value if hasattr(ambitag, "value") else ambitag
         for b in batches:
             feats, cls = [], []
             for words, tags in zip(b["words"], b["tags"]):
@@ -333,7 +342,7 @@ def mbt_instances(sent_df: DataFrame, ambitag: dict[str, str]):
                 for i in range(n):
                     word, tag = words[i], tags[i]
                     next_ambi = (
-                        ambitag.get(_word_key(words[i + 1]), BOUNDARY)
+                        amb.get(_word_key(words[i + 1]), BOUNDARY)
                         if i + 1 < n
                         else BOUNDARY
                     )
@@ -376,7 +385,9 @@ def train_mbt_distributed(
         lexicon.setdefault(r["w"], Counter())[r["t"]] = r["c"]
     ambitag = {w: "|".join(sorted(cnt)) for w, cnt in lexicon.items()}
 
-    known, unk = mbt_instances(sent_df, ambitag)
+    known, unk = mbt_instances(
+        sent_df, spark.sparkContext.broadcast(ambitag)
+    )
     # the known tree keys on the WORD: per-value groups would mean one
     # applyInPandas invocation per vocabulary entry, so hash the prefix
     # into coarse buckets (identical tree, bounded group count)
@@ -447,12 +458,25 @@ def train_mbma_distributed(spark: SparkSession, lexicon: DataFrame):
     from frog_spark.operators.morpho import CONTEXT, PAD, Mbma
 
     # two raw words can normalize to the same cleaned key (unifilter +
-    # whitespace strip) across partitions; resolve deterministically by
-    # minimum classes array so the model never depends on collect order
+    # whitespace strip) across partitions — possibly with DIFFERENT kinds
+    # (one round-trips, one lands in exceptions). Resolve per KEY
+    # deterministically: exceptions win (they pin the gold morph for a
+    # surface the engine could not reproduce; the driver trainer's
+    # first-seen rule is input-order-dependent and has no distributed
+    # analogue), ties broken by minimum classes array.
     rows = (
         mbma_word_rows(lexicon)
-        .groupBy("kind", "key")
-        .agg(F.min("classes").alias("classes"))
+        .groupBy("key")
+        .agg(
+            F.min(
+                F.struct(
+                    (F.col("kind") == "mem").cast("int").alias("p"),
+                    F.col("kind").alias("kind"),
+                    F.col("classes").alias("classes"),
+                )
+            ).alias("r")
+        )
+        .select("key", F.col("r.kind").alias("kind"), F.col("r.classes").alias("classes"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mem_pdf = rows.filter(F.col("kind") == "mem").select("key", "classes").toPandas()

@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from frog_spark.functions.skew import spread
+from frog_spark.functions.skew import md5_bucket, spread
 
 
 def _norm_text(col):
@@ -310,14 +310,15 @@ def pack_documents(
     partitioning, one shuffle at 100 TB."""
     # token count over NORMALIZED whitespace (runs collapsed first) so the
     # SQL oracle's single-space split sees identical counts on text with
-    # tabs/newlines/double spaces
-    n_tok = F.size(
-        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-    ).cast("long")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long"),
-        F.lit(buckets),
+    # tabs/newlines/double spaces; empty/whitespace-only docs count 0
+    # (a bare split would yield [''] = 1 phantom token)
+    trimmed = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n_tok = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, " ")))
+        .cast("long")
     )
+    bucket = md5_bucket(F.col(id_col), buckets)
     w = Window.partitionBy("bucket").orderBy(id_col)
     df = docs.select(
         F.col(id_col), bucket.alias("bucket"), n_tok.alias("n_tokens")
@@ -379,12 +380,7 @@ def split_assign(
     the property that matters when a 100-TB corpus is re-split
     incrementally. Output: (id, split)."""
     total = sum(weights)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
-            "long"
-        ),
-        F.lit(total),
-    )
+    bucket = md5_bucket(F.col(id_col), total)
     split = (
         F.when(bucket < weights[0], "train")
         .when(bucket < weights[0] + weights[1], "val")

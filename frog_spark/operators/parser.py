@@ -348,53 +348,6 @@ class _SubTree:
         self.satisfied = _EMPTY_SAT
 
 
-def _best_edge(
-    c: Constraints,
-    left: _SubTree,
-    right: _SubTree,
-    head: int,
-    dep: int,
-) -> tuple[str, float, set[int]]:
-    """bestEdge (ckyparser.cxx:138-206). Constraint identity via id()."""
-    if head == 0:
-        best_score = 0.0
-        best: set[int] = set()
-        for con in c.out_dep[dep]:
-            if con.direction == "ROOT":
-                best_score = con.weight  # last ROOT-direction wins
-                best.add(id(con))
-        label = "ROOT"
-        for con in c.edge[dep][0]:
-            best_score += con.weight
-            best.add(id(con))
-            label = con.rel
-        return label, best_score, best
-    best_score = DEFAULT_EDGE
-    best_label = "None"
-    best = set()
-    lsat, rsat = left.satisfied, right.satisfied
-    for econ in c.edge[dep][head]:
-        my_score = econ.weight
-        my_label = econ.rel
-        my: set[int] = {id(econ)}
-        for con in c.in_dep[head]:
-            if con.rel == my_label and id(con) not in lsat and id(con) not in rsat:
-                my_score += con.weight
-                my.add(id(con))
-        for con in c.out_dep[dep]:
-            if (
-                (con.direction == "LEFT" and head < dep)
-                or (con.direction == "RIGHT" and head > dep)
-            ) and id(con) not in lsat and id(con) not in rsat:
-                my_score += con.weight
-                my.add(id(con))
-        if my_score > best_score:
-            best_score = my_score
-            best_label = my_label
-            best = my
-    return best_label, best_score, best
-
-
 _DEFAULT_SUBTREE = _SubTree()  # shared read-only cell (score 0, r -1)
 
 
