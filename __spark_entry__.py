@@ -611,7 +611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles (DuckDB SQL on the same parquet views)
 # ---------------------------------------------------------------------------
 
-_WORDS = "string_split_regex(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+# trim BEFORE splitting: leading/trailing whitespace would otherwise
+# yield empty-string tokens that shift every position (mirrored by the
+# Spark-side splitters in textstats/dedup/ner)
+_WORDS = "string_split_regex(trim(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))), ' ')"
 
 
 def _gazetteer_spans_sql() -> str:
@@ -749,7 +752,7 @@ def oracle_sql() -> dict[str, str]:
             WITH dedup AS (
                 SELECT doc_id FROM (
                     SELECT doc_id, row_number() OVER (
-                        PARTITION BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
+                        PARTITION BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))
                         ORDER BY doc_id) AS rn
                     FROM documents
                 ) WHERE rn = 1
@@ -841,18 +844,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "txt_fingerprint": """
             SELECT doc_id,
-                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_exact,
+                   md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_exact,
                    md5(array_to_string(
-                       (string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '))[1:8],
+                       (string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))[1:8],
                        ' ')) AS fp_prefix
             FROM documents ORDER BY doc_id
         """,
         "dedup_exact": """
             SELECT doc_id, dup_count FROM (
                 SELECT doc_id,
-                       row_number() OVER (PARTITION BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
+                       row_number() OVER (PARTITION BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))
                                           ORDER BY doc_id) AS rn,
-                       count(*) OVER (PARTITION BY lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS dup_count
+                       count(*) OVER (PARTITION BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS dup_count
                 FROM documents
             ) WHERE rn = 1 ORDER BY doc_id
         """,

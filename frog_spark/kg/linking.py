@@ -50,9 +50,12 @@ def _shingles(forms: DataFrame, col: str = "form") -> DataFrame:
 
 
 def minhash_signatures(
-    forms: DataFrame, col: str = "form", num_hashes: int = DEFAULT_NUM_HASHES
+    forms: DataFrame,
+    col: str = "form",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    sh = _shingles(forms, col)
+    sh = shingles if shingles is not None else _shingles(forms, col)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -65,9 +68,10 @@ def candidate_pairs(
     col: str = "form",
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding -> distinct candidate (a, b) pairs with a < b."""
-    sig = minhash_signatures(forms, col, num_hashes)
+    sig = minhash_signatures(forms, col, num_hashes, shingles=shingles)
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -100,8 +104,13 @@ def similarity_edges(
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """Verified edges (a, b, jaccard >= threshold)."""
-    cands = candidate_pairs(forms, col, num_hashes, bands)
-    sh = _shingles(forms, col)
+    # the shingle relation feeds FOUR consumers (signatures inside the
+    # candidate join, both verification sides, sizes) — materialize it
+    # once or every consumer re-executes the explode lineage (the branch
+    # re-execution hazard documented in BENCH/BASELINE.md). Eager
+    # localCheckpoint keeps no lingering cache entry to unpersist.
+    sh = _shingles(forms, col).localCheckpoint(eager=True)
+    cands = candidate_pairs(forms, col, num_hashes, bands, shingles=sh)
     sizes = sh.groupBy(col).agg(F.count("*").alias("sz"))
     # intersection via join on shingle
     sa = sh.select(F.col(col).alias("a"), "shingle")

@@ -40,7 +40,7 @@ def build_graph(
         lambda: annotate_transcripts(spark, transcripts, pipe, num_partitions),
     )
     # annotated is parquet-backed here (checkpointed), so no extra persist
-    triples = run.stage("triples", lambda: extract_triples(annotated, persist=False))
+    triples = run.stage("triples", lambda: extract_triples(annotated))
     ents = run.stage("entities", lambda: entity_spans(annotated))
 
     forms = ents.select(F.col("span_text").alias("form")).distinct()

@@ -62,7 +62,10 @@ def units(annotated: DataFrame) -> DataFrame:
             "unit_idx",
             F.col("unit_word").alias("word"),
             F.col("unit_lemma").alias("lemma"),
-            "pos_tag",
+            # the unit's MERGED tag (lexicon tag for MWUs) — NOT the first
+            # member token's tagger output; the in-UDF lift keys verb
+            # detection on Unit.tag and both paths must agree
+            F.col("unit_tag").alias("pos_tag"),
             "parse_head",
             "parse_role",
             F.col("token_idx").alias("start_tok"),
@@ -72,13 +75,25 @@ def units(annotated: DataFrame) -> DataFrame:
 
 
 def _units_with_repr(annotated: DataFrame) -> DataFrame:
-    """Units + entity-span surface where the unit starts a span."""
+    """Units + entity-span surface where the unit starts a span.
+
+    A unit can start MORE than one span in degenerate taggings (NER runs
+    before MWU merge, so a glue MWU's member tokens can carry two B-*
+    tags); keep the FIRST span per unit — the same rule the in-UDF path
+    applies (ent_by_unit.setdefault) — or the left join would fan the
+    unit out into duplicate triples."""
     u = units(annotated)
-    ent = entity_spans(annotated).select(
-        *SENT_KEY,
-        F.col("first_unit").alias("unit_idx"),
-        F.col("span_text").alias("ent_text"),
-        F.col("ner_cat"),
+    ent = (
+        entity_spans(annotated)
+        .groupBy(*SENT_KEY, F.col("first_unit").alias("unit_idx"))
+        .agg(
+            F.min(F.struct("start", "span_text", "ner_cat")).alias("e")
+        )
+        .select(
+            *SENT_KEY, "unit_idx",
+            F.col("e.span_text").alias("ent_text"),
+            F.col("e.ner_cat").alias("ner_cat"),
+        )
     )
     u = u.join(ent, SENT_KEY + ["unit_idx"], "left")
     return u.withColumn("repr", F.coalesce("ent_text", "lemma"))
@@ -164,21 +179,7 @@ def entity_pair_triples(annotated: DataFrame) -> DataFrame:
     groupBy+join formulation would only add shuffles); the results sit on
     the sentence's first token as ``pair_triples``. This is a narrow
     filter + explode."""
-    return (
-        annotated.filter(
-            (F.col("token_idx") == 0) & (F.size("pair_triples") > 0)
-        )
-        .select(*SENT_KEY, F.explode("pair_triples").alias("t"))
-        .select(
-            *SENT_KEY,
-            F.col("t.subj").alias("subj"),
-            F.col("t.pred").alias("pred"),
-            F.col("t.obj").alias("obj"),
-            F.col("t.subj_cat").alias("subj_cat"),
-            F.col("t.obj_cat").alias("obj_cat"),
-            F.lit("entpair").alias("source"),
-        )
-    )
+    return _exploded(annotated, "pair_triples", "entpair")
 
 
 def _exploded(annotated: DataFrame, col: str, source: str) -> DataFrame:
@@ -197,7 +198,7 @@ def _exploded(annotated: DataFrame, col: str, source: str) -> DataFrame:
     )
 
 
-def extract_triples(annotated: DataFrame, persist: bool = True) -> DataFrame:
+def extract_triples(annotated: DataFrame) -> DataFrame:
     """K2: full lift — verb triples + entity-pair triples.
 
     Fast path: both triple families were computed in the annotation pass

@@ -39,7 +39,9 @@ from frog_spark.functions.skew import md5_bucket, spread
 
 
 def _norm_text(col):
-    return F.lower(F.regexp_replace(col, r"\s+", " "))
+    # trim too — a leading/trailing space would otherwise contribute an
+    # empty-string "word" to every gram/stopword computation
+    return F.trim(F.lower(F.regexp_replace(col, r"\s+", " ")))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

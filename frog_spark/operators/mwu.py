@@ -46,21 +46,41 @@ def resolve_mwus(
     units: list[Unit] = []
     i = 0
     while i < n:
-        # W3: lexicon longest match, leftmost wins; at sentence start also
-        # try the decapitalized first word (mwu_chunker_mod.cxx:331-339)
+        # W3: lexicon longest match, leftmost wins. Member words compare
+        # EXACTLY (mwu_chunker_mod.cxx Classify: match[j] !=
+        # mWords[i+j+1]->getWord()); the decapitalized first word is
+        # tried only when the exact-case lookup finds NOTHING at
+        # sentence start (331-339) — both rules bug-for-bug with the
+        # reference (a lowercased compare would accept 'ad HOC').
         cands = list(lexicon.get(words[i], []))
-        if i == 0 and words[i][:1].isupper():
-            cands += lexicon.get(words[i][0].lower() + words[i][1:], [])
-        matched = None
+        if not cands and i == 0 and words[i][:1].isupper():
+            cands = list(lexicon.get(words[i][0].lower() + words[i][1:], []))
+            decap = True
+        else:
+            decap = False
+        best_lex = 0
+        best_tag = ""
         for seq, tag in cands:  # already longest-first
             L = len(seq)
             if i + L <= n and all(
-                words[i + k].lower() == seq[k].lower() for k in range(L)
+                words[i + k] == seq[k]
+                or (decap and k == 0 and words[i][0].lower() + words[i][1:] == seq[0])
+                for k in range(L)
             ):
-                matched = (L, tag)
+                best_lex, best_tag = L, tag
                 break
-        if matched and matched[0] > 1:
-            L, tag = matched
+        # W2: glue-tag run length starting here — the reference inserts
+        # glue runs into the SAME MWU table and keeps the longest of
+        # both (Classify 311-323 + longest-match scan), so a 3-token
+        # name run must beat a 2-token lexicon entry
+        glue_end = i
+        if tags[i] == GLUE_TAG:
+            while glue_end + 1 < n and tags[glue_end + 1] == GLUE_TAG:
+                glue_end += 1
+        glue_len = glue_end - i + 1 if glue_end > i else 0
+
+        if best_lex > 1 and best_lex >= glue_len:
+            L, tag = best_lex, best_tag
             conf = 1.0
             for c in confs[i : i + L]:
                 conf *= c
@@ -78,29 +98,25 @@ def resolve_mwus(
             )
             i += L
             continue
-        # W2: glue-tag run
-        if tags[i] == GLUE_TAG:
-            j = i
-            while j + 1 < n and tags[j + 1] == GLUE_TAG:
-                j += 1
-            if j > i:
-                conf = 1.0
-                for c in confs[i : j + 1]:
-                    conf *= c
-                units.append(
-                    Unit(
-                        i,
-                        j,
-                        "_".join(words[i : j + 1]),
-                        GLUE_TAG,
-                        conf,
-                        "_".join(lemmas[i : j + 1]),
-                        True,
-                        member_tags=tags[i : j + 1],
-                    )
+        if glue_len > 1:
+            j = glue_end
+            conf = 1.0
+            for c in confs[i : j + 1]:
+                conf *= c
+            units.append(
+                Unit(
+                    i,
+                    j,
+                    "_".join(words[i : j + 1]),
+                    GLUE_TAG,
+                    conf,
+                    "_".join(lemmas[i : j + 1]),
+                    True,
+                    member_tags=tags[i : j + 1],
                 )
-                i = j + 1
-                continue
+            )
+            i = j + 1
+            continue
         units.append(Unit(i, i, words[i], tags[i], confs[i], lemmas[i], False))
         i += 1
     return units

@@ -215,7 +215,7 @@ def gazetteer_spans_relational(
         "cat string, name string",
     )
     words = F.split(
-        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+        F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
     )
     toks = docs.select(
         F.col(id_col), F.posexplode(words).alias("pos", "w")

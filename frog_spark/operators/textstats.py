@@ -18,7 +18,7 @@ from frog_spark.functions.langmarkers import NL_MARKERS as NL_STOP
 
 
 def _words(text_col: Column) -> Column:
-    return F.split(F.lower(F.regexp_replace(text_col, r"\s+", " ")), " ")
+    return F.split(F.trim(F.lower(F.regexp_replace(text_col, r"\s+", " "))), " ")
 
 
 def token_count(text_col: Column) -> Column:
@@ -100,7 +100,7 @@ def clean_text(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of normalized text (exact)
     + first-8-words rolling prefix hash (fuzzy prefix matcher)."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    norm = F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     prefix = F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 8))
     return docs.select(
         F.col(id_col),

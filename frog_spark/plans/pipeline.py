@@ -309,6 +309,7 @@ class FrogPipeline:
                 # and entity-span tables are FILTERS, not aggregations —
                 # at 10^12 turns this removes two shuffles + a window
                 "unit_word": w,
+                "unit_tag": "",
                 "unit_lemma": "",
                 "unit_morph": "",
                 "unit_conf": 0.0,
@@ -389,6 +390,7 @@ class FrogPipeline:
                     rows[k]["mwu_start"] = u.start
                     rows[k]["mwu_end"] = u.end
                     rows[k]["unit_word"] = u.word
+                    rows[k]["unit_tag"] = u.tag
                     rows[k]["unit_lemma"] = u.lemma
                     rows[k]["unit_morph"] = u_morph
                     rows[k]["unit_conf"] = u.conf
@@ -467,6 +469,7 @@ class FrogPipeline:
                 timers["parser"] = timers.get("parser", 0.0) + clock() - t0
         else:
             for r in rows:
+                r["unit_tag"] = r["pos_tag"]
                 r["unit_lemma"] = r["lemma"] or r["word"]
                 r["unit_morph"] = r["morph"]
                 r["unit_conf"] = r["pos_conf"]
@@ -510,6 +513,10 @@ ANNOTATED_SCHEMA = StructType(
         StructField("parse_head", IntegerType(), False),
         StructField("parse_role", StringType(), False),
         StructField("unit_word", StringType(), False),
+        # the unit's MERGED tag (lexicon tag for MWUs, Unit.tag) — the
+        # relational triple path must see the same tag the in-UDF lift
+        # uses, not the first member token's tagger output
+        StructField("unit_tag", StringType(), False),
         StructField("unit_lemma", StringType(), False),
         StructField("unit_morph", StringType(), False),
         StructField("unit_conf", DoubleType(), False),
@@ -572,7 +579,7 @@ def annotate_tokens(
                             a["chunk_tag"], float(a["chunk_conf"]),
                             a["unit_idx"], a["mwu_start"], a["mwu_end"],
                             a["parse_head"], a["parse_role"],
-                            a["unit_word"], a["unit_lemma"], a["unit_morph"],
+                            a["unit_word"], a["unit_tag"], a["unit_lemma"], a["unit_morph"],
                             float(a["unit_conf"]), a["span_text"],
                             a["span_end"], a["pair_triples"], a["verb_triples"],
                         )
@@ -641,7 +648,16 @@ def triples_from_transcripts(
     from frog_spark.operators.tokenizer import split_sentences, tokenize_text
 
     pipe = pipeline or FrogPipeline.build()
-    bc = spark.sparkContext.broadcast(pipe)
+    # reuse a pipeline's broadcast across calls (a streaming foreachBatch
+    # invokes this per micro-batch; re-broadcasting the full model set
+    # every batch re-serializes MBs per batch and accumulates blocks)
+    bc = getattr(pipe, "_bc", None)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(pipe)
+        try:
+            pipe._bc = bc
+        except Exception:
+            pass
     parts = num_partitions or spark.sparkContext.defaultParallelism
     shuffled = transcripts.select("conv_id", "turn_idx", "text").repartition(
         parts, "conv_id", "turn_idx"
@@ -697,7 +713,16 @@ def annotate_transcripts(
     from frog_spark.operators.tokenizer import split_sentences, tokenize_text
 
     pipe = pipeline or FrogPipeline.build()
-    bc = spark.sparkContext.broadcast(pipe)
+    # reuse a pipeline's broadcast across calls (a streaming foreachBatch
+    # invokes this per micro-batch; re-broadcasting the full model set
+    # every batch re-serializes MBs per batch and accumulates blocks)
+    bc = getattr(pipe, "_bc", None)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(pipe)
+        try:
+            pipe._bc = bc
+        except Exception:
+            pass
     parts = num_partitions or spark.sparkContext.defaultParallelism
 
     shuffled = transcripts.select("conv_id", "turn_idx", "text").repartition(
@@ -727,7 +752,7 @@ def annotate_transcripts(
                             a["chunk_tag"], float(a["chunk_conf"]),
                             a["unit_idx"], a["mwu_start"], a["mwu_end"],
                             a["parse_head"], a["parse_role"],
-                            a["unit_word"], a["unit_lemma"], a["unit_morph"],
+                            a["unit_word"], a["unit_tag"], a["unit_lemma"], a["unit_morph"],
                             float(a["unit_conf"]), a["span_text"],
                             a["span_end"], a["pair_triples"], a["verb_triples"],
                         )

@@ -46,19 +46,32 @@ STATE_SCHEMA = StructType(
 
 
 def conversation_entity_state(
-    stream: DataFrame, gazetteer_names: Iterable[str]
+    stream: DataFrame,
+    gazetteer_names: Iterable[str],
+    state_ttl_minutes: int = 60,
 ) -> DataFrame:
     """stream: streaming transcript turns -> per-conversation running
-    entity stats, one output row per conversation per micro-batch."""
+    entity stats, one output row per conversation per micro-batch.
+
+    State per conversation expires ``state_ttl_minutes`` after its last
+    turn (processing-time timeout) — without a TTL the state store grows
+    monotonically with every conv_id ever seen, which is unbounded on
+    the target stream. Gazetteer names are matched as TOKEN N-GRAMS up
+    to the longest entry ('Algemene Rekenkamer' is two tokens; a
+    single-token scan can never count it)."""
     from frog_spark.operators.tokenizer import tokenize_text
 
     name_set = {n.lower() for n in gazetteer_names}
+    max_n = max((len(n.split()) for n in name_set), default=1)
 
     def update(
         key: Tuple[str],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             n_turns, names, counts = state.get
             hist = dict(zip(names, counts))
@@ -67,11 +80,16 @@ def conversation_entity_state(
         for pdf in pdfs:
             n_turns += len(pdf)
             for text in pdf["text"]:
-                for tok in tokenize_text(text or ""):
-                    w = tok.word.lower()
-                    if w in name_set:
-                        hist[w] = hist.get(w, 0) + 1
+                toks = [t.word.lower() for t in tokenize_text(text or "")]
+                for i in range(len(toks)):
+                    # longest match first per position
+                    for n in range(min(max_n, len(toks) - i), 0, -1):
+                        g = " ".join(toks[i : i + n])
+                        if g in name_set:
+                            hist[g] = hist.get(g, 0) + 1
+                            break
         state.update((n_turns, list(hist.keys()), list(hist.values())))
+        state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
         top = max(hist.items(), key=lambda kv: (kv[1], kv[0]), default=(None, 0))
         yield pd.DataFrame(
             [
@@ -93,6 +111,6 @@ def conversation_entity_state(
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
