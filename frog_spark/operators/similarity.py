@@ -39,9 +39,14 @@ def cosine_topk(
     """Exact top-k by cosine similarity to ``query``."""
     q = F.array(*[F.lit(float(x)) for x in query])
     qn = sum(x * x for x in query) ** 0.5
+    if qn == 0:
+        raise ValueError("query vector has zero norm — cosine is undefined")
     cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    # zero-norm rows give 0/0 = NaN, and Spark sorts NaN ABOVE every
+    # double — without the filter, junk vectors would dominate the top-k
     return (
-        emb.select(F.col(id_col), cos.alias("cosine"))
+        emb.filter(_norm(F.col(vec_col)) > 0)
+        .select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
@@ -52,13 +57,14 @@ def train_centroids(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     sample: int = 2048,
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Deterministic k-means-lite: seed with the first n rows by id, one
     assignment pass over a bounded sample, then per-cluster mean."""
-    # ORDER BY before LIMIT: an unordered limit is not deterministic
-    # across partitionings, and the centroids must be reproducible
-    cols = emb.columns
-    rows = emb.orderBy(cols[0]).select(vec_col).limit(sample).collect()
+    # ORDER BY a NAMED unique id before LIMIT: an unordered (or
+    # arbitrary-first-column) limit is not deterministic across
+    # partitionings, and the centroids must be reproducible
+    rows = emb.orderBy(id_col).select(vec_col).limit(sample).collect()
     vecs = [list(r[0]) for r in rows]
     if len(vecs) <= n_centroids:
         return vecs
@@ -159,9 +165,14 @@ def ivf_topk(
     ]
     q = F.array(*[F.lit(float(x)) for x in query])
     qn = sum(x * x for x in query) ** 0.5
+    if qn == 0:
+        raise ValueError("query vector has zero norm — cosine is undefined")
     cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    # zero-norm rows -> NaN -> sorted above every real match (see
+    # cosine_topk); exclude them before ranking
     return (
         emb_bucketed.filter(F.col("bucket").isin(*[int(p) for p in probe]))
+        .filter(_norm(F.col(vec_col)) > 0)
         .select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -49,17 +50,29 @@ class CheckpointedRun:
     # also recompute — its checkpointed output may derive from the stale
     # version of the recomputed stage (linear-pipeline invalidation)
     _dirty: bool = False
+    # token of the most recently produced/resumed stage in this run —
+    # threaded into each manifest as parent_token (chain validation)
+    _last_token: str | None = None
 
     def _paths(self, stage: str) -> tuple[str, str]:
         d = os.path.join(self.base_dir, stage)
         return d, os.path.join(d, "_stage_state.json")
 
-    def is_complete(self, stage: str) -> bool:
+    def _read_state(self, stage: str) -> dict | None:
         _, state = self._paths(stage)
         if not os.path.exists(state):
-            return False
-        with open(state) as fh:
-            return json.load(fh).get("status") == "complete"
+            return None
+        try:
+            with open(state) as fh:
+                st = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            # a crash mid-write leaves a truncated manifest — treat as
+            # incomplete instead of bricking every future resume
+            return None
+        return st if st.get("status") == "complete" else None
+
+    def is_complete(self, stage: str) -> bool:
+        return self._read_state(stage) is not None
 
     def stage(
         self,
@@ -70,13 +83,21 @@ class CheckpointedRun:
     ) -> DataFrame:
         """Run (or resume) one stage. ``fn`` builds the stage DataFrame."""
         data_dir, state_path = self._paths(name)
-        if not force and not self._dirty and self.is_complete(name):
-            with open(state_path) as fh:
-                st = json.load(fh)
+        st = None if (force or self._dirty) else self._read_state(name)
+        # LINEAGE TOKEN: every stage manifest records its own token and
+        # the token of the stage that ran immediately before it in this
+        # run; on resume the chain must match, or a checkpoint derived
+        # from a STALE upstream version (recompute crashed before
+        # reaching this stage) would be silently reused by a fresh
+        # process whose in-memory _dirty flag reset
+        if st is not None and st.get("parent_token") != self._last_token:
+            st = None
+        if st is not None:
             self.results[name] = StageResult(
                 name, data_dir, st["rows"], st["partitions"], st["counters"],
                 0.0, resumed=True,
             )
+            self._last_token = st.get("token")
             return self.spark.read.parquet(data_dir)
 
         self._dirty = True
@@ -99,6 +120,7 @@ class CheckpointedRun:
         }
         rows = sum(counters["per_partition_rows"].values())
         elapsed = time.time() - t0
+        token = uuid.uuid4().hex
         state = {
             "status": "complete",
             "stage": name,
@@ -107,9 +129,16 @@ class CheckpointedRun:
             "counters": counters,
             "elapsed_sec": elapsed,
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "token": token,
+            "parent_token": self._last_token,
         }
-        with open(state_path, "w") as fh:
+        # atomic replace: a crash mid-dump must not leave a truncated
+        # manifest that poisons resume
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(state, fh, indent=1)
+        os.replace(tmp, state_path)
+        self._last_token = token
         self.results[name] = StageResult(
             name, data_dir, rows, len(per_part), counters, elapsed, resumed=False
         )

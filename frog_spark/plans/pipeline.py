@@ -142,13 +142,20 @@ class PipelineTimers:
 
 
 def _drain_timers(pipe: "FrogPipeline", timers: PipelineTimers | None) -> None:
-    """Move executor-local stage timings into the Spark accumulators."""
-    if timers is None:
-        return
+    """Move executor-local stage timings into the Spark accumulators.
+
+    With no accumulators attached the local dict is CLEARED anyway —
+    leftover timings from a timer-less job would otherwise be drained
+    into the NEXT job's accumulators on a reused Python worker and
+    inflate its module numbers."""
     local = getattr(pipe, "_local_timers", None)
-    if local:
-        for k in list(local):
-            timers.acc[k].add(local.pop(k, 0.0))
+    if not local:
+        return
+    if timers is None:
+        local.clear()
+        return
+    for k in list(local):
+        timers.acc[k].add(local.pop(k, 0.0))
 
 
 class FrogPipeline:
@@ -537,7 +544,16 @@ def annotate_tokens(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Token rows -> fully annotated token rows. One shuffle total."""
-    bc = spark.sparkContext.broadcast(pipeline)
+    # reuse the pipeline's existing broadcast (see annotate_transcripts):
+    # re-broadcasting an object that already carries a Broadcast in _bc
+    # would pickle the nested broadcast by id and fail on the workers
+    bc = getattr(pipeline, "_bc", None)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(pipeline)
+        try:
+            pipeline._bc = bc
+        except Exception:
+            pass
     parts = num_partitions or spark.sparkContext.defaultParallelism
 
     shuffled = (

@@ -26,20 +26,60 @@ def merged_units(annotated: DataFrame) -> DataFrame:
     The '_'-joined fields and the product-of-members confidence
     (FrogData.cxx:142-183) were computed in the annotation pass, so this
     is a narrow filter on the unit's first token — no shuffle."""
-    return annotated.filter(F.col("token_idx") == F.col("mwu_start")).select(
+    # MWU rows join the MEMBER tags with '_' (tag, ner, chunk) and force
+    # compound '0', per the reference merge(); member tags come from one
+    # bounded aggregation over each unit's tokens — the per-unit scalar
+    # fields stay the denormalized first-token values
+    member = (
+        annotated.groupBy(*_KEY, "unit_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("token_idx", "pos_tag", "ner_tag", "chunk_tag")
+                        )
+                    ),
+                    lambda s: s["pos_tag"],
+                ),
+                "_",
+            ).alias("m_pos"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("token_idx", "ner_tag"))
+                    ),
+                    lambda s: s["ner_tag"],
+                ),
+                "_",
+            ).alias("m_ner"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("token_idx", "chunk_tag"))
+                    ),
+                    lambda s: s["chunk_tag"],
+                ),
+                "_",
+            ).alias("m_chunk"),
+        )
+    )
+    first = annotated.filter(F.col("token_idx") == F.col("mwu_start"))
+    is_mwu = F.col("mwu_end") > F.col("mwu_start")
+    return first.join(member, [*_KEY, "unit_idx"]).select(
         *_KEY,
         "unit_idx",
         F.col("unit_word").alias("word"),
         F.col("unit_lemma").alias("lemma"),
         F.col("unit_morph").alias("morph"),
-        "compound",
-        "pos_tag",
+        F.when(is_mwu, F.lit("0")).otherwise(F.col("compound")).alias("compound"),
+        F.when(is_mwu, F.col("m_pos")).otherwise(F.col("pos_tag")).alias("pos_tag"),
         F.col("unit_conf").alias("pos_conf"),
-        "ner_tag",
-        "chunk_tag",
+        F.when(is_mwu, F.col("m_ner")).otherwise(F.col("ner_tag")).alias("ner_tag"),
+        F.when(is_mwu, F.col("m_chunk")).otherwise(F.col("chunk_tag")).alias("chunk_tag"),
         "parse_head",
         "parse_role",
-        (F.col("mwu_end") > F.col("mwu_start")).alias("is_mwu"),
+        is_mwu.alias("is_mwu"),
     )
 
 

@@ -16,20 +16,34 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def read_text_as_transcripts(
-    spark: SparkSession, path: str, conv_per_file: bool = True
-) -> DataFrame:
-    """Each file is a conversation; each non-empty line a turn."""
-    df = spark.read.text(path).withColumn(
+def read_text_as_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Each file is a conversation; each non-empty line a turn.
+
+    Files are read WHOLE (wholetext) and split line-wise with posexplode:
+    per-line reads order lines by monotonically_increasing_id across
+    splits, which is only coincidentally correct when a file exceeds one
+    input split — wholetext makes line order contractual (transcript
+    files are conversation-sized, far below executor memory). conv_id is
+    the file's path RELATIVE to the scan root — a bare basename would
+    collide same-named files in different directories into one
+    conversation with duplicate (conv_id, turn_idx) keys."""
+    df = spark.read.text(path, wholetext=True).withColumn(
         "file", F.input_file_name()
     )
-    df = df.filter(F.length(F.trim("value")) > 0)
-    w = Window.partitionBy("file").orderBy(F.monotonically_increasing_id())
-    return df.select(
-        F.regexp_extract("file", r"([^/]+)$", 1).alias("conv_id"),
+    root = path.rstrip("/") + "/"
+    conv = F.regexp_replace(
+        F.regexp_replace("file", r"^file:/*", "/"), F.lit(root), F.lit("")
+    )
+    lines = df.select(
+        conv.alias("conv_id"),
+        F.posexplode(F.split("value", "\n")).alias("line_no", "text"),
+    ).filter(F.length(F.trim("text")) > 0)
+    w = Window.partitionBy("conv_id").orderBy("line_no")
+    return lines.select(
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
-        F.col("value").alias("text"),
+        "text",
         F.lit(None).cast("string").alias("tool"),
         F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
     )
