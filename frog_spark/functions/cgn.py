@@ -85,4 +85,4 @@ def cgn_head(col: Column) -> Column:
 def cgn_features(tags: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Vectorized subset expansion: pos_tag -> map<subset, value>."""
     for s in tags:
-        yield s.map(expand_tag)
+        yield s.map(expand_tag, na_action='ignore')

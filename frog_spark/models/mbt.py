@@ -96,14 +96,21 @@ class MBTagger:
         unknown_tree = IGTree.train(unk_inst, unk_cls, feature_order=[1, 4, 5, 6, 0, 2, 3, 7])
         return cls(dict(lexicon), known_tree, unknown_tree)
 
+    UNK_AMBI = "__UNK__"
+
     def tag_sentence(self, words: Sequence[str]) -> list[tuple[str, float]]:
         out: list[tuple[str, float]] = []
         prev_tag = BOUNDARY
         n = len(words)
         for i, word in enumerate(words):
             wkey = _word_key(word)
+            # an OUT-OF-LEXICON next word must not fall back to BOUNDARY:
+            # in training that value only ever means sentence-final, so
+            # the tree would walk the end-of-sentence branch mid-sentence.
+            # __UNK__ never occurs in training; the walk stops at that
+            # feature and answers from the partial-path distribution.
             next_ambi = (
-                self.ambitag.get(_word_key(words[i + 1]), BOUNDARY)
+                self.ambitag.get(_word_key(words[i + 1]), self.UNK_AMBI)
                 if i + 1 < n
                 else BOUNDARY
             )

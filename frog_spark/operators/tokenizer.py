@@ -47,7 +47,15 @@ ABBREVIATIONS = {
 # ordered rule list semantics.
 _RULES: list[tuple[str, str]] = [
     ("URL", r"(?:https?://|www\.)[^\s]*[^\s.,!?;:]"),
-    ("EMAIL", r"[\w.+-]+@[\w-]+\.[\w.-]+"),
+    # EMAIL must END on a word character or a sentence-final period would
+    # be swallowed into the address ('Mail me@x.nl. Daarna' lost its
+    # sentence boundary)
+    ("EMAIL", r"[\w.+-]+@[\w-]+\.[\w.-]*\w"),
+    # dotted abbreviation sequences (o.a., t.a.v., d.w.z.) scan as ONE
+    # token — letter-by-letter splitting made every multi-dot entry in
+    # ABBREVIATIONS unreachable and each internal period a false
+    # sentence-break candidate
+    ("ABBREV-DOTTED", r"(?:[^\W\d_]{1,3}\.){2,}"),
     ("DATE", r"\d{1,2}-\d{1,2}-\d{2,4}"),
     ("SMILEY", r"[:;=][-o^]?[)(DpP/\\|]"),
     ("NUMBER-ORDINAL", r"\d+(?:ste|de|e)\b"),
@@ -60,6 +68,9 @@ _RULES: list[tuple[str, str]] = [
     ("QUOTE-SUFFIX", r"[^\W\d_]+['’](?![^\W\d_])"),
     # word with internal apostrophe/hyphen/diacritics: zo'n, user-based, 's
     ("WORD", r"[^\W\d_]+(?:[-'’][^\W\d_]+)*|['’][^\W\d_]+"),
+    # ellipsis / repeated terminators are ONE token ('...' as three dots
+    # produced two spurious empty sentences per ellipsis)
+    ("PUNCTUATION-MULTI", r"\.{2,}|[!?]{2,}"),
     ("PUNCTUATION", r"[^\s\w]"),
     ("SYMBOL", r"[_]+"),
 ]
@@ -71,6 +82,7 @@ _SCANNER = re.compile(
 _CLASS_BY_GROUP = {name.replace("-", "_"): name for name, _ in _RULES}
 
 _EOS_PUNCT = {".", "!", "?"}
+_QUOTE_SPAN_MAX = 40  # tokens an open quote may suppress breaks for
 _OPEN_QUOTES = {'"', "“", "«", "‘"}
 _CLOSE_QUOTES = {'"', "”", "»", "’"}
 _UTT = re.compile(r"<utt>")
@@ -93,20 +105,24 @@ def tokenize_text(text: str) -> list[Token]:
     """Tokenize one turn; pure, deterministic, no model needed."""
     tokens: list[Token] = []
     # <utt> is a hard sentence break marker, consumed (problems.txt usage).
-    segments: list[tuple[str, int]] = []  # (segment_text, base_offset)
+    segments: list[str] = []
     pos = 0
     for m in _UTT.finditer(text):
-        segments.append((text[pos : m.start()], pos))
+        segments.append(text[pos : m.start()])
         pos = m.end()
-    segments.append((text[pos:], pos))
+    segments.append(text[pos:])
 
     para_pending = True
-    for seg_i, (seg, base) in enumerate(segments):
+    for seg_i, seg in enumerate(segments):
         seg_tokens: list[tuple[Token, int, int]] = []
         for m in _SCANNER.finditer(seg):
             word = m.group(0)
             cls = _classify(m)
-            if cls == "WORD" and word.lower() in ABBREVIATIONS:
+            if cls == "ABBREV-DOTTED":
+                cls = "ABBREVIATION"
+            elif cls == "PUNCTUATION-MULTI":
+                cls = "PUNCTUATION"
+            elif cls == "WORD" and word.lower() in ABBREVIATIONS:
                 cls = "ABBREVIATION"
             seg_tokens.append(
                 (Token(word, cls, False, False, False), m.start(), m.end())
@@ -134,6 +150,9 @@ def tokenize_text(text: str) -> list[Token]:
         seg_tokens = merged
 
         quote_depth = 0
+        straight_open = False  # straight '"' toggles its OWN flag — it must
+        # not zero typographic nesting it did not open
+        since_open = 0  # tokens since any quote opened (bounded suppression)
         prev_end = None
         for j, (tok, s, e) in enumerate(seg_tokens):
             tok.no_space = prev_end is not None and s == prev_end
@@ -141,16 +160,29 @@ def tokenize_text(text: str) -> list[Token]:
             if para_pending:
                 tok.new_paragraph = True
                 para_pending = False
+            if quote_depth > 0 or straight_open:
+                since_open += 1
             if tok.word in _OPEN_QUOTES and tok.word in _CLOSE_QUOTES:
-                # ambiguous straight quote: toggle open/close
-                quote_depth = 0 if quote_depth > 0 else 1
+                straight_open = not straight_open
+                if straight_open:
+                    since_open = 0
             elif tok.word in _OPEN_QUOTES:
                 quote_depth += 1
+                since_open = 0
             elif tok.word in _CLOSE_QUOTES and quote_depth > 0:
                 quote_depth -= 1
-            elif tok.word in _EOS_PUNCT and tok.token_class == "PUNCTUATION":
+            elif (
+                tok.token_class == "PUNCTUATION"
+                and set(tok.word) <= _EOS_PUNCT
+            ):
                 nxt = seg_tokens[j + 1][0] if j + 1 < len(seg_tokens) else None
-                if quote_depth == 0 and (
+                if (quote_depth > 0 or straight_open) and since_open > _QUOTE_SPAN_MAX:
+                    # unbalanced quote: a stray '"' must not suppress
+                    # sentence breaks for the rest of the turn (the
+                    # reference bounds quote lookahead the same way)
+                    quote_depth = 0
+                    straight_open = False
+                if quote_depth == 0 and not straight_open and (
                     nxt is None
                     or nxt.word[:1].isupper()
                     or nxt.word in _OPEN_QUOTES
