@@ -88,3 +88,40 @@ def test_reference_problems_corpus_roundtrip():
             continue
         assert detokenize(toks) == norm, raw
         assert all(t.word for t in toks)
+
+
+def test_dotted_abbreviations_one_token():
+    """Multi-dot abbreviations scan as ONE token and their internal
+    periods never break sentences (review batch 5)."""
+    from frog_spark.operators.tokenizer import split_sentences, tokenize_text
+
+    toks = tokenize_text("Gericht t.a.v. De heer Smit.")
+    assert any(t.word == "t.a.v." and t.token_class == "ABBREVIATION" for t in toks)
+    assert len(split_sentences(toks)) == 1
+
+
+def test_email_keeps_sentence_boundary():
+    from frog_spark.operators.tokenizer import split_sentences, tokenize_text
+
+    toks = tokenize_text("Mail me@x.nl. Daarna gaan we verder.")
+    assert any(t.word == "me@x.nl" and t.token_class == "EMAIL" for t in toks)
+    assert len(split_sentences(toks)) == 2
+
+
+def test_ellipsis_single_token_and_break():
+    from frog_spark.operators.tokenizer import split_sentences, tokenize_text
+
+    toks = tokenize_text("Dat was het... Daarna kwam meer.")
+    assert any(t.word == "..." for t in toks)
+    sents = split_sentences(toks)
+    assert [len(s) for s in sents] == [4, 4]
+
+
+def test_unbalanced_quote_suppression_is_bounded():
+    """A stray quote may suppress breaks for at most _QUOTE_SPAN_MAX
+    tokens — not the rest of the turn."""
+    from frog_spark.operators.tokenizer import split_sentences, tokenize_text
+
+    long_run = " ".join(f"woord{i}" for i in range(50))
+    toks = tokenize_text(f'Hij zei " {long_run}. En dit is een nieuwe zin.')
+    assert len(split_sentences(toks)) >= 2
