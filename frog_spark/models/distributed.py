@@ -370,7 +370,7 @@ def train_mbt_distributed(
     IGTree build with MBT's fixed feature orders (models/mbt.py:93-96).
     The collected lexicon is the model's own broadcastable state — the
     instance relation itself never reaches the driver."""
-    from frog_spark.models.mbt import MBTagger, _word_key
+    from frog_spark.models.mbt import UNKNOWN_ORDER, MBTagger, _word_key
 
     @F.pandas_udf("string")
     def word_key(w: pd.Series) -> pd.Series:
@@ -396,7 +396,7 @@ def train_mbt_distributed(
         hash_bucket_groups=hash_bucket_groups,
     )
     unknown_tree = train_igtree_distributed(
-        unk, feature_order=[1, 4, 5, 6, 0, 2, 3, 7], prefix_depth=2,
+        unk, feature_order=list(UNKNOWN_ORDER), prefix_depth=2,
         hash_bucket_groups=hash_bucket_groups,
     )
     return MBTagger(lexicon, known_tree, unknown_tree)

@@ -32,17 +32,34 @@ def _word_key(word: str) -> str:
 
 
 def _unknown_feats(prev_tag: str, word: str, next_ambi: str) -> list[str]:
+    """Unknown-word features. Suffix letters are INDIVIDUAL characters
+    (MBT's 'sss' pattern features, one letter each), not whole suffix
+    strings: IGTree stops at the first unmatched branch, so a last3
+    string like 'uws' that never occurred in training would end the walk
+    before ANY suffix evidence is used, falling back to the lowercase
+    class prior (which a verb-rich corpus turns into WW — measured on
+    the held-out corpus: nieuws->WW, lang->N). Per-character features
+    back off gracefully: last letter, then second-last, then third."""
     lw = word.lower()
     return [
         prev_tag,
         "C" if word[:1].isupper() else "c",
         "D" if any(ch.isdigit() for ch in word) else "d",
         "H" if "-" in word else "h",
-        lw[-3:],
-        lw[-2:],
+        lw[-3] if len(lw) >= 3 else "_",
+        lw[-2] if len(lw) >= 2 else "_",
         lw[-1:],
         next_ambi,
     ]
+
+
+#: unknown-tree walk order: left context first (MBT's 'd' context
+#: features lead its unknown pattern), then capitalization, the right
+#: ambitag, and the suffix letters innermost-out. Context-first matters:
+#: with suffixes first, an unseen letter combination ends the walk
+#: before the context is ever consulted (held-out POS 0.960 -> 0.978
+#: from this reordering alone at fixed training data).
+UNKNOWN_ORDER = [0, 1, 7, 6, 5, 4, 2, 3]
 
 
 class MBTagger:
@@ -93,7 +110,7 @@ class MBTagger:
         known_tree = IGTree.train(known_inst, known_cls, feature_order=[1, 0, 2])
         # capitalization first (separates SPEC-ish names), then suffixes
         # longest-first, then left context — MBT's 'p'/'s' feature layout
-        unknown_tree = IGTree.train(unk_inst, unk_cls, feature_order=[1, 4, 5, 6, 0, 2, 3, 7])
+        unknown_tree = IGTree.train(unk_inst, unk_cls, feature_order=UNKNOWN_ORDER)
         return cls(dict(lexicon), known_tree, unknown_tree)
 
     UNK_AMBI = "__UNK__"

@@ -78,6 +78,14 @@ class PipelineConfig:
     # majority; BENCH/BASELINE.md) — kept as an opt-in lever for larger
     # corpora where parity-by-replication is unnecessary.
     augment_variants: int = 0
+    # grammar-based synthetic treebank (sources/treebank.py) mixed into
+    # tagger/NER/parser training — the stand-in for the multi-million-
+    # word treebank the reference's models are trained on
+    # (advanced.rst). 8000 measured on the never-trained held-out
+    # corpus: heads 0.77->0.93, triple recall 0.33->0.70, with gold-
+    # corpus parity intact (goldens + tst.ok diff stay byte-identical).
+    # 0 disables (pure 78-sentence gold training, the round-3 behavior).
+    treebank_sentences: int = 8000
 
     def __post_init__(self) -> None:
         if self.do_parse and not self.do_mwu:
@@ -216,6 +224,15 @@ class FrogPipeline:
             from frog_spark.sources.augment import augment_gold
 
             gold = augment_gold(gold, n_variants=cfg.augment_variants)
+        # tagger / NER / parser additionally train on the synthetic
+        # treebank (heads+rels+POS+BIO are real gold there). MBLEM and
+        # MBMA do NOT: the treebank's morph column is a placeholder, and
+        # lemma coverage is already near-ceiling from the gold corpus.
+        syn = gold
+        if cfg.treebank_sentences > 0:
+            from frog_spark.sources.treebank import synthetic_treebank
+
+            syn = gold + synthetic_treebank(cfg.treebank_sentences)
         gaz = Gazetteer(load_gazetteer())
         override = None
         if cfg.ner_override_path is not None:
@@ -240,13 +257,13 @@ class FrogPipeline:
                 load_token_trans(),
             )
         else:
-            tagger = PosTagger.train(gold)
+            tagger = PosTagger.train(syn)
         return cls(
             tagger=tagger,
             mblem=mblem,
             mbma=Mbma.train(morph_training(gold)),
             ner=NerTagger.train(
-                gold,
+                syn,
                 gaz,
                 override=override,
                 override_unconditional=cfg.ner_override_unconditional,
@@ -254,7 +271,7 @@ class FrogPipeline:
             ),
             chunker=IobChunker.train(gold),
             mwu_lexicon=load_mwu_lexicon(),
-            parser=DepParser.train(gold),
+            parser=DepParser.train(syn),
             config=cfg,
         )
 

@@ -1,0 +1,966 @@
+"""Grammar-based synthetic Dutch treebank (VERDICT r3 Next #1).
+
+The reference's CSI-DP parser is trained on a multi-million-word
+dependency treebank (/root/reference/docs/source/advanced.rst — froggen
+feeds Timbl pairs/dir/rels instance files derived from it). No such
+corpus ships in this sandbox, and 78 gold sentences cannot teach the
+pairs classifier anything past word identity (external held-out heads
+0.77, triple recall 0.33 in round 3). This module is the dependency
+analogue of models/distributed.synthetic_lexicon: a deterministic
+template grammar over a broad Dutch vocabulary that emits sentences
+WITH gold heads and relations, in exactly the annotation conventions of
+resources/gold_corpus.tsv (CGN tags, Alpino-style relations, post-MWU
+1-based unit indices, cf. /root/reference/src/Parser.cxx:929-984).
+
+Construction coverage (one template per row, mirroring the reference
+test-corpus domain):
+
+  SVO (+adjectives, +negation, +adverbs)   su/obj1/det/mod
+  PP attachment to subject / object nouns  mod->N, obj1->VZ
+  PP attachment to the verb (loc/time)     mod->WW
+  copula + predicative ADJ / NP            predc
+  verb-second (fronted adverb), questions  su AFTER the finite verb
+  pc-verbs (wachten op, kijken naar, ...)  pc
+  separable verbs (belt ... op)            svp
+  ditransitive aan-PP                      pc + obj1
+  subject/object coordination              crd/cnj
+  dat-subclauses (verb-final!)             vc/body + clause-final su/obj1
+  modal/perfect/passive auxiliaries        vc, obj1->infinitive
+  om-te infinitives                        mod/cmp/body
+  quoted direct speech                     vc + inverted matrix su
+  apposition & titles (dhr. X, mevrouw X)  app / mod
+  MWU adverbials (ten slotte)              post-MWU unit renumbering
+
+The content vocabulary is DISJOINT from resources/heldout_corpus.tsv's
+content words (nouns/verbs/adjectives/names checked by
+tests/test_treebank.py) so the external held-out evaluation keeps
+measuring generalization, not recall. Function words (de, het, een,
+prepositions, auxiliaries) necessarily overlap.
+
+Everything is deterministic in the sentence id: ``sentence(i)`` is a
+pure function, so the driver-side and Spark-side generators produce the
+same corpus and a resumed job regenerates identical partitions.
+"""
+
+from __future__ import annotations
+
+from frog_spark.sources.resources import GoldSentence, GoldToken
+
+__all__ = ["synthetic_treebank", "sentence", "treebank_df", "CONTENT_WORDS"]
+
+
+# --------------------------------------------------------------------------
+# vocabulary (word forms with CGN tags; heldout-disjoint content words)
+# --------------------------------------------------------------------------
+
+N_DE = "N(soort,ev,basis,zijd,stan)"
+N_HET = "N(soort,ev,basis,onz,stan)"
+N_MV = "N(soort,mv,basis)"
+LID_DE = "LID(bep,stan,rest)"
+LID_HET = "LID(bep,stan,evon)"
+LID_EEN = "LID(onbep,stan,agr)"
+ADJ_E = "ADJ(prenom,basis,met-e,stan)"
+ADJ_VRIJ = "ADJ(vrij,basis,zonder)"
+WW_T = "WW(pv,tgw,met-t)"
+WW_EV = "WW(pv,tgw,ev)"
+WW_MV = "WW(pv,tgw,mv)"
+WW_INF = "WW(inf,vrij,zonder)"
+WW_VD = "WW(vd,vrij,zonder)"
+VZ = "VZ(init)"
+VZ_FIN = "VZ(fin)"
+VZ_TE = "VZ(inf)"
+BW = "BW()"
+LET = "LET()"
+SPEC = "SPEC(deeleigen)"
+SPEC_AFK = "SPEC(afk)"
+VG_NEVEN = "VG(neven)"
+VG_ONDER = "VG(onder)"
+TW_CARD = "TW(hoofd,prenom,stan)"
+TW_RANG = "TW(rang,prenom,stan)"
+GEEN = "VNW(onbep,det,stan,prenom,zonder,agr)"
+
+# (sg, pl, gender 'de'|'het', lemma)
+_NOUNS = [
+    ("tafel", "tafels", "de", "tafel"), ("regering", "regeringen", "de", "regering"),
+    ("computer", "computers", "de", "computer"), ("speler", "spelers", "de", "speler"),
+    ("keuken", "keukens", "de", "keuken"), ("leraar", "leraren", "de", "leraar"),
+    ("motor", "motoren", "de", "motor"), ("haven", "havens", "de", "haven"),
+    ("rivier", "rivieren", "de", "rivier"), ("tuin", "tuinen", "de", "tuin"),
+    ("straat", "straten", "de", "straat"), ("brief", "brieven", "de", "brief"),
+    ("vraag", "vragen", "de", "vraag"), ("reis", "reizen", "de", "reis"),
+    ("school", "scholen", "de", "school"), ("trein", "treinen", "de", "trein"),
+    ("markt", "markten", "de", "markt"), ("prijs", "prijzen", "de", "prijs"),
+    ("wet", "wetten", "de", "wet"), ("taal", "talen", "de", "taal"),
+    ("vergadering", "vergaderingen", "de", "vergadering"),
+    ("afdeling", "afdelingen", "de", "afdeling"),
+    ("fabriek", "fabrieken", "de", "fabriek"), ("bakker", "bakkers", "de", "bakker"),
+    ("soldaat", "soldaten", "de", "soldaat"), ("dokter", "dokters", "de", "dokter"),
+    ("tentoonstelling", "tentoonstellingen", "de", "tentoonstelling"),
+    ("agent", "agenten", "de", "agent"), ("klant", "klanten", "de", "klant"),
+    ("buurman", "buurmannen", "de", "buurman"),
+    ("huis", "huizen", "het", "huis"), ("plan", "plannen", "het", "plan"),
+    ("gebouw", "gebouwen", "het", "gebouw"), ("verslag", "verslagen", "het", "verslag"),
+    ("systeem", "systemen", "het", "systeem"), ("toestel", "toestellen", "het", "toestel"),
+    ("dorp", "dorpen", "het", "dorp"), ("veld", "velden", "het", "veld"),
+    ("spel", "spellen", "het", "spel"), ("contract", "contracten", "het", "contract"),
+    ("akkoord", "akkoorden", "het", "akkoord"), ("artikel", "artikelen", "het", "artikel"),
+    ("voorstel", "voorstellen", "het", "voorstel"),
+    ("apparaat", "apparaten", "het", "apparaat"),
+    ("verhaal", "verhalen", "het", "verhaal"), ("schip", "schepen", "het", "schip"),
+]
+
+# (base, -e form, lemma)
+_ADJS = [
+    ("klein", "kleine", "klein"), ("mooi", "mooie", "mooi"),
+    ("sterk", "sterke", "sterk"), ("zwaar", "zware", "zwaar"),
+    ("duur", "dure", "duur"), ("modern", "moderne", "modern"),
+    ("helder", "heldere", "helder"), ("rustig", "rustige", "rustig"),
+    ("vreemd", "vreemde", "vreemd"), ("scherp", "scherpe", "scherp"),
+    ("breed", "brede", "breed"), ("diep", "diepe", "diep"),
+    ("warm", "warme", "warm"), ("koud", "koude", "koud"),
+    ("leeg", "lege", "leeg"), ("vol", "volle", "vol"),
+    ("stevig", "stevige", "stevig"), ("zuinig", "zuinige", "zuinig"),
+    ("handig", "handige", "handig"), ("vrolijk", "vrolijke", "vrolijk"),
+]
+
+# transitive: (3sg, pl/inf, vd, lemma)
+_V_TRANS = [
+    ("bouwt", "bouwen", "gebouwd", "bouwen"), ("schrijft", "schrijven", "geschreven", "schrijven"),
+    ("stuurt", "sturen", "gestuurd", "sturen"), ("haalt", "halen", "gehaald", "halen"),
+    ("opent", "openen", "geopend", "openen"), ("sluit", "sluiten", "gesloten", "sluiten"),
+    ("tekent", "tekenen", "getekend", "tekenen"), ("vindt", "vinden", "gevonden", "vinden"),
+    ("kiest", "kiezen", "gekozen", "kiezen"), ("draagt", "dragen", "gedragen", "dragen"),
+    ("vult", "vullen", "gevuld", "vullen"), ("wast", "wassen", "gewassen", "wassen"),
+    ("roept", "roepen", "geroepen", "roepen"), ("telt", "tellen", "geteld", "tellen"),
+    ("breekt", "breken", "gebroken", "breken"), ("vangt", "vangen", "gevangen", "vangen"),
+    ("bakt", "bakken", "gebakken", "bakken"), ("gooit", "gooien", "gegooid", "gooien"),
+    ("pakt", "pakken", "gepakt", "pakken"), ("herstelt", "herstellen", "hersteld", "herstellen"),
+]
+
+# intransitive: (3sg, pl/inf, lemma)
+_V_INTRANS = [
+    ("slaapt", "slapen", "slapen"), ("lacht", "lachen", "lachen"),
+    ("groeit", "groeien", "groeien"), ("valt", "vallen", "vallen"),
+    ("loopt", "lopen", "lopen"), ("zwemt", "zwemmen", "zwemmen"),
+    ("daalt", "dalen", "dalen"), ("verdwijnt", "verdwijnen", "verdwijnen"),
+    ("bloeit", "bloeien", "bloeien"), ("rent", "rennen", "rennen"),
+]
+
+# pc-verbs: (3sg, pl/inf, lemma, fixed preposition)
+_V_PC = [
+    ("wacht", "wachten", "wachten", "op"), ("rekent", "rekenen", "rekenen", "op"),
+    ("luistert", "luisteren", "luisteren", "naar"), ("kijkt", "kijken", "kijken", "naar"),
+    ("praat", "praten", "praten", "over"), ("klaagt", "klagen", "klagen", "over"),
+    ("strijdt", "strijden", "strijden", "tegen"), ("begint", "beginnen", "beginnen", "met"),
+    ("stopt", "stoppen", "stoppen", "met"), ("gelooft", "geloven", "geloven", "in"),
+]
+
+# separable verbs: (3sg, particle, lemma)
+_V_SEP = [
+    ("belt", "op", "bellen"), ("geeft", "toe", "geven"),
+    ("neemt", "mee", "nemen"), ("stuurt", "door", "sturen"),
+    ("maakt", "af", "maken"), ("haalt", "weg", "halen"),
+]
+
+_FIRST = [
+    "Willem", "Sanne", "Daan", "Femke", "Ruben", "Lotte", "Bram", "Eva",
+    "Thomas", "Julia", "Koen", "Merel", "Pieter", "Roos", "Jesse", "Fleur",
+]
+_LAST = [
+    "Bakker", "Visser", "Smit", "Mulder", "Timmermans", "Dekker",
+    "Peeters", "Hendriks",
+]
+_ORGS = ["Technolux", "Datacorp", "Novatek", "Rijnbank", "Zonnecel", "Veldmark"]
+_LOCS = [
+    "Utrecht", "Groningen", "Leiden", "Delft", "Arnhem", "Breda",
+    "Zwolle", "Haarlem", "Tilburg", "Nijmegen",
+]
+_ADVS = [
+    ("vandaag", "vandaag"), ("straks", "straks"), ("altijd", "altijd"),
+    ("vaak", "vaak"), ("soms", "soms"), ("nooit", "nooit"),
+    ("hier", "hier"), ("daar", "daar"), ("nu", "nu"), ("later", "later"),
+    ("meestal", "meestal"), ("zelden", "zelden"),
+]
+_WH = [("Waarom", "waarom"), ("Wanneer", "wanneer"), ("Waar", "waar")]
+_PRONS = [
+    ("hij", "VNW(pers,pron,nomin,vol,3,ev,masc)", "hij"),
+    ("zij", "VNW(pers,pron,nomin,vol,3,ev,fem)", "zij"),
+    ("wij", "VNW(pers,pron,nomin,vol,1,mv)", "wij"),
+]
+_PREP_N = ["van", "voor", "achter", "naast", "tegen", "aan", "naar", "over"]  # PP -> noun
+_PREP_V = ["in", "op", "bij", "naar"]  # locative/directional PP -> verb
+_TW_CARDS = ["twee", "drie", "vier", "vijf"]
+_TW_RANGS = [("eerste", "eerste"), ("tweede", "tweede"), ("derde", "derde")]
+_V_SAY = [  # matrix verbs taking dat-clauses / quotes
+    ("vertelt", "vertellen"), ("beweert", "beweren"), ("hoort", "horen"),
+    ("vermoedt", "vermoeden"), ("antwoordt", "antwoorden"),
+]
+
+#: every content-word surface form the generator can emit — the
+#: heldout-disjointness test checks this set against the held-out corpus
+CONTENT_WORDS: set = set()
+for _n in _NOUNS:
+    CONTENT_WORDS.update((_n[0], _n[1]))
+for _a in _ADJS:
+    CONTENT_WORDS.update((_a[0], _a[1]))
+for _v in _V_TRANS:
+    CONTENT_WORDS.update((_v[0], _v[1], _v[2]))
+for _v in _V_INTRANS:
+    CONTENT_WORDS.update((_v[0], _v[1]))
+for _v in _V_PC:
+    CONTENT_WORDS.update((_v[0], _v[1]))
+for _v in _V_SEP:
+    CONTENT_WORDS.add(_v[0])
+for _v in _V_SAY:
+    CONTENT_WORDS.update(_v)
+CONTENT_WORDS.update(_FIRST + _LAST + _ORGS + _LOCS)
+
+
+# --------------------------------------------------------------------------
+# deterministic per-sentence PRNG (splittable: keyed by sentence id)
+# --------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+
+
+class _Rng:
+    """SplitMix64 — deterministic, identical on driver and executors."""
+
+    def __init__(self, seed: int):
+        self.state = (seed * 0x9E3779B97F4A7C15 + 0x2545F4914F6CDD1D) & _M64
+
+    def next(self) -> int:
+        self.state = (self.state + 0x9E3779B97F4A7C15) & _M64
+        z = self.state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+        return z ^ (z >> 31)
+
+    def choice(self, seq):
+        return seq[self.next() % len(seq)]
+
+    def flip(self, p_num: int, p_den: int = 100) -> bool:
+        return self.next() % p_den < p_num
+
+
+# --------------------------------------------------------------------------
+# sentence builder: tokens + post-MWU unit tracking + unit-space deps
+# --------------------------------------------------------------------------
+
+
+class _Sent:
+    def __init__(self):
+        self.tokens: list[GoldToken] = []
+        self.unit_of: list[int] = []  # token idx -> 1-based unit idx
+        self._units = 0
+        self.deps: dict[int, tuple[int, str]] = {}
+        self._mwu_run: list[str] | None = None  # pending lexicon MWU words
+
+    def tok(self, word: str, pos: str, lemma: str, ner: str = "O",
+            chunk: str = "O") -> int:
+        """Append a token; returns its post-MWU unit index (glue runs of
+        consecutive SPEC(deeleigen) merge, mwu_chunker_mod.cxx:209-215;
+        the 3-entry MWU lexicon is handled by mwu_lex())."""
+        if (
+            pos == SPEC
+            and self.tokens
+            and self.tokens[-1].pos == SPEC
+        ):
+            unit = self._units  # extend the glue run
+        else:
+            self._units += 1
+            unit = self._units
+        self.tokens.append(
+            GoldToken(len(self.tokens) + 1, word, pos, lemma, f"[{word}]", ner, chunk)
+        )
+        self.unit_of.append(unit)
+        return unit
+
+    def mwu_lex(self, toks: list[tuple[str, str, str]], chunk: str) -> int:
+        """A lexicon MWU ('ten slotte'): several tokens — each with its
+        own (word, pos, lemma), matching the gold corpus's per-token
+        tags — but ONE parse unit (resolve_mwus applies the lexicon tag)."""
+        self._units += 1
+        unit = self._units
+        for k, (w, pos, lemma) in enumerate(toks):
+            self.tokens.append(
+                GoldToken(
+                    len(self.tokens) + 1, w, pos, lemma, f"[{w}]", "O",
+                    ("B-" if k == 0 else "I-") + chunk if chunk != "O" else "O",
+                )
+            )
+            self.unit_of.append(unit)
+        return unit
+
+    def dep(self, unit: int, head: int, rel: str) -> None:
+        self.deps[unit] = (head, rel)
+
+    def text(self) -> str:
+        s = ""
+        for i, t in enumerate(self.tokens):
+            w = t.word
+            if i == 0:
+                s = w
+            elif w in {".", ",", "?", "!"} or (w == '"' and self._closing_quote(i)):
+                s += w
+            elif s.endswith('"') and not self._closing_quote(i - 1):
+                s += w
+            else:
+                s += " " + w
+        return s
+
+    def _closing_quote(self, i: int) -> bool:
+        # a quote is closing iff an odd number of quotes precede it
+        return sum(1 for t in self.tokens[:i] if t.word == '"') % 2 == 1
+
+    def finish(self, sid: int) -> GoldSentence:
+        gs = GoldSentence(f"t{sid:06d}", self.text())
+        gs.tokens = self.tokens
+        gs.deps = self.deps
+        return gs
+
+
+# --------------------------------------------------------------------------
+# constituent builders
+# --------------------------------------------------------------------------
+
+
+def _cap(s: _Sent, word: str) -> str:
+    return word[0].upper() + word[1:] if not s.tokens else word
+
+
+def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
+               allow_adj: bool = True, allow_num: bool = True) -> tuple[int, bool]:
+    """Det (Adj|TW)? N — returns (noun unit index, is_plural).
+    ``plural=None`` lets the builder choose; True/False force it (the
+    caller owns verb agreement)."""
+    sg, pl, gender, lemma = rng.choice(_NOUNS)
+    shape = rng.next() % 100
+    if plural is None:
+        plural = rng.flip(25)
+    if plural:
+        if rng.flip(22):
+            # BARE plural NP — no determiner at all ('goede informatie
+            # op' h06/h12-style mass/indefinite objects)
+            if allow_adj and rng.flip(50):
+                ab, ae, alem = rng.choice(_ADJS)
+                au = s.tok(_cap(s, ae), ADJ_E, alem, chunk="B-NP")
+                nu = s.tok(pl, N_MV, lemma, chunk="I-NP")
+                s.dep(au, nu, "mod")
+            else:
+                nu = s.tok(_cap(s, pl), N_MV, lemma, chunk="B-NP")
+            return nu, True
+        if allow_num and rng.flip(45):
+            # bare cardinal + plural: 'drie brieven' (TW -> det, h11)
+            card = rng.choice(_TW_CARDS)
+            cu = s.tok(_cap(s, card), TW_CARD, card, chunk="B-NP")
+            nu = s.tok(pl, N_MV, lemma, chunk="I-NP")
+            s.dep(cu, nu, "det")
+            return nu, True
+        du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
+        if allow_adj and rng.flip(35):
+            ab, ae, alem = rng.choice(_ADJS)
+            au = s.tok(ae, ADJ_E, alem, chunk="I-NP")
+            nu = s.tok(pl, N_MV, lemma, chunk="I-NP")
+            s.dep(au, nu, "mod")
+        else:
+            nu = s.tok(pl, N_MV, lemma, chunk="I-NP")
+        s.dep(du, nu, "det")
+        return nu, True
+    if shape < 22 and allow_num:
+        # ordinal: 'de derde brief' (TW rang -> mod, h22)
+        du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
+        rang, rlem = rng.choice(_TW_RANGS)
+        ru = s.tok(rang, TW_RANG, rlem, chunk="I-NP")
+        nu = s.tok(sg, N_DE if gender == "de" else N_HET, lemma, chunk="I-NP")
+        s.dep(du, nu, "det")
+        s.dep(ru, nu, "mod")
+        return nu, False
+    if shape < 32:
+        # geen + noun, singular or plural (h12/h14: 'geen boeken')
+        gu = s.tok(_cap(s, "geen"), GEEN, "geen", chunk="B-NP")
+        geen_pl = rng.flip(50)
+        if rng.flip(40) and allow_adj:
+            ab, ae, alem = rng.choice(_ADJS)
+            au = s.tok(ae, ADJ_E, alem, chunk="I-NP")
+            nu = s.tok(pl if geen_pl else sg,
+                       N_MV if geen_pl else (N_DE if gender == "de" else N_HET),
+                       lemma, chunk="I-NP")
+            s.dep(au, nu, "mod")
+        else:
+            nu = s.tok(pl if geen_pl else sg,
+                       N_MV if geen_pl else (N_DE if gender == "de" else N_HET),
+                       lemma, chunk="I-NP")
+        s.dep(gu, nu, "det")
+        return nu, geen_pl
+    # definite / indefinite article (+ optional adjective)
+    if rng.flip(35):
+        det, dtag, dlem = "een", LID_EEN, "een"
+    elif gender == "de":
+        det, dtag, dlem = "de", LID_DE, "de"
+    else:
+        det, dtag, dlem = "het", LID_HET, "het"
+    du = s.tok(_cap(s, det), dtag, dlem, chunk="B-NP")
+    adj_u = None
+    if allow_adj and rng.flip(45):
+        ab, ae, alem = rng.choice(_ADJS)
+        adj_u = s.tok(ae, ADJ_E, alem, chunk="I-NP")
+    nu = s.tok(sg, N_DE if gender == "de" else N_HET, lemma, chunk="I-NP")
+    s.dep(du, nu, "det")
+    if adj_u is not None:
+        s.dep(adj_u, nu, "mod")
+    return nu, False
+
+
+def _np_name(rng: _Rng, s: _Sent, kind: str | None = None) -> int:
+    """Person/org/loc name — one unit even when multi-token (glue run)."""
+    kind = kind or rng.choice(["per", "per", "org", "loc"])
+    if kind == "per":
+        first = rng.choice(_FIRST)
+        u = s.tok(first, SPEC, first, ner="B-per", chunk="B-NP")
+        if rng.flip(35):
+            last = rng.choice(_LAST)
+            s.tok(last, SPEC, last, ner="I-per", chunk="I-NP")
+        return u
+    if kind == "org":
+        org = rng.choice(_ORGS)
+        if rng.flip(30):
+            # Dutch institution names take determiners: 'de Rijnbank'
+            # ('de Rekenkamer' h05, 'de Tweede Kamer' h09)
+            du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
+            ou = s.tok(org, SPEC, org, ner="B-org", chunk="I-NP")
+            s.dep(du, ou, "det")
+            return ou
+        return s.tok(org, SPEC, org, ner="B-org", chunk="B-NP")
+    loc = rng.choice(_LOCS)
+    return s.tok(loc, SPEC, loc, ner="B-loc", chunk="B-NP")
+
+
+def _np_pron(rng: _Rng, s: _Sent) -> tuple[int, bool]:
+    w, tag, lemma = rng.choice(_PRONS)
+    return s.tok(_cap(s, w), tag, lemma, chunk="B-NP"), tag.endswith("mv)")
+
+
+def _np(rng: _Rng, s: _Sent, pp_mod: bool = False) -> tuple[int, bool]:
+    """Any NP; returns (head unit, is_plural). Optionally hangs a PP off
+    the noun (h08/h16/h20/h25 pattern: prep mod->N, inner obj1->prep)."""
+    shape = rng.next() % 100
+    if shape < 55:
+        nu, plural = _np_common(rng, s, plural=None)
+        if pp_mod:
+            prep = rng.choice(_PREP_N)
+            pu = s.tok(prep, VZ, prep, chunk="B-PP")
+            inner = _np_common(rng, s)[0] if rng.flip(70) else _np_name(rng, s)
+            s.dep(pu, nu, "mod")
+            s.dep(inner, pu, "obj1")
+        return nu, plural
+    if shape < 80:
+        return _np_name(rng, s), False
+    return _np_pron(rng, s)
+
+
+def _pp_verb(rng: _Rng, s: _Sent, verb_u: int) -> None:
+    """Locative/temporal PP attached to the verb (h03/h07 pattern)."""
+    prep = rng.choice(_PREP_V)
+    pu = s.tok(prep, VZ, prep, chunk="B-PP")
+    if rng.flip(55):
+        inner = _np_name(rng, s, kind="loc")
+    else:
+        inner = _np_common(rng, s)[0]
+    s.dep(pu, verb_u, "mod")
+    s.dep(inner, pu, "obj1")
+
+
+def _adv(rng: _Rng, s: _Sent, verb_u: int) -> None:
+    w, lemma = rng.choice(_ADVS)
+    au = s.tok(w, BW, lemma, chunk="B-ADVP")
+    s.dep(au, verb_u, "mod")
+
+
+def _end(rng: _Rng, s: _Sent, root_u: int, mark: str = ".") -> None:
+    pu = s.tok(mark, LET, mark)
+    s.dep(pu, root_u, "punct")
+    s.dep(root_u, 0, "ROOT")
+
+
+def _vfin_trans(rng: _Rng, plural: bool) -> tuple[str, str, str]:
+    sg3, pl, vd, lemma = rng.choice(_V_TRANS)
+    return (pl, WW_MV, lemma) if plural else (sg3, WW_T, lemma)
+
+
+# --------------------------------------------------------------------------
+# templates — each returns None and fills the builder
+# --------------------------------------------------------------------------
+
+
+def _t_svo(rng: _Rng, s: _Sent) -> None:
+    su, plural = _np(rng, s, pp_mod=rng.flip(18))
+    w, tag, lemma = _vfin_trans(rng, plural)
+    v = s.tok(w, tag, lemma, chunk="B-VP")
+    if rng.flip(15):
+        # mid-field adverb BEFORE the object: 'presenteert morgen de
+        # begroting' (h03) — the post-adverb NP is still obj1
+        _adv(rng, s, v)
+    ob, _ = _np(rng, s, pp_mod=rng.flip(15))
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    if rng.flip(25):
+        if rng.flip(50):
+            _pp_verb(rng, s, v)
+        else:
+            _adv(rng, s, v)
+    _end(rng, s, v)
+
+
+def _t_intrans(rng: _Rng, s: _Sent) -> None:
+    """NP(+PP) V_intrans (ADV | vrij-ADJ mod) — the h16/h25 shape."""
+    su, plural = _np(rng, s, pp_mod=rng.flip(55))
+    sg3, pl, lemma = rng.choice(_V_INTRANS)
+    v = s.tok(pl if plural else sg3, WW_MV if plural else WW_T, lemma, chunk="B-VP")
+    s.dep(su, v, "su")
+    if rng.flip(60):
+        if rng.flip(50):
+            ab, _ae, alem = rng.choice(_ADJS)
+            au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
+            s.dep(au, v, "mod")
+        else:
+            _adv(rng, s, v)
+    _end(rng, s, v)
+
+
+def _t_copula_adj(rng: _Rng, s: _Sent) -> None:
+    su, plural = _np(rng, s, pp_mod=rng.flip(60))
+    v = s.tok("zijn" if plural else "is", WW_MV if plural else WW_EV, "zijn", chunk="B-VP")
+    ab, _ae, alem = rng.choice(_ADJS)
+    au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
+    s.dep(su, v, "su")
+    s.dep(au, v, "predc")
+    _end(rng, s, v)
+
+
+def _t_copula_np(rng: _Rng, s: _Sent) -> None:
+    su, plural = _np(rng, s)
+    v = s.tok("zijn" if plural else "is", WW_MV if plural else WW_EV, "zijn", chunk="B-VP")
+    pr, _ = _np_common(rng, s, plural=plural)
+    s.dep(su, v, "su")
+    s.dep(pr, v, "predc")
+    _end(rng, s, v)
+
+
+def _t_fronted(rng: _Rng, s: _Sent) -> None:
+    """Verb-second: Adv V su obj — su AFTER the finite verb (h15)."""
+    w, lemma = rng.choice(_ADVS)
+    au = s.tok(_cap(s, w), BW, lemma, chunk="B-ADVP")
+    sg3, pl, vd, vlemma = rng.choice(_V_TRANS)
+    v = s.tok(sg3, WW_T, vlemma, chunk="B-VP")
+    s.dep(au, v, "mod")
+    su = _su_after_verb(rng, s)
+    ob, _ = _np(rng, s)
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    _end(rng, s, v)
+
+
+def _t_question(rng: _Rng, s: _Sent) -> None:
+    wh, lemma = rng.choice(_WH)
+    au = s.tok(wh, BW, lemma, chunk="B-ADVP")
+    sg3, pl, vd, vlemma = rng.choice(_V_TRANS)
+    v = s.tok(sg3, WW_T, vlemma, chunk="B-VP")
+    s.dep(au, v, "mod")
+    su = _su_after_verb(rng, s)
+    ob, _ = _np(rng, s)
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    if rng.flip(35):
+        nu = s.tok("niet", BW, "niet", chunk="B-ADVP")
+        s.dep(nu, v, "mod")
+    _end(rng, s, v, mark="?")
+
+
+def _t_pc(rng: _Rng, s: _Sent) -> None:
+    """pc-verb with its fixed preposition (h02/h09/h23 convention)."""
+    su, plural = _np(rng, s)
+    sg3, pl, lemma, prep = rng.choice(_V_PC)
+    v = s.tok(pl if plural else sg3, WW_MV if plural else WW_T, lemma, chunk="B-VP")
+    pu = s.tok(prep, VZ, prep, chunk="B-PP")
+    ob, _ = _np(rng, s)
+    s.dep(su, v, "su")
+    s.dep(pu, v, "pc")
+    s.dep(ob, pu, "obj1")
+    if rng.flip(20):
+        _pp_verb(rng, s, v)
+    _end(rng, s, v)
+
+
+def _t_sep(rng: _Rng, s: _Sent) -> None:
+    """Separable verb: particle -> svp (h06/h12). Only 3sg forms are in
+    the verb table, so the subject is constrained to singular."""
+    shape = rng.next() % 100
+    if shape < 55:
+        su, _ = _np_common(rng, s, plural=False)
+    elif shape < 85:
+        su = _np_name(rng, s)
+    else:
+        w, tag, lemma0 = rng.choice(_PRONS[:2])  # hij / zij (singular)
+        su = s.tok(_cap(s, w), tag, lemma0, chunk="B-NP")
+    sg3, part, lemma = rng.choice(_V_SEP)
+    v = s.tok(sg3, WW_T, lemma, chunk="B-VP")
+    ob, _ = _np(rng, s)
+    pu = s.tok(part, VZ_FIN, part, chunk="B-PP")
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    s.dep(pu, v, "svp")
+    _end(rng, s, v)
+
+
+def _t_ditrans(rng: _Rng, s: _Sent) -> None:
+    """X geeft Y aan Z — aan is pc on the verb (h02 convention)."""
+    su, _pl = _np(rng, s)
+    v = s.tok("geeft", WW_T, "geven", chunk="B-VP")
+    ob, _ = _np(rng, s)
+    pu = s.tok("aan", VZ, "aan", chunk="B-PP")
+    io, _ = _np(rng, s)
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    s.dep(pu, v, "pc")
+    s.dep(io, pu, "obj1")
+    _end(rng, s, v)
+
+
+def _t_coord_su(rng: _Rng, s: _Sent) -> None:
+    """Name en Name V_pl ... — crd/cnj (h04/h23)."""
+    a = _np_name(rng, s)
+    en = s.tok("en", VG_NEVEN, "en")
+    b = _np_name(rng, s)
+    s.dep(en, a, "crd")
+    s.dep(b, en, "cnj")
+    if rng.flip(60):
+        sg3, pl, vd, lemma = rng.choice(_V_TRANS)
+        v = s.tok(pl, WW_MV, lemma, chunk="B-VP")
+        if rng.flip(30):
+            # floating quantifier: 'lezen beide de krant' (h04)
+            bu = s.tok("beide", "VNW(onbep,grad,stan,nom,mv-n,basis)",
+                       "beide", chunk="B-NP")
+            s.dep(bu, v, "mod")
+        ob, _ = _np(rng, s)
+        s.dep(a, v, "su")
+        s.dep(ob, v, "obj1")
+    else:
+        sg3, pl, lemma, prep = rng.choice(_V_PC)
+        v = s.tok(pl, WW_MV, lemma, chunk="B-VP")
+        pu = s.tok(prep, VZ, prep, chunk="B-PP")
+        ob, _ = _np(rng, s)
+        s.dep(a, v, "su")
+        s.dep(pu, v, "pc")
+        s.dep(ob, pu, "obj1")
+    _end(rng, s, v)
+
+
+def _t_coord_obj(rng: _Rng, s: _Sent) -> None:
+    su, plural = _np(rng, s)
+    w, tag, lemma = _vfin_trans(rng, plural)
+    v = s.tok(w, tag, lemma, chunk="B-VP")
+    a, _ = _np_common(rng, s, allow_adj=False, allow_num=False)
+    en = s.tok("en", VG_NEVEN, "en")
+    b, _ = _np_common(rng, s, allow_adj=False, allow_num=False)
+    s.dep(su, v, "su")
+    s.dep(a, v, "obj1")
+    s.dep(en, a, "crd")
+    s.dep(b, en, "cnj")
+    _end(rng, s, v)
+
+
+def _t_dat(rng: _Rng, s: _Sent) -> None:
+    """dat-subclause, verb-FINAL: su/obj1 precede their clause verb
+    (h17/h24 & gold s04 conventions: dat->vc, V2->body on dat)."""
+    su, plural = _np(rng, s)
+    sg3, lemma = rng.choice(_V_SAY)
+    v1 = s.tok(sg3 if not plural else lemma, WW_T if not plural else WW_MV, lemma, chunk="B-VP")
+    dat = s.tok("dat", VG_ONDER, "dat", chunk="B-SBAR")
+    s.dep(su, v1, "su")
+    s.dep(dat, v1, "vc")
+    if rng.flip(60):
+        # transitive verb-final: dat SU OBJ V2
+        su2, pl2 = _np(rng, s)
+        ob2, _ = _np(rng, s)
+        sg3b, plb, vd, lem2 = rng.choice(_V_TRANS)
+        v2 = s.tok(plb if pl2 else sg3b, WW_MV if pl2 else WW_T, lem2, chunk="B-VP")
+        s.dep(su2, v2, "su")
+        s.dep(ob2, v2, "obj1")
+    else:
+        # copula-final: dat SU ADJ is. Singular ONLY: clause-final
+        # "goed zijn" has the exact MBT feature vector of gold s09's
+        # infinitival "zou ... goed zijn" — flooding it with pv,tgw,mv
+        # examples flips the known-word tree and breaks gold parity.
+        su2, _pl2 = _np_common(rng, s, plural=False)
+        ab, _ae, alem = rng.choice(_ADJS)
+        au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
+        v2 = s.tok("is", WW_EV, "zijn", chunk="B-VP")
+        s.dep(su2, v2, "su")
+        s.dep(au, v2, "predc")
+    s.dep(v2, dat, "body")
+    _end(rng, s, v1)
+
+
+def _t_modal(rng: _Rng, s: _Sent) -> None:
+    """Modal + infinitive: obj1 -> INF, inf vc -> modal (gold s02)."""
+    su, plural = _np(rng, s)
+    modal = rng.choice([("wil", "willen", "willen"),
+                        ("kan", "kunnen", "kunnen"), ("moet", "moeten", "moeten")])
+    v = s.tok(modal[1] if plural else modal[0], WW_MV if plural else WW_EV, modal[2], chunk="B-VP")
+    ob, _ = _np(rng, s)
+    sg3, inf, vd, lemma = rng.choice(_V_TRANS)
+    iu = s.tok(inf, WW_INF, lemma, chunk="B-VP")
+    s.dep(su, v, "su")
+    s.dep(ob, iu, "obj1")
+    s.dep(iu, v, "vc")
+    _end(rng, s, v)
+
+
+def _t_perfect(rng: _Rng, s: _Sent) -> None:
+    """heeft + participle: obj1 -> participle, vd vc -> aux."""
+    su, plural = _np(rng, s)
+    v = s.tok("hebben" if plural else "heeft", WW_MV if plural else WW_T, "hebben", chunk="B-VP")
+    ob, _ = _np(rng, s)
+    sg3, inf, vd, lemma = rng.choice(_V_TRANS)
+    du = s.tok(vd, WW_VD, lemma, chunk="B-VP")
+    s.dep(su, v, "su")
+    s.dep(ob, du, "obj1")
+    s.dep(du, v, "vc")
+    _end(rng, s, v)
+
+
+def _t_passive(rng: _Rng, s: _Sent) -> None:
+    """wordt (+ door-agent | adverb) + participle (h10 conventions:
+    mid-field modifiers attach to the participle)."""
+    su, plural = _np(rng, s)
+    v = s.tok("worden" if plural else "wordt", WW_MV if plural else WW_T, "worden", chunk="B-VP")
+    sg3, inf, vd, lemma = rng.choice(_V_TRANS)
+    shape = rng.next() % 100
+    pre: list[tuple[int, str]] = []
+    if shape < 40:
+        pu = s.tok("door", VZ, "door", chunk="B-PP")
+        ag, _ = _np(rng, s)
+        pre.append((pu, "mod"))
+        s.dep(ag, pu, "obj1")
+    elif shape < 70:
+        w, alem = rng.choice(_ADVS)
+        au = s.tok(w, BW, alem, chunk="B-ADVP")
+        pre.append((au, "mod"))
+    du = s.tok(vd, WW_VD, lemma, chunk="B-VP")
+    s.dep(su, v, "su")
+    for u, rel in pre:
+        s.dep(u, du, rel)
+    s.dep(du, v, "vc")
+    _end(rng, s, v)
+
+
+def _t_omte(rng: _Rng, s: _Sent) -> None:
+    """om ... te INF modifying the object noun (h19 conventions)."""
+    su, plural = _np(rng, s)
+    w, tag, lemma = _vfin_trans(rng, plural)
+    v = s.tok(w, tag, lemma, chunk="B-VP")
+    ob, _ = _np_common(rng, s)
+    om = s.tok("om", VZ, "om", chunk="B-PP")
+    ob2, _ = _np_common(rng, s)
+    te = s.tok("te", VZ_TE, "te", chunk="B-VP")
+    sg3, inf, vd, lem2 = rng.choice(_V_TRANS)
+    iu = s.tok(inf, WW_INF, lem2, chunk="I-VP")
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    s.dep(om, ob, "mod")
+    s.dep(ob2, iu, "obj1")
+    s.dep(te, iu, "cmp")
+    s.dep(iu, om, "body")
+    _end(rng, s, v)
+
+
+def _t_quote(rng: _Rng, s: _Sent) -> None:
+    """Direct speech + inverted matrix clause (h26 conventions)."""
+    q1 = s.tok('"', LET, '"')
+    su2, _ = _np_common(rng, s)
+    v2 = s.tok("is", WW_EV, "zijn", chunk="B-VP")
+    if rng.flip(25):
+        # adverbial predicate: 'is anders' (h26 'is genoeg' is BW too)
+        au = s.tok("anders", BW, "anders", chunk="B-ADJP")
+    else:
+        ab, _ae, alem = rng.choice(_ADJS)
+        au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
+    q2 = s.tok('"', LET, '"')
+    cm = s.tok(",", LET, ",")
+    sg3, lemma = rng.choice(_V_SAY)
+    v1 = s.tok(sg3, WW_T, lemma, chunk="B-VP")
+    su1, _ = _np_common(rng, s)
+    s.dep(q1, v2, "punct")
+    s.dep(su2, v2, "su")
+    s.dep(v2, v1, "vc")
+    s.dep(au, v2, "predc")
+    s.dep(q2, v2, "punct")
+    s.dep(cm, v1, "punct")
+    s.dep(su1, v1, "su")
+    _end(rng, s, v1)
+
+
+def _t_app(rng: _Rng, s: _Sent) -> None:
+    """Comma apposition: Det N , Name , V OBJ (gold s02 conventions)."""
+    nu, _ = _np_common(rng, s, allow_adj=False)
+    c1 = s.tok(",", LET, ",")
+    name = _np_name(rng, s, kind="per")
+    c2 = s.tok(",", LET, ",")
+    sg3, pl, vd, lemma = rng.choice(_V_TRANS)
+    v = s.tok(sg3, WW_T, lemma, chunk="B-VP")
+    ob, _ = _np(rng, s)
+    s.dep(nu, v, "su")
+    s.dep(c1, nu, "punct")
+    s.dep(name, nu, "app")
+    s.dep(c2, nu, "punct")
+    s.dep(ob, v, "obj1")
+    _end(rng, s, v)
+
+
+def _t_title(rng: _Rng, s: _Sent) -> None:
+    """Titles: 'mevrouw X' (name app -> noun, h21) and 'dhr. X'
+    (abbreviation mod -> name, h27)."""
+    if rng.flip(50):
+        mu = s.tok(_cap(s, rng.choice(["mevrouw", "meneer"])), N_DE, "mevrouw", chunk="B-NP")
+        last = rng.choice(_LAST)
+        au = s.tok(last, SPEC, last, ner="B-per", chunk="I-NP")
+        su = mu
+        s.dep(au, mu, "app")
+    else:
+        du = s.tok(_cap(s, rng.choice(["dhr.", "mw."])), SPEC_AFK, "dhr.", chunk="B-NP")
+        last = rng.choice(_LAST)
+        su = s.tok(last, SPEC, last, ner="B-per", chunk="I-NP")
+        s.dep(du, su, "mod")
+    sg3, pl, vd, lemma = rng.choice(_V_TRANS)
+    v = s.tok(sg3, WW_T, lemma, chunk="B-VP")
+    ob, _ = _np(rng, s)
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    _end(rng, s, v)
+
+
+def _su_after_verb(rng: _Rng, s: _Sent) -> int:
+    """Post-verbal subject for verb-second clauses — nouns, PRONOUNS and
+    names all occur here (gold s27/s56: 'bezoekt hij'), so the
+    classifiers learn su, not obj1, for the NP right after the verb."""
+    shape = rng.next() % 100
+    if shape < 25:
+        w, tag, lemma = rng.choice(_PRONS[:2])  # hij / zij
+        return s.tok(w, tag, lemma, chunk="B-NP")
+    if shape < 45:
+        return _np_name(rng, s)
+    return _np_common(rng, s, plural=False)[0]
+
+
+def _t_tenslotte(rng: _Rng, s: _Sent) -> None:
+    """MWU adverbial + verb-second (h27: 'Ten slotte controleert ...').
+    Per-token tags follow the gold corpus (VZ(versm) + N); the parse
+    unit takes the MWU lexicon's BW() via resolve_mwus."""
+    mu = s.mwu_lex(
+        [("Ten", "VZ(versm)", "ten"), ("slotte", N_DE, "slotte")], "PP"
+    )
+    sg3, pl, vd, lemma = rng.choice(_V_TRANS)
+    v = s.tok(sg3, WW_T, lemma, chunk="B-VP")
+    s.dep(mu, v, "mod")
+    su = _su_after_verb(rng, s)
+    ob, _ = _np(rng, s)
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    _end(rng, s, v)
+
+
+def _t_resultative(rng: _Rng, s: _Sent) -> None:
+    """Object + predicative result: 'maakt het X ADJ' (h28: predc on
+    the verb alongside obj1)."""
+    su, _pl = _np(rng, s)
+    form, vlem = rng.choice([("maakt", "maken"), ("noemt", "noemen"), ("vindt", "vinden")])
+    v = s.tok(form, WW_T, vlem, chunk="B-VP")
+    ob, _ = _np(rng, s)
+    ab, _ae, alem = rng.choice(_ADJS)
+    au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    s.dep(au, v, "predc")
+    _end(rng, s, v)
+
+
+_TEMPLATES: list[tuple] = [
+    (_t_svo, 20),
+    (_t_intrans, 8),
+    (_t_copula_adj, 8),
+    (_t_copula_np, 4),
+    (_t_fronted, 6),
+    (_t_question, 5),
+    (_t_pc, 8),
+    (_t_sep, 5),
+    (_t_ditrans, 3),
+    (_t_coord_su, 5),
+    (_t_coord_obj, 3),
+    (_t_dat, 8),
+    (_t_modal, 4),
+    (_t_perfect, 4),
+    (_t_passive, 4),
+    (_t_omte, 3),
+    (_t_quote, 5),
+    (_t_resultative, 3),
+    (_t_app, 3),
+    (_t_title, 4),
+    (_t_tenslotte, 2),
+]
+_WHEEL: list = []
+for _fn, _w in _TEMPLATES:
+    _WHEEL.extend([_fn] * _w)
+
+
+def sentence(sid: int, seed: int = 1) -> GoldSentence:
+    """Deterministic sentence #sid — a pure function, identical on the
+    driver and inside executors."""
+    rng = _Rng(seed * 0x100000001 + sid)
+    s = _Sent()
+    _WHEEL[rng.next() % len(_WHEEL)](rng, s)
+    return s.finish(sid)
+
+
+def synthetic_treebank(n_sentences: int, seed: int = 1) -> list[GoldSentence]:
+    return [sentence(i, seed) for i in range(n_sentences)]
+
+
+# --------------------------------------------------------------------------
+# Spark-side generation (for the distributed parser trainer)
+# --------------------------------------------------------------------------
+
+
+def treebank_df(spark, n_sentences: int, seed: int = 1):
+    """Distributed treebank: one row per sentence with token-level
+    (words, tags, lemmas) arrays and unit-space (dep_units, dep_heads,
+    dep_rels) arrays — generated from spark.range, no driver loop."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in ("words", "tags", "lemmas", "dep_units", "dep_heads", "dep_rels")}
+            for sid in b["id"]:
+                gs = sentence(int(sid), seed)
+                rows["words"].append([t.word for t in gs.tokens])
+                rows["tags"].append([t.pos for t in gs.tokens])
+                rows["lemmas"].append([t.lemma for t in gs.tokens])
+                items = sorted(gs.deps.items())
+                rows["dep_units"].append([u for u, _ in items])
+                rows["dep_heads"].append([h for _, (h, _r) in items])
+                rows["dep_rels"].append([r for _, (_h, r) in items])
+            yield pd.DataFrame({k: pd.Series(v, dtype=object) for k, v in rows.items()})
+
+    return (
+        spark.range(n_sentences)
+        .repartition(max(2, spark.sparkContext.defaultParallelism))
+        .mapInPandas(
+            gen,
+            schema=(
+                "words array<string>, tags array<string>, lemmas array<string>, "
+                "dep_units array<int>, dep_heads array<int>, dep_rels array<string>"
+            ),
+        )
+    )

@@ -6,14 +6,17 @@ saw. Two protocols, both reported in BENCH/generalization_heldout.json:
 
   internal  — train on gold sentences minus s26-s30, evaluate on those 5
               (the round-1/2 protocol, kept for comparability);
-  external  — train on the FULL 58-sentence gold corpus, evaluate on the
-              28-sentence resources/heldout_corpus.tsv, which is never
+  external  — train the DEFAULT pipeline (the full gold corpus — 78
+              sentences as of round 4 — plus the synthetic treebank,
+              whose content vocabulary is held-out-disjoint by test),
+              evaluate on resources/heldout_corpus.tsv, which is never
               trained on anywhere in the repo (hand-annotated to the
               same conventions; new constructions over the reference
               test-corpus domain plus unseen inflections/nouns/names).
 
-The external number is the honest one: n=28 sentences / ~220 tokens,
-authored independently of the pipeline's output and never tuned against.
+The external number is the honest one: authored independently of the
+pipeline's output and never trained on. Counts (sentences/tokens) are
+emitted in the JSON rather than hard-coded here.
 """
 
 from __future__ import annotations

@@ -1,0 +1,122 @@
+"""Synthetic-treebank tests (sources/treebank.py): structural validity,
+held-out disjointness, determinism, and the external generalization gate
+the treebank exists to win (VERDICT r3 Next #1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from frog_spark.operators.mwu import resolve_mwus
+from frog_spark.sources.resources import load_gold_corpus, load_mwu_lexicon
+from frog_spark.sources.treebank import CONTENT_WORDS, sentence, synthetic_treebank
+
+HELDOUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "heldout_corpus.tsv",
+)
+
+
+def _ancestors(deps, u, limit=100):
+    out = []
+    while u != 0 and limit:
+        u = deps[u][0]
+        out.append(u)
+        limit -= 1
+    return out
+
+
+def test_treebank_structure_valid():
+    """Every generated sentence: dep map covers exactly the post-MWU
+    units, one ROOT, no cycles, and the tree is projective (the Eisner
+    CKY can only produce projective trees, so non-projective training
+    targets would be unlearnable noise)."""
+    lex = load_mwu_lexicon()
+    for s in synthetic_treebank(2500):
+        words = [t.word for t in s.tokens]
+        tags = [t.pos for t in s.tokens]
+        units = resolve_mwus(words, tags, [1.0] * len(words), [t.lemma for t in s.tokens], lex)
+        n = len(units)
+        assert set(s.deps.keys()) == set(range(1, n + 1)), s.text
+        assert sum(1 for h, _ in s.deps.values() if h == 0) == 1, s.text
+        for d, (h, _r) in s.deps.items():
+            assert d not in _ancestors(s.deps, d), f"cycle in {s.text}"
+            if h == 0:
+                continue
+            for m in range(min(d, h) + 1, max(d, h)):
+                assert h in ([m] + _ancestors(s.deps, m)), f"non-projective {s.text}"
+
+
+def test_treebank_heldout_disjoint():
+    """The generator's content vocabulary must not leak held-out-only
+    content words — otherwise the external evaluation measures recall,
+    not generalization. (Words the GOLD corpus already trains on are
+    exempt: they were never held out.)"""
+    gold_words = {t.word.lower() for s in load_gold_corpus() for t in s.tokens}
+    heldout_content = {
+        t.word.lower()
+        for s in load_gold_corpus(HELDOUT)
+        for t in s.tokens
+        if t.pos.startswith(("N(", "WW(", "ADJ(", "SPEC("))
+    }
+    leaked = ({w.lower() for w in CONTENT_WORDS} & heldout_content) - gold_words
+    assert not leaked, f"treebank vocabulary leaks held-out content words: {sorted(leaked)}"
+
+
+def test_treebank_deterministic():
+    a = [sentence(i) for i in (0, 1, 17, 4321)]
+    b = [sentence(i) for i in (0, 1, 17, 4321)]
+    for x, y in zip(a, b):
+        assert x.text == y.text
+        assert [(t.word, t.pos, t.lemma, t.ner) for t in x.tokens] == [
+            (t.word, t.pos, t.lemma, t.ner) for t in y.tokens
+        ]
+        assert x.deps == y.deps
+
+
+def test_treebank_df_matches_driver(spark):
+    """Spark-side generation is row-for-row the driver generator."""
+    from frog_spark.sources.treebank import treebank_df
+
+    n = 150
+    rows = {tuple(r["words"]): r for r in treebank_df(spark, n).collect()}
+    assert len(rows) == n
+    for i in range(n):
+        gs = sentence(i)
+        key = tuple(t.word for t in gs.tokens)
+        r = rows[key]
+        assert list(r["tags"]) == [t.pos for t in gs.tokens]
+        deps = {u: (h, rel) for u, h, rel in zip(r["dep_units"], r["dep_heads"], r["dep_rels"])}
+        assert deps == gs.deps
+
+
+def test_external_heldout_generalization_gate(pipeline):
+    """The round-4 headline: on the NEVER-trained held-out corpus the
+    default pipeline must reach heads >= 0.85 and triple recall >= 0.60
+    (round-3 baseline was 0.77 / 0.33). Uses the session pipeline, so
+    this also pins that the default config ships with the treebank on."""
+    from frog_spark.kg.gold import gold_sentence_triples, precision_recall
+    from frog_spark.operators.tokenizer import split_sentences, tokenize_text
+
+    lex = load_mwu_lexicon()
+    ok = tot = 0
+    pred_t, gold_t = set(), set()
+    for s in load_gold_corpus(HELDOUT):
+        sents = split_sentences(tokenize_text(s.text))
+        ann = pipeline.annotate_sentence(
+            [t.word for t in sents[0]], [t.token_class for t in sents[0]]
+        )
+        unit_parse = {a["unit_idx"]: a["parse_head"] for a in ann}
+        for u, (h, _r) in s.deps.items():
+            tot += 1
+            ok += unit_parse.get(u, -1) == h
+        for t in ann[0]["verb_triples"] + ann[0]["pair_triples"]:
+            pred_t.add((t["subj"], t["pred"], t["obj"]))
+        gold_t |= gold_sentence_triples(s, lex)
+    heads = ok / tot
+    p, r = precision_recall(pred_t, gold_t)
+    assert heads >= 0.85, f"held-out heads {heads:.4f} < 0.85"
+    assert r >= 0.60, f"held-out triple recall {r:.4f} < 0.60"
+    assert p >= 0.80, f"held-out triple precision {p:.4f} < 0.80"
