@@ -51,6 +51,9 @@ __all__ = [
     "mbma_word_rows",
     "train_mbma_distributed",
     "synthetic_lexicon",
+    "dep_instances",
+    "train_depparser_distributed",
+    "gold_sentences_df",
 ]
 
 
@@ -321,21 +324,23 @@ def train_mblem_distributed(spark: SparkSession, lexicon: DataFrame):
 # MBT (POS tagger) training as a Spark job (P1 at 10.9M-token-corpus scale)
 # --------------------------------------------------------------------------
 
-def mbt_instances(sent_df: DataFrame, ambitag):
-    """Tagged-sentence DataFrame (words array, tags array) -> (known,
-    unknown) instance DataFrames. Extraction is sentence-local (training
-    contexts use GOLD previous tags, tagger_base.cxx training mode), so
-    one mapInPandas pass per base emits every windowed instance.
-    ``ambitag`` may be a plain dict or an ``sc.broadcast`` handle — pass
-    the broadcast at corpus scale so the vocabulary-sized map ships once
-    per executor instead of being pickled into every task (both
-    extraction passes would otherwise carry it)."""
+def mbt_instances(sent_df: DataFrame, ambitag) -> DataFrame:
+    """Tagged-sentence DataFrame (words array, tags array) -> ONE fused
+    (kind 'known'|'unk', feats, cls) instance relation. Extraction is
+    sentence-local (training contexts use GOLD previous tags,
+    tagger_base.cxx training mode); emitting both bases from a single
+    mapInPandas pass halves corpus I/O versus the earlier one-pass-per-
+    base layout — the corpus is the big thing at 10.9M tokens, the
+    instances are skinny. ``ambitag`` may be a plain dict or an
+    ``sc.broadcast`` handle — pass the broadcast at corpus scale so the
+    vocabulary-sized map ships once per executor instead of being
+    pickled into every task."""
     from frog_spark.models.mbt import BOUNDARY, _unknown_feats, _word_key
 
-    def extract(batches: Iterator[pd.DataFrame], unknown: bool) -> Iterator[pd.DataFrame]:
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         amb = ambitag.value if hasattr(ambitag, "value") else ambitag
         for b in batches:
-            feats, cls = [], []
+            kinds, feats, cls = [], [], []
             for words, tags in zip(b["words"], b["tags"]):
                 prev_tag = BOUNDARY
                 n = len(words)
@@ -346,20 +351,25 @@ def mbt_instances(sent_df: DataFrame, ambitag):
                         if i + 1 < n
                         else BOUNDARY
                     )
-                    if unknown:
-                        if any(ch.isalnum() for ch in word):
-                            feats.append(_unknown_feats(prev_tag, word, next_ambi))
-                            cls.append(tag)
-                    else:
-                        feats.append([prev_tag, _word_key(word), next_ambi])
+                    kinds.append("known")
+                    feats.append([prev_tag, _word_key(word), next_ambi])
+                    cls.append(tag)
+                    if any(ch.isalnum() for ch in word):
+                        kinds.append("unk")
+                        feats.append(_unknown_feats(prev_tag, word, next_ambi))
                         cls.append(tag)
                     prev_tag = tag
-            yield pd.DataFrame({"feats": pd.Series(feats, dtype=object), "cls": pd.Series(cls, dtype=object)})
+            yield pd.DataFrame(
+                {
+                    "kind": pd.Series(kinds, dtype=object),
+                    "feats": pd.Series(feats, dtype=object),
+                    "cls": pd.Series(cls, dtype=object),
+                }
+            )
 
-    schema = "feats array<string>, cls string"
-    known = sent_df.mapInPandas(lambda it: extract(it, False), schema=schema)
-    unk = sent_df.mapInPandas(lambda it: extract(it, True), schema=schema)
-    return known, unk
+    return sent_df.mapInPandas(
+        extract, schema="kind string, feats array<string>, cls string"
+    )
 
 
 def train_mbt_distributed(
@@ -379,15 +389,24 @@ def train_mbt_distributed(
     pairs = sent_df.select(
         F.explode(F.arrays_zip("words", "tags")).alias("p")
     ).select(word_key(F.col("p.words")).alias("w"), F.col("p.tags").alias("t"))
-    lex_rows = pairs.groupBy("w", "t").agg(F.count("*").alias("c")).collect()
+    # Arrow fetch: the lexicon is vocabulary-sized (tens of thousands of
+    # rows) — row-by-row py4j collect() costs more than the aggregation
+    lex_pdf = pairs.groupBy("w", "t").agg(F.count("*").alias("c")).toPandas()
     lexicon: dict[str, Counter] = {}
-    for r in lex_rows:
-        lexicon.setdefault(r["w"], Counter())[r["t"]] = r["c"]
+    for w, t, c in zip(lex_pdf["w"], lex_pdf["t"], lex_pdf["c"]):
+        lexicon.setdefault(w, Counter())[t] = int(c)
     ambitag = {w: "|".join(sorted(cnt)) for w, cnt in lexicon.items()}
 
-    known, unk = mbt_instances(
-        sent_df, spark.sparkContext.broadcast(ambitag)
+    # cache the FUSED relation and materialize it with one count(): the
+    # corpus is scanned exactly once; the per-base filters below (and
+    # the caches train_igtree_distributed layers on them) read from this
+    # cache, never re-running the extraction UDF (branch re-execution)
+    inst = mbt_instances(sent_df, spark.sparkContext.broadcast(ambitag)).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    inst.count()
+    known = inst.filter(F.col("kind") == "known").select("feats", "cls")
+    unk = inst.filter(F.col("kind") == "unk").select("feats", "cls")
     # the known tree keys on the WORD: per-value groups would mean one
     # applyInPandas invocation per vocabulary entry, so hash the prefix
     # into coarse buckets (identical tree, bounded group count)
@@ -399,6 +418,7 @@ def train_mbt_distributed(
         unk, feature_order=list(UNKNOWN_ORDER), prefix_depth=2,
         hash_bucket_groups=hash_bucket_groups,
     )
+    inst.unpersist()
     return MBTagger(lexicon, known_tree, unknown_tree)
 
 
@@ -509,6 +529,124 @@ def train_mbma_distributed(spark: SparkSession, lexicon: DataFrame):
     )
     rows.unpersist()
     return Mbma(tree, memory, exceptions)
+
+
+# --------------------------------------------------------------------------
+# CSI-DP parser training as a Spark job (D1-D7 at treebank scale —
+# the reference trains pairs/dir/rels from a multi-million-word treebank,
+# /root/reference/docs/source/advanced.rst; froggen drives Timbl there)
+# --------------------------------------------------------------------------
+
+TREEBANK_SCHEMA = (
+    "words array<string>, tags array<string>, lemmas array<string>, "
+    "dep_units array<int>, dep_heads array<int>, dep_rels array<string>"
+)
+
+
+def gold_sentences_df(spark: SparkSession, gold) -> DataFrame:
+    """GoldSentence list -> the treebank DataFrame shape (token arrays +
+    unit-space dep arrays), so gold and generated sentences union into
+    one training relation."""
+    rows = []
+    for s in gold:
+        items = sorted(s.deps.items())
+        rows.append(
+            (
+                [t.word for t in s.tokens],
+                [t.pos for t in s.tokens],
+                [t.lemma for t in s.tokens],
+                [u for u, _ in items],
+                [h for _, (h, _r) in items],
+                [r for _, (_h, r) in items],
+            )
+        )
+    return spark.createDataFrame(rows, schema=TREEBANK_SCHEMA)
+
+
+def dep_instances(sent_df: DataFrame, mwu_lexicon: dict | None = None) -> DataFrame:
+    """Treebank rows -> (kind 'pairs'|'dir'|'rels', feats, cls) — the
+    exact instance/class construction of DepParser.train
+    (operators/parser.py), sentence-local inside one mapInPandas pass.
+    The 3-entry MWU lexicon ships in the task closure."""
+    from frog_spark.operators.mwu import resolve_mwus
+    from frog_spark.operators.parser import (
+        dir_instances,
+        pair_instances,
+        prepare,
+        rel_instances,
+    )
+    from frog_spark.sources.resources import load_mwu_lexicon
+
+    lexicon = mwu_lexicon if mwu_lexicon is not None else load_mwu_lexicon()
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            kinds, feats, cls = [], [], []
+            for words, tags, lemmas, du, dh, dr in zip(
+                b["words"], b["tags"], b["lemmas"],
+                b["dep_units"], b["dep_heads"], b["dep_rels"],
+            ):
+                deps = {int(u): (int(h), r) for u, h, r in zip(du, dh, dr)}
+                units = resolve_mwus(
+                    list(words), list(tags), [1.0] * len(words), list(lemmas), lexicon
+                )
+                ws, hs, ms = prepare(units)
+                pi, keys = pair_instances(ws, hs, ms)
+                for inst, (dep, head) in zip(pi, keys):
+                    gold_head, rel = deps.get(dep + 1, (-1, ""))
+                    if head is None:
+                        c = rel if gold_head == 0 else "__"
+                    else:
+                        c = rel if gold_head == head + 1 else "__"
+                    kinds.append("pairs"); feats.append(inst); cls.append(c)
+                for i, inst in enumerate(dir_instances(ws, hs, ms)):
+                    gold_head, _rel = deps.get(i + 1, (-1, ""))
+                    if gold_head == 0:
+                        c = "ROOT"
+                    elif gold_head > 0:
+                        c = "LEFT" if gold_head - 1 < i else "RIGHT"
+                    else:
+                        c = "ROOT"
+                    kinds.append("dir"); feats.append(inst); cls.append(c)
+                for i, inst in enumerate(rel_instances(ws, hs, ms)):
+                    _gh, rel = deps.get(i + 1, (0, "ROOT"))
+                    kinds.append("rels"); feats.append(inst); cls.append(rel or "ROOT")
+            yield pd.DataFrame(
+                {
+                    "kind": pd.Series(kinds, dtype=object),
+                    "feats": pd.Series(feats, dtype=object),
+                    "cls": pd.Series(cls, dtype=object),
+                }
+            )
+
+    return sent_df.mapInPandas(
+        extract, schema="kind string, feats array<string>, cls string"
+    )
+
+
+def train_depparser_distributed(
+    spark: SparkSession, sent_df: DataFrame, hash_bucket_groups: int = 256
+):
+    """Full DepParser (pairs + dir + rels IGTrees) from a treebank
+    DataFrame, each tree built by the partitioned recursion with its
+    gain-ratio order computed as Spark aggregations — structural parity
+    with DepParser.train on the same sentences is test-asserted.
+    ``hash_bucket_groups``: the gain-ratio order may rank a word-valued
+    feature first (vocabulary-sized value set), so prefixes hash into
+    coarse groups (identical tree, bounded group count)."""
+    from frog_spark.operators.parser import DepParser
+
+    inst = dep_instances(sent_df).persist(StorageLevel.MEMORY_AND_DISK)
+    inst.count()  # materialize ONCE before the three per-kind consumers
+    trees = {}
+    for kind in ("pairs", "dir", "rels"):
+        trees[kind] = train_igtree_distributed(
+            inst.filter(F.col("kind") == kind).select("feats", "cls"),
+            prefix_depth=2,
+            hash_bucket_groups=hash_bucket_groups,
+        )
+    inst.unpersist()
+    return DepParser(trees["pairs"], trees["dir"], trees["rels"])
 
 
 # --------------------------------------------------------------------------

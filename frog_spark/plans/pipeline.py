@@ -196,6 +196,7 @@ class FrogPipeline:
         corpus_path: str | None = None,
         mblem_lexicon=None,
         pos_corpus=None,
+        dep_treebank=None,
     ) -> "FrogPipeline":
         """Model training/loading (run_api, FrogAPI.cxx:893-1050).
 
@@ -206,13 +207,18 @@ class FrogPipeline:
 
         Training at corpus scale is a SPARK JOB, not a driver loop:
         pass ``mblem_lexicon`` (a DataFrame of (word, tag, lemma) rows —
-        the e-Lex shape, advanced.rst:121-136) and/or ``pos_corpus`` (a
-        DataFrame of (words array, tags array) sentences) and the MBLEM /
-        POS models are trained by the distributed trainers in
-        frog_spark.models.distributed (partitioned IGTree recursion;
-        parity with the driver trainer is test-asserted). The small
-        committed gold corpus remains the default for every component
-        not given a large-scale source.
+        the e-Lex shape, advanced.rst:121-136), ``pos_corpus`` (a
+        DataFrame of (words array, tags array) sentences) and/or
+        ``dep_treebank`` (a DataFrame in models.distributed's
+        TREEBANK_SCHEMA — sources/treebank.treebank_df emits it) and the
+        MBLEM / POS / parser models are trained by the distributed
+        trainers in frog_spark.models.distributed (partitioned IGTree
+        recursion; parity with the driver trainer is test-asserted).
+        The gold corpus is unioned into ``dep_treebank`` training so the
+        distributed parser is a drop-in for the shipped one. The small
+        committed gold corpus (plus the synthetic treebank per
+        ``cfg.treebank_sentences``) remains the default for every
+        component not given a large-scale source.
         """
         import os
 
@@ -258,6 +264,18 @@ class FrogPipeline:
             )
         else:
             tagger = PosTagger.train(syn)
+        if dep_treebank is not None:
+            from frog_spark.models.distributed import (
+                gold_sentences_df,
+                train_depparser_distributed,
+            )
+
+            sp = dep_treebank.sparkSession
+            parser = train_depparser_distributed(
+                sp, gold_sentences_df(sp, gold).unionAll(dep_treebank)
+            )
+        else:
+            parser = DepParser.train(syn)
         return cls(
             tagger=tagger,
             mblem=mblem,
@@ -271,7 +289,7 @@ class FrogPipeline:
             ),
             chunker=IobChunker.train(gold),
             mwu_lexicon=load_mwu_lexicon(),
-            parser=DepParser.train(syn),
+            parser=parser,
             config=cfg,
         )
 

@@ -202,3 +202,60 @@ def test_synthetic_tagged_corpus(spark):
     assert all(len(r["words"]) == len(r["tags"]) == 12 for r in rows)
     again = {tuple(r["words"]) for r in synthetic_tagged_corpus(spark, 200, vocab_rows=2000).collect()}
     assert {tuple(r["words"]) for r in rows} == again  # deterministic
+
+
+def test_depparser_distributed_matches_driver(spark):
+    """Distributed CSI-DP training (pairs+dir+rels) reproduces the
+    driver-trained DepParser exactly on gold + a treebank slice: same
+    gain-ratio orders, same tries, same parses."""
+    from frog_spark.models.distributed import (
+        gold_sentences_df,
+        train_depparser_distributed,
+    )
+    from frog_spark.operators.parser import DepParser
+    from frog_spark.sources.resources import load_gold_corpus, load_mwu_lexicon
+    from frog_spark.sources.treebank import synthetic_treebank, treebank_df
+
+    gold = load_gold_corpus()
+    tb_n = 120
+    want = DepParser.train(gold + synthetic_treebank(tb_n))
+    sent_df = gold_sentences_df(spark, gold).unionAll(treebank_df(spark, tb_n))
+    got = train_depparser_distributed(spark, sent_df)
+    for name in ("pairs", "dirs", "rels"):
+        g, w = getattr(got, name), getattr(want, name)
+        assert g.feature_order == w.feature_order, name
+        assert g.node_count() == w.node_count(), name
+        assert _tree_equal(g.root, w.root), name
+    lex = load_mwu_lexicon()
+    for s in gold[:8]:
+        words = [t.word for t in s.tokens]
+        tags = [t.pos for t in s.tokens]
+        lemmas = [t.lemma for t in s.tokens]
+        _, gp = got.parse(words, tags, [1.0] * len(words), lemmas, lex)
+        _, wp = want.parse(words, tags, [1.0] * len(words), lemmas, lex)
+        assert gp == wp, s.sent_id
+
+
+def test_pipeline_consumes_distributed_parser(spark):
+    """FrogPipeline.build(dep_treebank=...) is a drop-in: annotation
+    through the Spark-trained parser keeps gold-corpus parse parity
+    (VERDICT r3 Next #7)."""
+    from frog_spark.operators.tokenizer import split_sentences, tokenize_text
+    from frog_spark.plans.pipeline import FrogPipeline, PipelineConfig
+    from frog_spark.sources.resources import load_gold_corpus
+    from frog_spark.sources.treebank import treebank_df
+
+    # small treebank for test cost; the driver-side default is 8000
+    cfg = PipelineConfig(treebank_sentences=800)
+    pipe = FrogPipeline.build(config=cfg, dep_treebank=treebank_df(spark, 800))
+    ok = tot = 0
+    for s in load_gold_corpus()[:25]:
+        sents = split_sentences(tokenize_text(s.text))
+        ann = pipe.annotate_sentence(
+            [t.word for t in sents[0]], [t.token_class for t in sents[0]]
+        )
+        unit_parse = {a["unit_idx"]: (a["parse_head"], a["parse_role"]) for a in ann}
+        for u, hr in s.deps.items():
+            tot += 1
+            ok += unit_parse.get(u) == hr
+    assert ok / tot >= 0.95, f"gold parse parity {ok}/{tot} under distributed parser"
