@@ -190,7 +190,8 @@ def minhash_dedup_pairs(
 
     Signature plan (round-3 rewrite): the whole 128-hash signature is
     ROW-LOCAL — one xxhash64 per shingle, then 128 universal-hash
-    derivations (a_i*h + b_i mod 2^61-1, the standard MinHash family,
+    derivations (a_i*h + b_i mod 2^31-1, matching the base-hash domain —
+    see the code comment on why the modulus MUST equal it,
     same construction as Spark MLlib's MinHashLSH) folded over the gram
     array with aggregate+zip_with(least). The round-2 version instead ran
     128 independent min(xxhash64(i, ngram)) aggregates over the EXPLODED
@@ -344,6 +345,7 @@ def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    max_iter: int = 40,
 ) -> DataFrame:
     """Near-duplicate pairs -> one canonical document per CLUSTER.
 
@@ -353,10 +355,16 @@ def dedup_clusters(
     machinery that canonicalizes KG entities) assign every paired doc
     its cluster's minimum id; unpaired docs are their own canonical.
     Output: (doc_id, canonical_id, cluster_size) for EVERY input doc —
-    filter canonical_id == doc_id for the keep-set."""
+    filter canonical_id == doc_id for the keep-set.
+
+    ``max_iter`` passes through to connected_components, which RAISES on
+    non-convergence rather than silently splitting clusters — duplicate
+    chains on web corpora can have diameter beyond the default, so the
+    cap is a caller-visible knob (min-label propagation converges in
+    O(diameter) rounds)."""
     from frog_spark.kg.canonicalize import connected_components
 
-    comp = connected_components(pairs, src="a", dst="b")
+    comp = connected_components(pairs, src="a", dst="b", max_iter=max_iter)
     labeled = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
@@ -510,7 +518,19 @@ def _estimate_rows(df: DataFrame, vec_col: str, default_dim: int = 64) -> int:
         # arrays don't carry a length; assume default_dim unless metadata says
         dim = int(first_field.metadata.get("dim", default_dim)) if first_field.metadata else default_dim
         return max(2, int(stats.sizeInBytes()) // (4 * dim + 16))
-    except Exception:  # py4j surface changed or non-JVM plan — one real count
+    except Exception:
+        # py4j surface changed (private queryExecution API) or a non-JVM
+        # plan — degrade to one real count, VISIBLY: a silent full scan
+        # here would look like auto-sizing working when it isn't. Pass
+        # n_hint at scale to skip both paths.
+        import warnings
+
+        warnings.warn(
+            "plan statistics unavailable; falling back to a full count() "
+            "for LSH auto-sizing — pass n_hint to avoid the extra scan",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return df.count()
 
 

@@ -167,7 +167,41 @@ def _drain_timers(pipe: "FrogPipeline", timers: PipelineTimers | None) -> None:
 
 
 class FrogPipeline:
-    """All trained models + lexicons; picklable, broadcast once."""
+    """All trained models + lexicons; picklable, broadcast once.
+
+    Mutating any model attribute after first use (e.g. swapping in a
+    retrained parser) automatically invalidates the cached broadcast
+    handle (``_bc``) and the driver-side sentence cache, so annotation
+    never silently continues with stale executor-side models; call
+    ``release()`` when discarding a long-lived pipeline to free the
+    broadcast's executor memory."""
+
+    #: attributes whose assignment invalidates the broadcast + caches
+    _MODEL_ATTRS = frozenset(
+        {"tagger", "mblem", "mbma", "ner", "chunker", "mwu_lexicon", "parser", "config"}
+    )
+
+    def __setattr__(self, name, value):
+        if name in self._MODEL_ATTRS:
+            old_bc = self.__dict__.pop("_bc", None)
+            if old_bc is not None:
+                try:
+                    old_bc.unpersist()
+                except Exception:
+                    pass
+            self.__dict__.pop("_sent_cache", None)
+        object.__setattr__(self, name, value)
+
+    def release(self) -> None:
+        """Drop the cached broadcast (unpersist on executors) and the
+        sentence cache. Safe to call repeatedly."""
+        bc = self.__dict__.pop("_bc", None)
+        if bc is not None:
+            try:
+                bc.unpersist()
+            except Exception:
+                pass
+        self.__dict__.pop("_sent_cache", None)
 
     def __init__(
         self,

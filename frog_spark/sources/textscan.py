@@ -31,12 +31,23 @@ def read_text_as_transcripts(spark: SparkSession, path: str) -> DataFrame:
         "file", F.input_file_name()
     )
     root = path.rstrip("/") + "/"
-    conv = F.regexp_replace(
-        F.regexp_replace("file", r"^file:/*", "/"), F.lit(root), F.lit("")
+    # input_file_name() yields a percent-encoded file URI. Decode it
+    # (protecting literal '+', which url_decode would turn into a
+    # space), then strip the scan root as a PREFIX, not a regex: a root
+    # containing regex metacharacters ('+', '(', ...) would throw or
+    # silently fail to strip inside regexp_replace.
+    fixed = F.url_decode(
+        F.regexp_replace(F.regexp_replace("file", r"^file:/*", "/"), r"\+", "%2B")
     )
+    conv = F.when(
+        fixed.startswith(root), F.substring(fixed, len(root) + 1, 1 << 30)
+    ).otherwise(fixed)
     lines = df.select(
         conv.alias("conv_id"),
-        F.posexplode(F.split("value", "\n")).alias("line_no", "text"),
+        # \r?\n: wholetext keeps CRLF line endings that the old per-line
+        # reader stripped — splitting on bare \n leaves a trailing \r on
+        # every turn of a CRLF file
+        F.posexplode(F.split("value", "\r?\n")).alias("line_no", "text"),
     ).filter(F.length(F.trim("text")) > 0)
     w = Window.partitionBy("conv_id").orderBy("line_no")
     return lines.select(

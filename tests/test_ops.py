@@ -614,3 +614,44 @@ def test_dedup_invariants_random_corpus(spark):
         assert r["offset"] == run[-1]
         run.append(run[-1] + r["n_tokens"])
         assert r["bin_id"] == r["offset"] // 32
+
+
+def test_textscan_crlf_and_regex_root(spark, tmp_path):
+    """CRLF files must not leave trailing \\r on turns, and a scan root
+    containing regex metacharacters must still strip to relative
+    conv_ids (the root is a prefix, not a pattern)."""
+    from frog_spark.sources.textscan import read_text_as_transcripts
+
+    root = tmp_path / "data (v2) + more"
+    root.mkdir()
+    (root / "a.txt").write_bytes(b"eerste regel\r\ntweede regel\r\n")
+    (root / "b.txt").write_text("gewone regel\n")
+    rows = read_text_as_transcripts(spark, str(root)).collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r["text"])
+    assert set(by_conv) == {"a.txt", "b.txt"}, by_conv
+    assert by_conv["a.txt"] == ["eerste regel", "tweede regel"]
+    assert not any("\r" in t for ts in by_conv.values() for t in ts)
+
+
+def test_pipeline_broadcast_invalidated_on_model_swap(spark):
+    """Swapping a model on a pipeline drops the cached broadcast and the
+    sentence cache, so later annotation uses the new model (ADVICE r3:
+    a mutated pipeline silently kept annotating with the stale copy)."""
+    from frog_spark.corpus import transcripts_df
+    from frog_spark.plans.pipeline import (
+        FrogPipeline,
+        PipelineConfig,
+        annotate_transcripts,
+    )
+
+    pipe = FrogPipeline.build(PipelineConfig(treebank_sentences=0))
+    ann1 = annotate_transcripts(spark, transcripts_df(spark, n_turns=6), pipe)
+    ann1.count()
+    assert getattr(pipe, "_bc", None) is not None
+    pipe.parser = pipe.parser  # any model assignment invalidates
+    assert getattr(pipe, "_bc", None) is None
+    assert getattr(pipe, "_sent_cache", None) is None
+    ann2 = annotate_transcripts(spark, transcripts_df(spark, n_turns=6), pipe)
+    assert ann2.count() == ann1.count()
