@@ -53,26 +53,39 @@ def main() -> None:
     t_suite = time.time()
 
     # --- headline: end-to-end triple extraction throughput ---------------
+    # Steal-robust since round 4: min over ``reps`` runs, each on a
+    # DIFFERENT seeded corpus of the same size (the scaling bench's
+    # per-rep-variant protocol). A repeat of the SAME corpus would hit
+    # the executors' per-worker sentence cache (annotate_sentence
+    # memoization) and measure warm-cache lookups; distinct seeds keep
+    # every rep a full pipeline run while the min still filters the
+    # VM's documented 1.5-2x CPU-steal outliers. An untimed warm-up run
+    # primes Python workers + the model broadcast first.
     n_turns = max(int(sf * 100_000), 2000)
     pipe = FrogPipeline.build()
-    tdf = transcripts_df_distributed(spark, n_turns, partitions=cpus, variants=True)
-    tdf = tdf.persist()
-    actual_turns = tdf.count()  # materialize input outside the timed region
-    # the kg headline runs ONCE: a repeat would hit the executors'
-    # per-worker sentence cache (annotate_sentence memoization) and
-    # measure warm-cache lookups, not pipeline throughput. The
-    # relational/dedup queries below have no cross-run memoization, so
-    # min-of-reps is honest there.
-    timers = PipelineTimers(spark)  # O4 per-module wall time
-    t0 = time.time()
-    n_triples = triples_from_transcripts(
-        spark, tdf, pipe, num_partitions=cpus, timers=timers
-    ).count()
-    kg_sec = time.time() - t0
-    module_sec = {m: round(v, 3) for m, v in timers.seconds().items()}
+    warm = transcripts_df_distributed(spark, 2000, partitions=cpus, variants=True, seed=999)
+    triples_from_transcripts(spark, warm, pipe, num_partitions=cpus).count()
+    kg_sec = float("inf")
+    actual_turns = n_triples = 0
+    module_sec: dict[str, float] = {}
+    for rep in range(reps):
+        tdf = transcripts_df_distributed(
+            spark, n_turns, partitions=cpus, variants=True, seed=42 + rep
+        ).persist()
+        turns_rep = tdf.count()  # materialize input outside the timed region
+        timers = PipelineTimers(spark)  # O4 per-module wall time
+        t0 = time.time()
+        triples_rep = triples_from_transcripts(
+            spark, tdf, pipe, num_partitions=cpus, timers=timers
+        ).count()
+        sec = time.time() - t0
+        tdf.unpersist()
+        if sec < kg_sec:
+            kg_sec = sec
+            actual_turns, n_triples = turns_rep, triples_rep
+            module_sec = {m: round(v, 3) for m, v in timers.seconds().items()}
     queries["kg_triple_extraction"] = round(kg_sec, 3)
     turns_per_sec = actual_turns / kg_sec
-    tdf.unpersist()
 
     # --- untimed JVM warmup ------------------------------------------------
     # The first execution of the array-function path (split/array_distinct/
