@@ -211,3 +211,60 @@ def test_salted_join_matches_plain_join(spark):
         FF.pmod(FF.xxhash64(FF.col("k"), FF.monotonically_increasing_id()), FF.lit(8)),
     )
     assert salted.select("_salt").distinct().count() > 4
+
+
+def test_ivf_partition_pruning(spark, tmp_path):
+    """X7's scale claim, demonstrated physically (VERDICT r3 Next #6):
+    with the bucketed embedding table WRITTEN partitioned by bucket,
+    ivf_topk's bucket filter becomes a partition filter — the scan reads
+    exactly n_probe of the n_buckets directory partitions, skipping the
+    rest on disk. Asserted from the executed plan's scan metrics
+    (numPartitions) after a real collect, plus the PartitionFilters line
+    of the formatted plan."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from frog_spark.operators.similarity import (
+        assign_buckets,
+        ivf_topk,
+        train_centroids_distributed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_buckets, n_probe = 8, 2
+    cents = train_centroids_distributed(emb, n_centroids=n_buckets)
+    path = str(tmp_path / "emb_by_bucket")
+    assign_buckets(emb, cents).write.partitionBy("bucket").mode("overwrite").parquet(path)
+    bucketed = spark.read.parquet(path)
+
+    query = [float(x) for x in emb.first()["embedding"]]
+    got = ivf_topk(bucketed, cents, query, k=5, n_probe=n_probe)
+    rows = got.collect()
+    assert 0 < len(rows) <= 5
+
+    # logical evidence: the bucket predicate is a PARTITION filter
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan_txt = buf.getvalue()
+    assert "PartitionFilters" in plan_txt
+    pf_line = next(l for l in plan_txt.splitlines() if "PartitionFilters" in l)
+    assert "bucket" in pf_line and "IN" in pf_line, pf_line
+
+    # physical evidence: the executed scan touched n_probe partitions
+    def scan_metrics(node, out):
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            out.append((node.nodeName(), kv._1(), kv._2().value()))
+        ch = node.children().iterator()
+        while ch.hasNext():
+            scan_metrics(ch.next(), out)
+
+    metrics = []
+    scan_metrics(got._jdf.queryExecution().executedPlan(), metrics)
+    parts = [v for name, k, v in metrics if "Scan" in name and k == "numPartitions"]
+    assert parts, metrics
+    assert parts[0] == n_probe, f"scan read {parts[0]} partitions, wanted {n_probe}"
