@@ -125,6 +125,7 @@ def train_igtree_distributed(
     feature_order: list[int] | None = None,
     prefix_depth: int = 2,
     hash_bucket_groups: int | None = None,
+    input_cached: bool = False,
 ) -> IGTree:
     """Build an IGTree from a DataFrame of (features array, class) rows.
 
@@ -147,9 +148,14 @@ def train_igtree_distributed(
     # counts, the subtree build — plus gain ratios when the order is
     # derived); an un-cached UDF-produced lineage would re-run the
     # extraction once per job (branch re-execution), so cache it for the
-    # duration of training unless the caller already did
+    # duration of training unless the caller already did.
+    # ``input_cached``: set when ``inst`` is a cheap projection/filter of
+    # a relation the CALLER has persisted (the fused MBT/parser instance
+    # caches) — persisting again here would copy the data into a second
+    # cache and, at 10^7-instance scale, push the combined footprint
+    # into disk spill (measured +50% wall at 10.9M tokens).
     we_persisted = False
-    if not inst.is_cached:
+    if not inst.is_cached and not input_cached:
         inst = inst.persist(StorageLevel.MEMORY_AND_DISK)
         we_persisted = True
     if inst.first() is None:
@@ -412,11 +418,11 @@ def train_mbt_distributed(
     # into coarse buckets (identical tree, bounded group count)
     known_tree = train_igtree_distributed(
         known, feature_order=[1, 0, 2], prefix_depth=2,
-        hash_bucket_groups=hash_bucket_groups,
+        hash_bucket_groups=hash_bucket_groups, input_cached=True,
     )
     unknown_tree = train_igtree_distributed(
         unk, feature_order=list(UNKNOWN_ORDER), prefix_depth=2,
-        hash_bucket_groups=hash_bucket_groups,
+        hash_bucket_groups=hash_bucket_groups, input_cached=True,
     )
     inst.unpersist()
     return MBTagger(lexicon, known_tree, unknown_tree)
@@ -644,6 +650,7 @@ def train_depparser_distributed(
             inst.filter(F.col("kind") == kind).select("feats", "cls"),
             prefix_depth=2,
             hash_bucket_groups=hash_bucket_groups,
+            input_cached=True,
         )
     inst.unpersist()
     return DepParser(trees["pairs"], trees["dir"], trees["rels"])
