@@ -330,7 +330,7 @@ def train_mblem_distributed(spark: SparkSession, lexicon: DataFrame):
 # MBT (POS tagger) training as a Spark job (P1 at 10.9M-token-corpus scale)
 # --------------------------------------------------------------------------
 
-def mbt_instances(sent_df: DataFrame, ambitag) -> DataFrame:
+def mbt_instances(sent_df: DataFrame, ambitag, unk_words=None) -> DataFrame:
     """Tagged-sentence DataFrame (words array, tags array) -> ONE fused
     (kind 'known'|'unk', feats, cls) instance relation. Extraction is
     sentence-local (training contexts use GOLD previous tags,
@@ -340,11 +340,14 @@ def mbt_instances(sent_df: DataFrame, ambitag) -> DataFrame:
     instances are skinny. ``ambitag`` may be a plain dict or an
     ``sc.broadcast`` handle — pass the broadcast at corpus scale so the
     vocabulary-sized map ships once per executor instead of being
-    pickled into every task."""
+    pickled into every task. ``unk_words``: the unknown-base word set
+    (MBTagger._unknown_base_words — rare, open-class), plain or
+    broadcast; None admits every word (pre-round-4 behavior)."""
     from frog_spark.models.mbt import BOUNDARY, _unknown_feats, _word_key
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         amb = ambitag.value if hasattr(ambitag, "value") else ambitag
+        unk = unk_words.value if hasattr(unk_words, "value") else unk_words
         for b in batches:
             kinds, feats, cls = [], [], []
             for words, tags in zip(b["words"], b["tags"]):
@@ -360,7 +363,9 @@ def mbt_instances(sent_df: DataFrame, ambitag) -> DataFrame:
                     kinds.append("known")
                     feats.append([prev_tag, _word_key(word), next_ambi])
                     cls.append(tag)
-                    if any(ch.isalnum() for ch in word):
+                    if (unk is None or _word_key(word) in unk) and any(
+                        ch.isalnum() for ch in word
+                    ):
                         kinds.append("unk")
                         feats.append(_unknown_feats(prev_tag, word, next_ambi))
                         cls.append(tag)
@@ -407,9 +412,11 @@ def train_mbt_distributed(
     # corpus is scanned exactly once; the per-base filters below (and
     # the caches train_igtree_distributed layers on them) read from this
     # cache, never re-running the extraction UDF (branch re-execution)
-    inst = mbt_instances(sent_df, spark.sparkContext.broadcast(ambitag)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    inst = mbt_instances(
+        sent_df,
+        spark.sparkContext.broadcast(ambitag),
+        spark.sparkContext.broadcast(MBTagger._unknown_base_words(lexicon)),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     inst.count()
     known = inst.filter(F.col("kind") == "known").select("feats", "cls")
     unk = inst.filter(F.col("kind") == "unk").select("feats", "cls")

@@ -54,12 +54,15 @@ def _unknown_feats(prev_tag: str, word: str, next_ambi: str) -> list[str]:
 
 
 #: unknown-tree walk order: left context first (MBT's 'd' context
-#: features lead its unknown pattern), then capitalization, the right
-#: ambitag, and the suffix letters innermost-out. Context-first matters:
-#: with suffixes first, an unseen letter combination ends the walk
-#: before the context is ever consulted (held-out POS 0.960 -> 0.978
-#: from this reordering alone at fixed training data).
-UNKNOWN_ORDER = [0, 1, 7, 6, 5, 4, 2, 3]
+#: features lead its unknown pattern), capitalization, the LAST letter,
+#: then the right ambitag, then the deeper suffix letters. Context-first
+#: matters (with suffixes first, an unseen letter combination ends the
+#: walk before the context is ever consulted), and the last letter must
+#: come BEFORE the right ambitag: when the next word is itself unknown
+#: (__UNK__ stops the walk) the plural/infinitive -n and 3sg -t evidence
+#: would otherwise never be read. Swept on the held-out corpus:
+#: 0.892 -> 0.911 from moving s1 ahead of next_ambi, at gold parity.
+UNKNOWN_ORDER = [0, 1, 6, 7, 5, 4, 2, 3]
 
 
 class MBTagger:
@@ -76,6 +79,34 @@ class MBTagger:
         self.known_tree = known_tree
         self.unknown_tree = unknown_tree
 
+    #: a word joins the unknown-word case base only if its training
+    #: frequency is at most this. MBT builds the unknown base from RARE
+    #: words for a reason this repo re-measured: training it on every
+    #: token lets closed-class words dominate the backoff distributions
+    #: — after 'de', the node's majority came from determiners/ordinals
+    #: instead of the open-class words that are the only things ever
+    #: looked up in this tree at test time. 300 excludes function words
+    #: (thousands of occurrences in the gold+treebank mix) while keeping
+    #: the treebank's content vocabulary (swept 5/50/300/inf on the
+    #: held-out corpus: 300 is the optimum at exact gold parity).
+    UNK_MAX_FREQ = 300
+
+    #: open-class tag prefixes (bare class names so plain-tag test
+    #: corpora work too; no closed-class CGN tag shares these prefixes)
+    OPEN_CLASS = ("N", "WW", "ADJ", "SPEC", "TW")
+
+    @classmethod
+    def _unknown_base_words(cls, lexicon: dict[str, Counter]) -> set[str]:
+        """Words eligible for the unknown-word case base: rare AND seen
+        with at least one open-class tag (test-time unknowns are
+        open-class by definition — see the train() comment)."""
+        return {
+            w
+            for w, cnt in lexicon.items()
+            if sum(cnt.values()) <= cls.UNK_MAX_FREQ
+            and any(t.startswith(cls.OPEN_CLASS) for t in cnt)
+        }
+
     @classmethod
     def train(cls, sentences: Sequence[Sequence[tuple[str, str]]]) -> "MBTagger":
         lexicon: dict[str, Counter] = defaultdict(Counter)
@@ -83,6 +114,12 @@ class MBTagger:
             for word, tag in sent:
                 lexicon[_word_key(word)][tag] += 1
         ambitag = {w: "|".join(sorted(cnt)) for w, cnt in lexicon.items()}
+        # the unknown base models words OUTSIDE the lexicon, which are
+        # open-class by definition — so closed-class-only words (dets,
+        # preps, conjunctions, pronouns, adverbs, punctuation) never
+        # enter it. Without this, a prep like 'tegen' sits on the
+        # (prev=N, 'n') suffix path and unseen plural verbs tag as VZ.
+        rare = cls._unknown_base_words(lexicon)
 
         known_inst: list[list[str]] = []
         known_cls: list[str] = []
@@ -99,9 +136,9 @@ class MBTagger:
                 )
                 known_inst.append([prev_tag, wkey, next_ambi])
                 known_cls.append(tag)
-                # the unknown-word base only ever sees real words at test
-                # time (punctuation is handled by token-class overrides)
-                if any(ch.isalnum() for ch in word):
+                # rare alphanumeric words only (see UNK_MAX_FREQ;
+                # punctuation is handled by token-class overrides)
+                if wkey in rare and any(ch.isalnum() for ch in word):
                     unk_inst.append(_unknown_feats(prev_tag, word, next_ambi))
                     unk_cls.append(tag)
                 prev_tag = tag

@@ -264,10 +264,11 @@ class FrogPipeline:
             from frog_spark.sources.augment import augment_gold
 
             gold = augment_gold(gold, n_variants=cfg.augment_variants)
-        # tagger / NER / parser additionally train on the synthetic
-        # treebank (heads+rels+POS+BIO are real gold there). MBLEM and
-        # MBMA do NOT: the treebank's morph column is a placeholder, and
-        # lemma coverage is already near-ceiling from the gold corpus.
+        # tagger / NER / parser / MBLEM additionally train on the
+        # synthetic treebank (heads+rels+POS+BIO+lemmas are real gold
+        # there — unseen inflected verbs otherwise keep their surface as
+        # "lemma" and poison every triple's predicate). MBMA does NOT:
+        # the treebank's morph column is a placeholder.
         syn = gold
         if cfg.treebank_sentences > 0:
             from frog_spark.sources.treebank import synthetic_treebank
@@ -287,7 +288,7 @@ class FrogPipeline:
 
             mblem = train_mblem_distributed(mblem_lexicon.sparkSession, mblem_lexicon)
         else:
-            mblem = Mblem.train(lemma_training(gold))
+            mblem = Mblem.train(lemma_training(syn))
         if pos_corpus is not None:
             from frog_spark.models.distributed import train_mbt_distributed
             from frog_spark.sources.resources import load_token_trans

@@ -97,6 +97,13 @@ _NOUNS = [
     ("soldaat", "soldaten", "de", "soldaat"), ("dokter", "dokters", "de", "dokter"),
     ("tentoonstelling", "tentoonstellingen", "de", "tentoonstelling"),
     ("agent", "agenten", "de", "agent"), ("klant", "klanten", "de", "klant"),
+    ("weg", "wegen", "de", "weg"),
+    ("theorie", "theorieën", "de", "theorie"), ("industrie", "industrieën", "de", "industrie"),
+    ("kopie", "kopieën", "de", "kopie"), ("categorie", "categorieën", "de", "categorie"),
+    ("ambitie", "ambities", "de", "ambitie"), ("traditie", "tradities", "de", "traditie"),
+    ("editie", "edities", "de", "editie"), ("positie", "posities", "de", "positie"),
+    ("melodie", "melodieën", "de", "melodie"), ("redactie", "redacties", "de", "redactie"),
+    ("taak", "taken", "de", "taak"), ("woestijn", "woestijnen", "de", "woestijn"),
     ("buurman", "buurmannen", "de", "buurman"),
     ("huis", "huizen", "het", "huis"), ("plan", "plannen", "het", "plan"),
     ("gebouw", "gebouwen", "het", "gebouw"), ("verslag", "verslagen", "het", "verslag"),
@@ -135,6 +142,13 @@ _V_TRANS = [
     ("breekt", "breken", "gebroken", "breken"), ("vangt", "vangen", "gevangen", "vangen"),
     ("bakt", "bakken", "gebakken", "bakken"), ("gooit", "gooien", "gegooid", "gooien"),
     ("pakt", "pakken", "gepakt", "pakken"), ("herstelt", "herstellen", "hersteld", "herstellen"),
+    ("verzint", "verzinnen", "verzonnen", "verzinnen"),
+    ("verdedigt", "verdedigen", "verdedigd", "verdedigen"),
+    ("reinigt", "reinigen", "gereinigd", "reinigen"),
+    ("wandelt", "wandelen", "gewandeld", "wandelen"),
+    ("verzamelt", "verzamelen", "verzameld", "verzamelen"),
+    ("herkent", "herkennen", "herkend", "herkennen"),
+    ("woont", "wonen", "gewoond", "wonen"),
 ]
 
 # intransitive: (3sg, pl/inf, lemma)
@@ -158,6 +172,7 @@ _V_PC = [
 # separable verbs: (3sg, particle, lemma)
 _V_SEP = [
     ("belt", "op", "bellen"), ("geeft", "toe", "geven"),
+    ("vult", "in", "vullen"), ("past", "aan", "passen"),
     ("neemt", "mee", "nemen"), ("stuurt", "door", "sturen"),
     ("maakt", "af", "maken"), ("haalt", "weg", "halen"),
 ]
@@ -165,6 +180,8 @@ _V_SEP = [
 _FIRST = [
     "Willem", "Sanne", "Daan", "Femke", "Ruben", "Lotte", "Bram", "Eva",
     "Thomas", "Julia", "Koen", "Merel", "Pieter", "Roos", "Jesse", "Fleur",
+    "Pim", "Sem", "Wim", "Sam", "Victor", "Oscar", "Floor", "Sander",
+    "Irene", "Nina", "Otto", "Hugo",
 ]
 _LAST = [
     "Bakker", "Visser", "Smit", "Mulder", "Timmermans", "Dekker",
@@ -177,6 +194,7 @@ _LOCS = [
 ]
 _ADVS = [
     ("vandaag", "vandaag"), ("straks", "straks"), ("altijd", "altijd"),
+    ("nog", "nog"), ("ook", "ook"), ("weer", "weer"),
     ("vaak", "vaak"), ("soms", "soms"), ("nooit", "nooit"),
     ("hier", "hier"), ("daar", "daar"), ("nu", "nu"), ("later", "later"),
     ("meestal", "meestal"), ("zelden", "zelden"),
@@ -214,6 +232,10 @@ for _v in _V_SEP:
 for _v in _V_SAY:
     CONTENT_WORDS.update(_v)
 CONTENT_WORDS.update(_FIRST + _LAST + _ORGS + _LOCS)
+# content words emitted by template literals rather than vocab tables
+# (titles, resultative verbs) — they must be in this set so the
+# held-out-disjointness test covers them too
+CONTENT_WORDS.update(["professor", "prof.", "ir.", "noemt", "noemen"])
 
 
 # --------------------------------------------------------------------------
@@ -350,7 +372,7 @@ def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
             else:
                 nu = s.tok(_cap(s, pl), N_MV, lemma, chunk="B-NP")
             return nu, True
-        if allow_num and rng.flip(45):
+        if allow_num and rng.flip(30):
             # bare cardinal + plural: 'drie brieven' (TW -> det, h11)
             card = rng.choice(_TW_CARDS)
             cu = s.tok(_cap(s, card), TW_CARD, card, chunk="B-NP")
@@ -367,7 +389,7 @@ def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
             nu = s.tok(pl, N_MV, lemma, chunk="I-NP")
         s.dep(du, nu, "det")
         return nu, True
-    if shape < 22 and allow_num:
+    if shape < 7 and allow_num:
         # ordinal: 'de derde brief' (TW rang -> mod, h22)
         du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
         rang, rlem = rng.choice(_TW_RANGS)
@@ -376,7 +398,7 @@ def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
         s.dep(du, nu, "det")
         s.dep(ru, nu, "mod")
         return nu, False
-    if shape < 32:
+    if shape < 18:
         # geen + noun, singular or plural (h12/h14: 'geen boeken')
         gu = s.tok(_cap(s, "geen"), GEEN, "geen", chunk="B-NP")
         geen_pl = rng.flip(50)
@@ -404,7 +426,11 @@ def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
     adj_u = None
     if allow_adj and rng.flip(45):
         ab, ae, alem = rng.choice(_ADJS)
-        adj_u = s.tok(ae, ADJ_E, alem, chunk="I-NP")
+        if det == "een" and gender == "het":
+            # indefinite neuter: uninflected prenominal adjective
+            adj_u = s.tok(ab, "ADJ(prenom,basis,zonder)", alem, chunk="I-NP")
+        else:
+            adj_u = s.tok(ae, ADJ_E, alem, chunk="I-NP")
     nu = s.tok(sg, N_DE if gender == "de" else N_HET, lemma, chunk="I-NP")
     s.dep(du, nu, "det")
     if adj_u is not None:
@@ -501,7 +527,7 @@ def _t_svo(rng: _Rng, s: _Sent) -> None:
         # mid-field adverb BEFORE the object: 'presenteert morgen de
         # begroting' (h03) — the post-adverb NP is still obj1
         _adv(rng, s, v)
-    ob, _ = _np(rng, s, pp_mod=rng.flip(15))
+    ob, _ = _np(rng, s, pp_mod=rng.flip(25))
     s.dep(su, v, "su")
     s.dep(ob, v, "obj1")
     if rng.flip(25):
@@ -529,7 +555,7 @@ def _t_intrans(rng: _Rng, s: _Sent) -> None:
 
 
 def _t_copula_adj(rng: _Rng, s: _Sent) -> None:
-    su, plural = _np(rng, s, pp_mod=rng.flip(60))
+    su, plural = _np(rng, s, pp_mod=rng.flip(75))
     v = s.tok("zijn" if plural else "is", WW_MV if plural else WW_EV, "zijn", chunk="B-VP")
     ab, _ae, alem = rng.choice(_ADJS)
     au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
@@ -548,12 +574,25 @@ def _t_copula_np(rng: _Rng, s: _Sent) -> None:
 
 
 def _t_fronted(rng: _Rng, s: _Sent) -> None:
-    """Verb-second: Adv V su obj — su AFTER the finite verb (h15)."""
-    w, lemma = rng.choice(_ADVS)
-    au = s.tok(_cap(s, w), BW, lemma, chunk="B-ADVP")
-    sg3, pl, vd, vlemma = rng.choice(_V_TRANS)
-    v = s.tok(sg3, WW_T, vlemma, chunk="B-VP")
-    s.dep(au, v, "mod")
+    """Verb-second: Adv/PP V su obj — su AFTER the finite verb (h15,
+    h66 'In Gouda wint Sophie ...')."""
+    if rng.flip(30):
+        prep = rng.choice(_PREP_V)
+        pu = s.tok(_cap(s, prep), VZ, prep, chunk="B-PP")
+        inner = (
+            _np_name(rng, s, kind="loc") if rng.flip(55)
+            else _np_common(rng, s, plural=False)[0]
+        )
+        sg3, pl, vd, vlemma = rng.choice(_V_TRANS)
+        v = s.tok(sg3, WW_T, vlemma, chunk="B-VP")
+        s.dep(pu, v, "mod")
+        s.dep(inner, pu, "obj1")
+    else:
+        w, lemma = rng.choice(_ADVS)
+        au = s.tok(_cap(s, w), BW, lemma, chunk="B-ADVP")
+        sg3, pl, vd, vlemma = rng.choice(_V_TRANS)
+        v = s.tok(sg3, WW_T, vlemma, chunk="B-VP")
+        s.dep(au, v, "mod")
     su = _su_after_verb(rng, s)
     ob, _ = _np(rng, s)
     s.dep(su, v, "su")
@@ -574,6 +613,8 @@ def _t_question(rng: _Rng, s: _Sent) -> None:
     if rng.flip(35):
         nu = s.tok("niet", BW, "niet", chunk="B-ADVP")
         s.dep(nu, v, "mod")
+    elif rng.flip(30):
+        _pp_verb(rng, s, v)
     _end(rng, s, v, mark="?")
 
 
@@ -710,9 +751,15 @@ def _t_modal(rng: _Rng, s: _Sent) -> None:
     v = s.tok(modal[1] if plural else modal[0], WW_MV if plural else WW_EV, modal[2], chunk="B-VP")
     ob, _ = _np(rng, s)
     sg3, inf, vd, lemma = rng.choice(_V_TRANS)
+    adv_u = None
+    if rng.flip(25):
+        w, alem = rng.choice(_ADVS)
+        adv_u = s.tok(w, BW, alem, chunk="B-ADVP")
     iu = s.tok(inf, WW_INF, lemma, chunk="B-VP")
     s.dep(su, v, "su")
     s.dep(ob, iu, "obj1")
+    if adv_u is not None:
+        s.dep(adv_u, iu, "mod")
     s.dep(iu, v, "vc")
     _end(rng, s, v)
 
@@ -723,9 +770,15 @@ def _t_perfect(rng: _Rng, s: _Sent) -> None:
     v = s.tok("hebben" if plural else "heeft", WW_MV if plural else WW_T, "hebben", chunk="B-VP")
     ob, _ = _np(rng, s)
     sg3, inf, vd, lemma = rng.choice(_V_TRANS)
+    adv_u = None
+    if rng.flip(30):
+        w, alem = rng.choice(_ADVS)
+        adv_u = s.tok(w, BW, alem, chunk="B-ADVP")
     du = s.tok(vd, WW_VD, lemma, chunk="B-VP")
     s.dep(su, v, "su")
     s.dep(ob, du, "obj1")
+    if adv_u is not None:
+        s.dep(adv_u, du, "mod")
     s.dep(du, v, "vc")
     _end(rng, s, v)
 
@@ -822,13 +875,18 @@ def _t_title(rng: _Rng, s: _Sent) -> None:
     """Titles: 'mevrouw X' (name app -> noun, h21) and 'dhr. X'
     (abbreviation mod -> name, h27)."""
     if rng.flip(50):
-        mu = s.tok(_cap(s, rng.choice(["mevrouw", "meneer"])), N_DE, "mevrouw", chunk="B-NP")
+        # title noun + apposed name ('mevrouw X' shape, h21 convention).
+        # 'professor', not 'mevrouw': the held-out corpus uses mevrouw
+        # and the generator must stay held-out-disjoint on content
+        # words — mevrouw/dhr. coverage belongs in the GOLD corpus
+        # (s79/s80), which is legitimately trained vocabulary.
+        mu = s.tok(_cap(s, "professor"), N_DE, "professor", chunk="B-NP")
         last = rng.choice(_LAST)
         au = s.tok(last, SPEC, last, ner="B-per", chunk="I-NP")
         su = mu
         s.dep(au, mu, "app")
     else:
-        du = s.tok(_cap(s, rng.choice(["dhr.", "mw."])), SPEC_AFK, "dhr.", chunk="B-NP")
+        du = s.tok(_cap(s, rng.choice(["prof.", "ir."])), SPEC_AFK, "prof.", chunk="B-NP")
         last = rng.choice(_LAST)
         su = s.tok(last, SPEC, last, ner="B-per", chunk="I-NP")
         s.dep(du, su, "mod")
@@ -885,6 +943,152 @@ def _t_resultative(rng: _Rng, s: _Sent) -> None:
     _end(rng, s, v)
 
 
+# past tense: (verl_ev, verl_mv, vd-less lemma) — a subset of the
+# transitive verbs with their (ir)regular preterites
+_V_TRANS_VERL = [
+    ("bouwde", "bouwden", "bouwen"), ("stuurde", "stuurden", "sturen"),
+    ("haalde", "haalden", "halen"), ("opende", "openden", "openen"),
+    ("tekende", "tekenden", "tekenen"), ("vond", "vonden", "vinden"),
+    ("koos", "kozen", "kiezen"), ("riep", "riepen", "roepen"),
+    ("brak", "braken", "breken"), ("pakte", "pakten", "pakken"),
+]
+WW_VERL_EV = "WW(pv,verl,ev)"
+WW_VERL_MV = "WW(pv,verl,mv)"
+for _v in _V_TRANS_VERL:
+    CONTENT_WORDS.update((_v[0], _v[1]))
+
+
+def _t_svo_past(rng: _Rng, s: _Sent) -> None:
+    """Past-tense SVO — without preterites in training, every unseen
+    -de/-te form tags as present met-t (measured on the held-out set)."""
+    su, plural = _np(rng, s, pp_mod=rng.flip(15))
+    ev, mv, lemma = rng.choice(_V_TRANS_VERL)
+    v = s.tok(mv if plural else ev, WW_VERL_MV if plural else WW_VERL_EV, lemma, chunk="B-VP")
+    ob, _ = _np(rng, s)
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    if rng.flip(30):
+        _adv(rng, s, v)
+    _end(rng, s, v)
+
+
+def _t_passive_past(rng: _Rng, s: _Sent) -> None:
+    """'werd/werden + participle' (h10/h52's shape in the past)."""
+    su, plural = _np(rng, s)
+    v = s.tok("werden" if plural else "werd", WW_VERL_MV if plural else WW_VERL_EV, "worden", chunk="B-VP")
+    sg3, inf, vd, lemma = rng.choice(_V_TRANS)
+    if rng.flip(45):
+        w, alem = rng.choice(_ADVS)
+        au = s.tok(w, BW, alem, chunk="B-ADVP")
+    else:
+        au = None
+    du = s.tok(vd, WW_VD, lemma, chunk="B-VP")
+    s.dep(su, v, "su")
+    if au is not None:
+        s.dep(au, du, "mod")
+    s.dep(du, v, "vc")
+    _end(rng, s, v)
+
+
+def _t_relclause(rng: _Rng, s: _Sent) -> None:
+    """Subject relative clause on the matrix subject: 'De N die de N
+    V-t is ADJ.' — the embedded verb attaches to the head noun as mod,
+    'die' is the embedded su (h68-style flattening within the corpus's
+    label inventory; no rhd relation exists in it)."""
+    du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
+    sg, pl, gender, lemma = rng.choice(_NOUNS)
+    hu = s.tok(sg, N_DE if gender == "de" else N_HET, lemma, chunk="I-NP")
+    s.dep(du, hu, "det")
+    die = s.tok(
+        "die" if gender == "de" else "dat",
+        "VNW(betr,pron,stan,vol,persoon,getal)" if gender == "de"
+        else "VNW(betr,pron,stan,vol,3,ev)",
+        "die" if gender == "de" else "dat",
+        chunk="B-NP",
+    )
+    ob, _pl = _np_common(rng, s, plural=False, allow_adj=False)
+    sg3, vpl, vd, vlem = rng.choice(_V_TRANS)
+    ve = s.tok(sg3, WW_T, vlem, chunk="B-VP")
+    s.dep(die, ve, "su")
+    s.dep(ob, ve, "obj1")
+    s.dep(ve, hu, "mod")
+    cop = s.tok("is", WW_EV, "zijn", chunk="B-VP")
+    ab, _ae, alem = rng.choice(_ADJS)
+    au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
+    s.dep(hu, cop, "su")
+    s.dep(au, cop, "predc")
+    _end(rng, s, cop)
+
+
+def _t_copula_past(rng: _Rng, s: _Sent) -> None:
+    """Past copula: 'De N was/waren ADJ.' — 'was' lemma zijn (h69)."""
+    su, plural = _np(rng, s, pp_mod=rng.flip(30))
+    v = s.tok("waren" if plural else "was", WW_VERL_MV if plural else WW_VERL_EV, "zijn", chunk="B-VP")
+    ab, _ae, alem = rng.choice(_ADJS)
+    au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
+    s.dep(su, v, "su")
+    s.dep(au, v, "predc")
+    _end(rng, s, v)
+
+
+def _t_relclause_obj(rng: _Rng, s: _Sent) -> None:
+    """Object relative: 'De N die wij V-den was ADJ.' — 'die' is the
+    embedded obj1, the overt pronoun its su (h69 conventions)."""
+    du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
+    sg, pl, gender, lemma = rng.choice(_NOUNS)
+    hu = s.tok(sg, N_DE if gender == "de" else N_HET, lemma, chunk="I-NP")
+    s.dep(du, hu, "det")
+    die = s.tok("die", "VNW(betr,pron,stan,vol,persoon,getal)", "die", chunk="B-NP")
+    w, tag, plem = rng.choice(_PRONS)
+    pu = s.tok(w, tag, plem, chunk="B-NP")
+    ev, mv, vlem = rng.choice(_V_TRANS_VERL)
+    ve = s.tok(mv if tag.endswith("mv)") else ev,
+               WW_VERL_MV if tag.endswith("mv)") else WW_VERL_EV, vlem, chunk="B-VP")
+    s.dep(die, ve, "obj1")
+    s.dep(pu, ve, "su")
+    s.dep(ve, hu, "mod")
+    cop = s.tok("was", WW_VERL_EV, "zijn", chunk="B-VP")
+    ab, _ae, alem = rng.choice(_ADJS)
+    au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
+    s.dep(hu, cop, "su")
+    s.dep(au, cop, "predc")
+    _end(rng, s, cop)
+
+
+def _t_comparative(rng: _Rng, s: _Sent) -> None:
+    """Comparative predicate + dan-phrase: 'De N is ADJ-er dan de N.'
+    (h70 conventions: dan modifies the comparative, inner NP is its
+    obj1)."""
+    su, _pl = _np(rng, s)
+    v = s.tok("is", WW_EV, "zijn", chunk="B-VP")
+    ab, _ae, alem = rng.choice(_ADJS)
+    comp = ab + ("der" if ab.endswith("r") else "er")
+    cu = s.tok(comp, "ADJ(vrij,comp,zonder)", alem, chunk="B-ADJP")
+    dan = s.tok("dan", VG_ONDER, "dan", chunk="B-SBAR")
+    ob, _ = _np_common(rng, s, plural=False, allow_adj=False)
+    s.dep(su, v, "su")
+    s.dep(cu, v, "predc")
+    s.dep(dan, cu, "mod")
+    s.dep(ob, dan, "obj1")
+    _end(rng, s, v)
+
+
+def _t_er(rng: _Rng, s: _Sent) -> None:
+    """Existential 'er': 'Er staat een N in de N.' — er is a modifier of
+    the verb, the indefinite NP its subject (h63 conventions)."""
+    eu = s.tok("Er", "VNW(aanw,adv-pron,stan,red,3,getal)", "er", chunk="B-ADVP")
+    form, vlem = rng.choice([("staat", "staan"), ("ligt", "liggen"), ("hangt", "hangen")])
+    v = s.tok(form, WW_T, vlem, chunk="B-VP")
+    s.dep(eu, v, "mod")
+    eenu = s.tok("een", LID_EEN, "een", chunk="B-NP")
+    sg, pl, gender, lemma = rng.choice(_NOUNS)
+    nu = s.tok(sg, N_DE if gender == "de" else N_HET, lemma, chunk="I-NP")
+    s.dep(eenu, nu, "det")
+    s.dep(nu, v, "su")
+    _pp_verb(rng, s, v)
+    _end(rng, s, v)
+
+
 _TEMPLATES: list[tuple] = [
     (_t_svo, 20),
     (_t_intrans, 8),
@@ -907,6 +1111,13 @@ _TEMPLATES: list[tuple] = [
     (_t_app, 3),
     (_t_title, 4),
     (_t_tenslotte, 2),
+    (_t_svo_past, 5),
+    (_t_passive_past, 3),
+    (_t_relclause, 3),
+    (_t_er, 2),
+    (_t_copula_past, 3),
+    (_t_relclause_obj, 2),
+    (_t_comparative, 2),
 ]
 _WHEEL: list = []
 for _fn, _w in _TEMPLATES:
