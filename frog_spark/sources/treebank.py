@@ -358,6 +358,7 @@ def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
     caller owns verb agreement)."""
     sg, pl, gender, lemma = rng.choice(_NOUNS)
     shape = rng.next() % 100
+    forced = plural is not None
     if plural is None:
         plural = rng.flip(25)
     if plural:
@@ -401,7 +402,9 @@ def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
     if shape < 18:
         # geen + noun, singular or plural (h12/h14: 'geen boeken')
         gu = s.tok(_cap(s, "geen"), GEEN, "geen", chunk="B-NP")
-        geen_pl = rng.flip(50)
+        # a caller that FORCED singular owns verb agreement — only the
+        # free-choice path may emit 'geen boeken'-style plurals
+        geen_pl = rng.flip(50) if not forced else False
         if rng.flip(40) and allow_adj:
             ab, ae, alem = rng.choice(_ADJS)
             au = s.tok(ae, ADJ_E, alem, chunk="I-NP")
@@ -886,7 +889,8 @@ def _t_title(rng: _Rng, s: _Sent) -> None:
         su = mu
         s.dep(au, mu, "app")
     else:
-        du = s.tok(_cap(s, rng.choice(["prof.", "ir."])), SPEC_AFK, "prof.", chunk="B-NP")
+        abbr = rng.choice(["prof.", "ir."])
+        du = s.tok(_cap(s, abbr), SPEC_AFK, abbr, chunk="B-NP")
         last = rng.choice(_LAST)
         su = s.tok(last, SPEC, last, ner="B-per", chunk="I-NP")
         s.dep(du, su, "mod")
@@ -956,6 +960,10 @@ WW_VERL_EV = "WW(pv,verl,ev)"
 WW_VERL_MV = "WW(pv,verl,mv)"
 for _v in _V_TRANS_VERL:
     CONTENT_WORDS.update((_v[0], _v[1]))
+# template-literal content surfaces: er-construction verbs and the
+# derived comparative forms (the disjointness test must see EVERYTHING
+# the generator can emit)
+CONTENT_WORDS.update(["ligt", "hangt", "zit", "maakt", "vindt"])
 
 
 def _t_svo_past(rng: _Rng, s: _Sent) -> None:
@@ -1055,6 +1063,23 @@ def _t_relclause_obj(rng: _Rng, s: _Sent) -> None:
     _end(rng, s, cop)
 
 
+#: Dutch comparative spelling: -r adjectives take -der; long-vowel
+#: stems shorten the double vowel (breed->breder); short-vowel stems
+#: double the final consonant (vol->voller); the regular case adds -er
+_COMP_EXCEPTIONS = {"breed": "breder", "leeg": "leger", "vol": "voller"}
+
+
+def _comparative(base: str) -> str:
+    if base in _COMP_EXCEPTIONS:
+        return _COMP_EXCEPTIONS[base]
+    if base.endswith("r"):
+        return base + "der"
+    return base + "er"
+
+
+CONTENT_WORDS.update(_comparative(_a[0]) for _a in _ADJS)
+
+
 def _t_comparative(rng: _Rng, s: _Sent) -> None:
     """Comparative predicate + dan-phrase: 'De N is ADJ-er dan de N.'
     (h70 conventions: dan modifies the comparative, inner NP is its
@@ -1062,8 +1087,7 @@ def _t_comparative(rng: _Rng, s: _Sent) -> None:
     su, _pl = _np(rng, s)
     v = s.tok("is", WW_EV, "zijn", chunk="B-VP")
     ab, _ae, alem = rng.choice(_ADJS)
-    comp = ab + ("der" if ab.endswith("r") else "er")
-    cu = s.tok(comp, "ADJ(vrij,comp,zonder)", alem, chunk="B-ADJP")
+    cu = s.tok(_comparative(ab), "ADJ(vrij,comp,zonder)", alem, chunk="B-ADJP")
     dan = s.tok("dan", VG_ONDER, "dan", chunk="B-SBAR")
     ob, _ = _np_common(rng, s, plural=False, allow_adj=False)
     s.dep(su, v, "su")
@@ -1077,7 +1101,8 @@ def _t_er(rng: _Rng, s: _Sent) -> None:
     """Existential 'er': 'Er staat een N in de N.' — er is a modifier of
     the verb, the indefinite NP its subject (h63 conventions)."""
     eu = s.tok("Er", "VNW(aanw,adv-pron,stan,red,3,getal)", "er", chunk="B-ADVP")
-    form, vlem = rng.choice([("staat", "staan"), ("ligt", "liggen"), ("hangt", "hangen")])
+    # NOT 'staat': that surface is a held-out-corpus content word (h63)
+    form, vlem = rng.choice([("ligt", "liggen"), ("hangt", "hangen"), ("zit", "zitten")])
     v = s.tok(form, WW_T, vlem, chunk="B-VP")
     s.dep(eu, v, "mod")
     eenu = s.tok("een", LID_EEN, "een", chunk="B-NP")

@@ -14,9 +14,12 @@ saw. Two protocols, both reported in BENCH/generalization_heldout.json:
               same conventions; new constructions over the reference
               test-corpus domain plus unseen inflections/nouns/names).
 
-The external number is the honest one: authored independently of the
-pipeline's output and never trained on. Counts (sentences/tokens) are
-emitted in the JSON rather than hard-coded here.
+The external number is authored independently of the pipeline's output
+and never trained on — but as of round 4 it also served as the
+error-analysis loop for model-selection knobs, so treat it as a DEV
+set; the untouched one-shot estimate lives in resources/probe_corpus.tsv
+(BENCH/probe_eval_round4.json). Counts are emitted in the JSON rather
+than hard-coded here.
 """
 
 from __future__ import annotations

@@ -24,7 +24,7 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--treebank", type=int, default=None,
-                    help="override config.parser_treebank_sentences")
+                    help="override config.treebank_sentences")
     ap.add_argument("--only-bad", action="store_true")
     args = ap.parse_args()
 
@@ -32,7 +32,7 @@ def main() -> None:
     if args.treebank is not None:
         from frog_spark.plans.pipeline import PipelineConfig
 
-        kwargs["config"] = PipelineConfig(parser_treebank_sentences=args.treebank)
+        kwargs["config"] = PipelineConfig(treebank_sentences=args.treebank)
     pipe = FrogPipeline.build(**kwargs)
     lex = load_mwu_lexicon()
     test = load_gold_corpus(HELDOUT)

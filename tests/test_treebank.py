@@ -49,20 +49,25 @@ def test_treebank_structure_valid():
                 assert h in ([m] + _ancestors(s.deps, m)), f"non-projective {s.text}"
 
 
+PROBE = os.path.join(os.path.dirname(HELDOUT), "probe_corpus.tsv")
+
+
 def test_treebank_heldout_disjoint():
     """The generator's content vocabulary must not leak held-out-only
     content words — otherwise the external evaluation measures recall,
     not generalization. (Words the GOLD corpus already trains on are
-    exempt: they were never held out.)"""
+    exempt: they were never held out.) Covers BOTH evaluation corpora:
+    the 103-sentence held-out set and the frozen-models probe set."""
     gold_words = {t.word.lower() for s in load_gold_corpus() for t in s.tokens}
-    heldout_content = {
-        t.word.lower()
-        for s in load_gold_corpus(HELDOUT)
-        for t in s.tokens
-        if t.pos.startswith(("N(", "WW(", "ADJ(", "SPEC("))
-    }
-    leaked = ({w.lower() for w in CONTENT_WORDS} & heldout_content) - gold_words
-    assert not leaked, f"treebank vocabulary leaks held-out content words: {sorted(leaked)}"
+    for path in (HELDOUT, PROBE):
+        eval_content = {
+            t.word.lower()
+            for s in load_gold_corpus(path)
+            for t in s.tokens
+            if t.pos.startswith(("N(", "WW(", "ADJ(", "SPEC("))
+        }
+        leaked = ({w.lower() for w in CONTENT_WORDS} & eval_content) - gold_words
+        assert not leaked, f"treebank vocabulary leaks {path} content words: {sorted(leaked)}"
 
 
 def test_treebank_deterministic():
