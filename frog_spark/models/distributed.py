@@ -647,14 +647,22 @@ def train_depparser_distributed(
     ``hash_bucket_groups``: the gain-ratio order may rank a word-valued
     feature first (vocabulary-sized value set), so prefixes hash into
     coarse groups (identical tree, bounded group count)."""
-    from frog_spark.operators.parser import DepParser
+    from frog_spark.operators.parser import (
+        DIR_ORDER,
+        PAIRS_ORDER,
+        RELS_ORDER,
+        DepParser,
+    )
 
     inst = dep_instances(sent_df).persist(StorageLevel.MEMORY_AND_DISK)
     inst.count()  # materialize ONCE before the three per-kind consumers
     trees = {}
-    for kind in ("pairs", "dir", "rels"):
+    for kind, order in (
+        ("pairs", PAIRS_ORDER), ("dir", DIR_ORDER), ("rels", RELS_ORDER)
+    ):
         trees[kind] = train_igtree_distributed(
             inst.filter(F.col("kind") == kind).select("feats", "cls"),
+            feature_order=list(order),
             prefix_depth=2,
             hash_bucket_groups=hash_bucket_groups,
             input_cached=True,

