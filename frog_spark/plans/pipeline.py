@@ -264,11 +264,13 @@ class FrogPipeline:
             from frog_spark.sources.augment import augment_gold
 
             gold = augment_gold(gold, n_variants=cfg.augment_variants)
-        # tagger / NER / parser / MBLEM additionally train on the
-        # synthetic treebank (heads+rels+POS+BIO+lemmas are real gold
-        # there — unseen inflected verbs otherwise keep their surface as
-        # "lemma" and poison every triple's predicate). MBMA does NOT:
-        # the treebank's morph column is a placeholder.
+        # tagger / NER / parser / MBLEM / MBMA additionally train on
+        # the synthetic treebank — heads+rels+POS+BIO+lemmas are real
+        # gold there, and since round 4 the vocabulary carries real
+        # CELEX-style morph segmentations too (sources/treebank.py
+        # _build_morph_table; surfaces outside the table stay
+        # monomorphemic, which is correct for the names/function words
+        # they cover).
         syn = gold
         if cfg.treebank_sentences > 0:
             from frog_spark.sources.treebank import synthetic_treebank
@@ -314,7 +316,7 @@ class FrogPipeline:
         return cls(
             tagger=tagger,
             mblem=mblem,
-            mbma=Mbma.train(morph_training(gold)),
+            mbma=Mbma.train(morph_training(syn)),
             ner=NerTagger.train(
                 syn,
                 gaz,

@@ -214,6 +214,137 @@ _V_SAY = [  # matrix verbs taking dat-clauses / quotes
     ("vermoedt", "vermoeden"), ("antwoordt", "antwoorden"),
 ]
 
+# --------------------------------------------------------------------------
+# morph segmentations for the vocabulary (CELEX-style, following the
+# gold corpus's conventions: plural/3sg/participle suffixes split off,
+# ge-/be-/ver-/ont- prefixes split, surface-spelling stems — e.g.
+# resultaten -> [resultat][en], verkoopt -> [ver][koop][t]).
+# The table maps SURFACE form -> morph string; _Sent.finish() applies
+# it so the treebank can train MBMA alongside the other modules.
+# --------------------------------------------------------------------------
+
+#: hand-written segmentations for compounds/prefixed stems the
+#: mechanical rules below would get wrong
+_MORPH_EXCEPTIONS = {
+    "verslag": "[ver][slag]", "verslagen": "[ver][slag][en]",
+    "voorstel": "[voor][stel]", "voorstellen": "[voor][stell][en]",
+    "verhaal": "[ver][haal]", "verhalen": "[ver][hal][en]",
+    "vergadering": "[ver][gadering]", "vergaderingen": "[ver][gadering][en]",
+    "afdeling": "[af][deling]", "afdelingen": "[af][deling][en]",
+    "buurman": "[buur][man]", "buurmannen": "[buur][mann][en]",
+    "voorjaar": "[voor][jaar]",
+    "tentoonstelling": "[tentoonstelling]",
+    "tentoonstellingen": "[tentoonstelling][en]",
+    "woestijn": "[woestijn]", "woestijnen": "[woestijn][en]",
+    "verzint": "[ver][zin][t]", "verzinnen": "[ver][zinn][en]",
+    "verzonnen": "[ver][zonnen]",
+    "verdedigt": "[ver][dedig][t]", "verdedigen": "[ver][dedig][en]",
+    "verdedigd": "[ver][dedig][d]",
+    "verdwijnt": "[ver][dwijn][t]", "verdwijnen": "[ver][dwijn][en]",
+    "herstelt": "[herstel][t]", "herstellen": "[herstell][en]",
+    "hersteld": "[herstel][d]",
+    "herkent": "[her][ken][t]", "herkennen": "[her][kenn][en]",
+    "herkend": "[her][ken][d]",
+    "vertelt": "[ver][tel][t]", "beweert": "[be][weer][t]",
+}
+
+
+def _verb_morphs(sg3: str, inf: str, vd: str | None) -> dict:
+    """Mechanical verb segmentation: [stem][t] / [stem][en] /
+    [ge][stem][d], surface-spelling stems (the gold corpus's
+    convention: meld[t], lancer[en], ge-maak-t). Verbs with prefixes or
+    irregular stems sit in _MORPH_EXCEPTIONS (merged over this)."""
+    out = {}
+    stem_t = sg3[:-1]
+    # sg3 carries a separable -t suffix iff removing it leaves a stem
+    # the infinitive starts from (vindt->vind(en) yes; sluit->slui+en
+    # no: the t belongs to the stem)
+    alt = {"f": "v", "s": "z"}  # geloof->geloven, kies->kiezen
+    if sg3.endswith("t") and stem_t and (
+        inf == stem_t + "en"                       # vind -> vinden
+        or inf == stem_t + stem_t[-1] + "en"       # was -> wassen
+        or (len(stem_t) > 2 and inf == stem_t[:-2] + stem_t[-1] + "en")  # loop -> lopen
+        or inf == stem_t[:-1] + alt.get(stem_t[-1], "?") + "en"          # geloof -> geloven
+        or (len(stem_t) > 3 and inf == stem_t[:-3] + stem_t[-2] + alt.get(stem_t[-1], "?") + "en")  # verlies -> verliezen
+    ):
+        out[sg3] = f"[{stem_t}][t]"
+    else:
+        out[sg3] = f"[{sg3}]"
+    out[inf] = f"[{inf[:-2]}][en]" if inf.endswith("en") else f"[{inf}]"
+    if vd:
+        if vd.startswith("ge") and vd.endswith(("d", "t")):
+            out[vd] = f"[ge][{vd[2:-1]}][{vd[-1]}]"
+        elif vd.startswith("ge"):
+            out[vd] = f"[ge][{vd[2:]}]"   # ge-sloten, ge-wonnen
+        elif vd.endswith(("d", "t")):
+            out[vd] = f"[{vd[:-1]}][{vd[-1]}]"  # verzamel-d
+        else:
+            out[vd] = f"[{vd}]"
+    return out
+
+
+_MORPH_TABLE_CACHE: dict | None = None
+
+
+def _morph_table() -> dict:
+    global _MORPH_TABLE_CACHE
+    if _MORPH_TABLE_CACHE is None:
+        _MORPH_TABLE_CACHE = _build_morph_table()
+    return _MORPH_TABLE_CACHE
+
+
+def _build_morph_table() -> dict:
+    t: dict[str, str] = {}
+    for sg, pl, _g, _lem in _NOUNS:
+        t[sg] = f"[{sg}]"
+        if pl.endswith("en"):
+            t[pl] = f"[{pl[:-2]}][en]"
+        elif pl.endswith("s"):
+            t[pl] = f"[{pl[:-1]}][s]"
+    for base, e_form, _lem in _ADJS:
+        t[base] = f"[{base}]"
+        t[e_form] = f"[{e_form[:-1]}][e]"
+        comp = _comparative(base)
+        if comp.endswith("der") and base.endswith("r"):
+            t[comp] = f"[{base}][der]"   # duur -> duur-der
+        else:
+            t[comp] = f"[{comp[:-2]}][er]"
+    for sg3, inf, vd, _lem in _V_TRANS:
+        t.update(_verb_morphs(sg3, inf, vd))
+    for sg3, inf, _lem in _V_INTRANS:
+        t.update(_verb_morphs(sg3, inf, None))
+    for sg3, inf, _lem, _prep in _V_PC:
+        t.update(_verb_morphs(sg3, inf, None))
+    for sg3, _part, _lem in _V_SEP:
+        if sg3 not in t:
+            t[sg3] = f"[{sg3[:-1]}][t]" if sg3.endswith("t") else f"[{sg3}]"
+    for ev, mv, _lem in _V_TRANS_VERL:
+        if ev.endswith(("de", "te")):
+            t[ev] = f"[{ev[:-2]}][{ev[-2:]}]"
+            t[mv] = f"[{ev[:-2]}][{ev[-2:]}n]"   # bouw-den, pak-ten
+        else:
+            t[ev] = f"[{ev}]"                     # vond, koos, riep, brak
+            t[mv] = f"[{mv[:-2]}][en]" if mv.endswith("en") else f"[{mv}]"
+    for w, _lem in _V_SAY:
+        if w.endswith("t") and not w.endswith("dt"):
+            t[w] = f"[{w[:-1]}][t]"
+        elif w.endswith("en"):
+            t[w] = f"[{w[:-2]}][en]"
+    # copulas/auxiliaries per the gold corpus's own forms
+    t.update({
+        "is": "[zijn]", "zijn": "[zijn]", "was": "[was]", "waren": "[war][en]",
+        "heeft": "[heef][t]", "hebben": "[hebb][en]",
+        "wordt": "[word][t]", "worden": "[word][en]",
+        "werd": "[werd]", "werden": "[werd][en]",
+        "wil": "[wil]", "willen": "[will][en]", "kan": "[kan]",
+        "kunnen": "[kunn][en]", "moet": "[moet]", "moeten": "[moet][en]",
+        "ligt": "[lig][t]", "hangt": "[hang][t]", "zit": "[zit]",
+        "maakt": "[maak][t]", "noemt": "[noem][t]", "vindt": "[vind][t]",
+    })
+    t.update(_MORPH_EXCEPTIONS)
+    return t
+
+
 #: every content-word surface form the generator can emit — the
 #: heldout-disjointness test checks this set against the held-out corpus
 CONTENT_WORDS: set = set()
@@ -336,6 +467,14 @@ class _Sent:
         return sum(1 for t in self.tokens[:i] if t.word == '"') % 2 == 1
 
     def finish(self, sid: int) -> GoldSentence:
+        # real morph segmentations for the vocabulary (surfaces outside
+        # the table — names, punctuation, function words — keep the
+        # monomorphemic [word] the tok() default set)
+        table = _morph_table()
+        for t in self.tokens:
+            m = table.get(t.word) or table.get(t.word.lower())
+            if m:
+                t.morph = m
         gs = GoldSentence(f"t{sid:06d}", self.text())
         gs.tokens = self.tokens
         gs.deps = self.deps
