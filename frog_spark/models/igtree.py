@@ -83,6 +83,12 @@ class IGTree:
         if not instances:
             return cls([], _Node("", {}))
         n_feat = len(instances[0])
+        if feature_order is not None and sorted(feature_order) != list(range(n_feat)):
+            raise ValueError(
+                f"feature_order {feature_order} is not a permutation of "
+                f"0..{n_feat - 1} — a feature added to the extractor "
+                "without updating the order would silently never be read"
+            )
         if feature_order is None:
             gains = [
                 _gain_ratio([inst[f] for inst in instances], classes)

@@ -13,6 +13,12 @@ from frog_spark.operators.ner import repair_bio
 from frog_spark.sources.resources import GoldSentence
 
 
+#: tag-first fixed order over _feats below (focus POS, left/right POS,
+#: word LAST) — unseen words must not end the walk before the POS
+#: context is read (held-out chunk 0.974 -> 0.980 at gold parity)
+CHUNK_ORDER = [2, 1, 3, 0]
+
+
 def _feats(words: list[str], pos: list[str], i: int) -> list[str]:
     n = len(words)
     return [
@@ -37,10 +43,7 @@ class IobChunker:
             for i, t in enumerate(s.tokens):
                 instances.append(_feats(words, pos, i))
                 classes.append(t.chunk)
-        # tag-first fixed order (focus POS, left/right POS, word LAST) —
-        # unseen words must not end the walk before the POS context is
-        # read (held-out chunk 0.974 -> 0.980 at gold parity)
-        return cls(IGTree.train(instances, classes, feature_order=[2, 1, 3, 0]))
+        return cls(IGTree.train(instances, classes, feature_order=list(CHUNK_ORDER)))
 
     def tag(
         self, words: list[str], pos: list[str]

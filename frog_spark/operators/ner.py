@@ -112,6 +112,15 @@ def spans_with_conf(
     return spans, out_conf
 
 
+#: tag-first fixed order over _feats below (gazetteer marks, POS
+#: context, word LAST): an IGTree walk stops at the first unseen
+#: branch, so a gain-learned order that reads the word early regresses
+#: to shallow priors on exactly the unseen names this tree must
+#: generalize over (held-out NER 0.985 -> 0.996 at gold parity; same
+#: finding as the parser's PAIRS_ORDER)
+NER_ORDER = [5, 2, 4, 6, 1, 3, 0]
+
+
 def _feats(
     words: list[str], pos: list[str], gaz: list[str], i: int
 ) -> list[str]:
@@ -301,13 +310,7 @@ class NerTagger:
                 classes.append(t.ner)
         return cls(
             gaz,
-            # tag-first fixed order (gazetteer marks, POS context, word
-            # LAST): an IGTree walk stops at the first unseen branch, so
-            # a gain-learned order that reads the word early regresses
-            # to shallow priors on exactly the unseen names this tree
-            # must generalize over (held-out NER 0.985 -> 0.996 at gold
-            # parity; same finding as the parser's PAIRS_ORDER)
-            IGTree.train(instances, classes, feature_order=[5, 2, 4, 6, 1, 3, 0]),
+            IGTree.train(instances, classes, feature_order=list(NER_ORDER)),
             override=override,
             override_unconditional=override_unconditional,
             override_only_n_spec=override_only_n_spec,

@@ -245,7 +245,9 @@ _MORPH_EXCEPTIONS = {
     "hersteld": "[herstel][d]",
     "herkent": "[her][ken][t]", "herkennen": "[her][kenn][en]",
     "herkend": "[her][ken][d]",
-    "vertelt": "[ver][tel][t]", "beweert": "[be][weer][t]",
+    "vertelt": "[ver][tel][t]", "vertellen": "[ver][tell][en]",
+    "beweert": "[be][weer][t]", "beweren": "[be][wer][en]",
+    "begint": "[be][gin][t]", "beginnen": "[be][ginn][en]",
 }
 
 
@@ -297,7 +299,9 @@ def _build_morph_table() -> dict:
     t: dict[str, str] = {}
     for sg, pl, _g, _lem in _NOUNS:
         t[sg] = f"[{sg}]"
-        if pl.endswith("en"):
+        if pl.endswith("ën"):
+            t[pl] = f"[{pl[:-2]}][ën]"   # theorie-ën
+        elif pl.endswith("en"):
             t[pl] = f"[{pl[:-2]}][en]"
         elif pl.endswith("s"):
             t[pl] = f"[{pl[:-1]}][s]"
@@ -325,11 +329,8 @@ def _build_morph_table() -> dict:
         else:
             t[ev] = f"[{ev}]"                     # vond, koos, riep, brak
             t[mv] = f"[{mv[:-2]}][en]" if mv.endswith("en") else f"[{mv}]"
-    for w, _lem in _V_SAY:
-        if w.endswith("t") and not w.endswith("dt"):
-            t[w] = f"[{w[:-1]}][t]"
-        elif w.endswith("en"):
-            t[w] = f"[{w[:-2]}][en]"
+    for w, lem in _V_SAY:
+        t.update(_verb_morphs(w, lem, None))
     # copulas/auxiliaries per the gold corpus's own forms
     t.update({
         "is": "[zijn]", "zijn": "[zijn]", "was": "[was]", "waren": "[war][en]",
@@ -475,6 +476,11 @@ class _Sent:
             m = table.get(t.word) or table.get(t.word.lower())
             if m:
                 t.morph = m
+            elif not t.pos.startswith("SPEC(") and t.word[:1].isupper():
+                # gold convention: sentence-initial capitalized function
+                # words and adverbs carry the LOWERCASE morph
+                # ('Morgen' -> [morgen]); only SPEC names keep case
+                t.morph = f"[{t.word.lower()}]"
         gs = GoldSentence(f"t{sid:06d}", self.text())
         gs.tokens = self.tokens
         gs.deps = self.deps
