@@ -47,7 +47,9 @@ def main() -> None:
     # is the standard steal-robust protocol (same one
     # scripts/scaling_bench.py uses); REPS=2 doubles bench wall time but
     # makes round-over-round numbers comparable.
-    reps = int(os.environ.get("FROG_SPARK_BENCH_REPS", "2"))
+    # clamp to >=1: reps=0 would skip every loop, leave kg_sec=inf and
+    # emit non-standard Infinity in the result JSON
+    reps = max(1, int(os.environ.get("FROG_SPARK_BENCH_REPS", "2")))
 
     queries: dict[str, float] = {}
     t_suite = time.time()

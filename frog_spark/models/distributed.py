@@ -158,12 +158,24 @@ def train_igtree_distributed(
     if not inst.is_cached and not input_cached:
         inst = inst.persist(StorageLevel.MEMORY_AND_DISK)
         we_persisted = True
-    if inst.first() is None:
+    first = inst.first()
+    if first is None:
         # empty instance base (e.g. an all-punctuation corpus's unknown-
         # word base) — mirror IGTree.train's empty-tree return
         if we_persisted:
             inst.unpersist()
         return IGTree(feature_order or [], _Node("", {}))
+    if feature_order is not None:
+        # mirror IGTree.train's permutation guard: an out-of-range index
+        # in a fixed order makes F.col(feats)[i] yield null prefix keys
+        # and silently mis-trains
+        n_feat = len(first[feats_col])
+        if sorted(feature_order) != list(range(n_feat)):
+            raise ValueError(
+                f"feature_order {feature_order} is not a permutation of "
+                f"0..{n_feat - 1} — a feature added to the extractor "
+                "without updating the order would silently never be read"
+            )
     if feature_order is None:
         gains = gain_ratios_distributed(inst, feats_col, cls_col)
         feature_order = sorted(range(len(gains)), key=lambda f: -gains[f])

@@ -86,15 +86,30 @@ def test_treebank_df_matches_driver(spark):
     from frog_spark.sources.treebank import treebank_df
 
     n = 150
-    rows = {tuple(r["words"]): r for r in treebank_df(spark, n).collect()}
-    assert len(rows) == n
-    for i in range(n):
-        gs = sentence(i)
-        key = tuple(t.word for t in gs.tokens)
-        r = rows[key]
-        assert list(r["tags"]) == [t.pos for t in gs.tokens]
-        deps = {u: (h, rel) for u, h, rel in zip(r["dep_units"], r["dep_heads"], r["dep_rels"])}
-        assert deps == gs.deps
+
+    def canon(words, tags, dep_items):
+        return (tuple(words), tuple(tags), tuple(sorted(dep_items)))
+
+    # compare as sorted multisets of the FULL row content (words + tags
+    # + deps): keying a dict by word-tuple alone would collide if two
+    # generated sentences ever share a word sequence and silently
+    # compare the wrong sentence's deps
+    got = sorted(
+        canon(
+            r["words"], r["tags"],
+            [(u, (h, rel)) for u, h, rel in zip(r["dep_units"], r["dep_heads"], r["dep_rels"])],
+        )
+        for r in treebank_df(spark, n).collect()
+    )
+    want = sorted(
+        canon(
+            [t.word for t in gs.tokens],
+            [t.pos for t in gs.tokens],
+            gs.deps.items(),
+        )
+        for gs in (sentence(i) for i in range(n))
+    )
+    assert got == want
 
 
 def test_external_heldout_generalization_gate(pipeline):
