@@ -396,14 +396,18 @@ def mbt_instances(sent_df: DataFrame, ambitag, unk_words=None) -> DataFrame:
 
 
 def train_mbt_distributed(
-    spark: SparkSession, sent_df: DataFrame, hash_bucket_groups: int = 256
+    spark: SparkSession, sent_df: DataFrame, hash_bucket_groups: int = 256,
+    ext_lexicon: dict[str, list[str]] | None = None,
 ):
     """MBTagger trained by Spark jobs: lexicon/ambitag from one groupBy
     over exploded (word, tag) pairs, both case bases via the partitioned
     IGTree build with MBT's fixed feature orders (models/mbt.py:93-96).
     The collected lexicon is the model's own broadcastable state — the
-    instance relation itself never reaches the driver."""
-    from frog_spark.models.mbt import UNKNOWN_ORDER, MBTagger, _word_key
+    instance relation itself never reaches the driver.  ``ext_lexicon``
+    (the inflection lexicon's word -> tags map) rides along unchanged;
+    the tag-transition bigram the ambiguity tie-break needs is one more
+    JVM-side aggregation over the same corpus."""
+    from frog_spark.models.mbt import BOUNDARY, UNKNOWN_ORDER, MBTagger, _word_key
 
     @F.pandas_udf("string")
     def word_key(w: pd.Series) -> pd.Series:
@@ -419,6 +423,29 @@ def train_mbt_distributed(
     for w, t, c in zip(lex_pdf["w"], lex_pdf["t"], lex_pdf["c"]):
         lexicon.setdefault(w, Counter())[t] = int(c)
     ambitag = {w: "|".join(sorted(cnt)) for w, cnt in lexicon.items()}
+
+    # (prev_tag, tag) transition counts, JVM-side: prepend the boundary
+    # marker and zip each tag with its predecessor
+    bg_pdf = (
+        sent_df.select(
+            F.explode(
+                F.arrays_zip(
+                    F.concat(
+                        F.array(F.lit(BOUNDARY)),
+                        F.slice(F.col("tags"), 1, F.greatest(F.size("tags") - 1, F.lit(0))),
+                    ),
+                    F.col("tags"),
+                )
+            ).alias("p")
+        )
+        .where(F.col("p")["tags"].isNotNull())  # empty-sentence zip padding
+        .groupBy(F.col("p")["0"].alias("prev"), F.col("p")["tags"].alias("t"))
+        .agg(F.count("*").alias("c"))
+        .toPandas()
+    )
+    bigram = {
+        (p, t): int(c) for p, t, c in zip(bg_pdf["prev"], bg_pdf["t"], bg_pdf["c"])
+    }
 
     # cache the FUSED relation and materialize it with one count(): the
     # corpus is scanned exactly once; the per-base filters below (and
@@ -444,7 +471,10 @@ def train_mbt_distributed(
         hash_bucket_groups=hash_bucket_groups, input_cached=True,
     )
     inst.unpersist()
-    return MBTagger(lexicon, known_tree, unknown_tree)
+    return MBTagger(
+        lexicon, known_tree, unknown_tree,
+        ext_lexicon=ext_lexicon, bigram=bigram,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -71,6 +71,8 @@ class MBTagger:
         lexicon: dict[str, Counter],
         known_tree: IGTree,
         unknown_tree: IGTree,
+        ext_lexicon: dict[str, list[str]] | None = None,
+        bigram: dict[tuple[str, str], int] | None = None,
     ):
         self.lexicon = lexicon
         self.ambitag = {
@@ -78,6 +80,20 @@ class MBTagger:
         }
         self.known_tree = known_tree
         self.unknown_tree = unknown_tree
+        # EXTERNAL word -> possible-tags lexicon (the inflection lexicon,
+        # sources/inflect.py): the reference's MBT consults exactly such
+        # a lexicon built from its 10.9M-token corpus, so common verbs
+        # are never "unknown words" there (tagger_base.cxx:232-234 loads
+        # the lexicon file alongside the case bases). Corpus-trained
+        # words always take precedence (tag_sentence checks self.lexicon
+        # first), so trained-word behavior — and gold parity — is
+        # untouched; only words outside every training corpus are
+        # resolved by lexical lookup + context disambiguation.
+        self.ext_lexicon = ext_lexicon or {}
+        # (prev_tag, tag) -> count over the training corpus: the HMM-ish
+        # transition prior used ONLY to break ties among an ambiguous
+        # ext-lexicon word's tags
+        self.bigram = bigram or {}
 
     #: a word joins the unknown-word case base only if its training
     #: frequency is at most this. MBT builds the unknown base from RARE
@@ -108,7 +124,11 @@ class MBTagger:
         }
 
     @classmethod
-    def train(cls, sentences: Sequence[Sequence[tuple[str, str]]]) -> "MBTagger":
+    def train(
+        cls,
+        sentences: Sequence[Sequence[tuple[str, str]]],
+        ext_lexicon: dict[str, list[str]] | None = None,
+    ) -> "MBTagger":
         lexicon: dict[str, Counter] = defaultdict(Counter)
         for sent in sentences:
             for word, tag in sent:
@@ -125,9 +145,11 @@ class MBTagger:
         known_cls: list[str] = []
         unk_inst: list[list[str]] = []
         unk_cls: list[str] = []
+        bigram: dict[tuple[str, str], int] = {}
         for sent in sentences:
             prev_tag = BOUNDARY
             for i, (word, tag) in enumerate(sent):
+                bigram[(prev_tag, tag)] = bigram.get((prev_tag, tag), 0) + 1
                 wkey = _word_key(word)
                 next_ambi = (
                     ambitag.get(_word_key(sent[i + 1][0]), BOUNDARY)
@@ -148,7 +170,10 @@ class MBTagger:
         # capitalization first (separates SPEC-ish names), then suffixes
         # longest-first, then left context — MBT's 'p'/'s' feature layout
         unknown_tree = IGTree.train(unk_inst, unk_cls, feature_order=UNKNOWN_ORDER)
-        return cls(dict(lexicon), known_tree, unknown_tree)
+        return cls(
+            dict(lexicon), known_tree, unknown_tree,
+            ext_lexicon=ext_lexicon, bigram=bigram,
+        )
 
     UNK_AMBI = "__UNK__"
 
@@ -175,9 +200,46 @@ class MBTagger:
                     [prev_tag, word.lower(), next_ambi]
                 )
             else:
-                tag, conf = self.unknown_tree.classify(
-                    _unknown_feats(prev_tag, word, next_ambi)
-                )
+                # a capitalized word MID-sentence is name evidence the
+                # lowercase lexicon must not override ('De Vries' vs the
+                # verb stem 'vries') — let the unknown tree's cap feature
+                # route it; sentence-initial capitals consult the lexicon
+                ext = None
+                if i == 0 or not word[:1].isupper():
+                    ext = self.ext_lexicon.get(wkey) or self.ext_lexicon.get(
+                        word.lower()
+                    )
+                if ext is not None and len(ext) == 1:
+                    # lexical lookup: unambiguous in the external lexicon
+                    tag, conf = ext[0], 1.0
+                elif ext is not None:
+                    # ambiguous: context (the unknown-word tree's
+                    # distribution) picks among the lexicon's tags only —
+                    # MBT's lexicon-constrained classification; the
+                    # corpus tag-bigram prior P(tag | prev_tag) breaks
+                    # ties the suffix distribution cannot see
+                    dist = self.unknown_tree.distribution(
+                        _unknown_feats(prev_tag, word, next_ambi)
+                    )
+                    # the suffix-context distribution decides; the
+                    # transition prior P(tag | prev_tag) breaks its ties
+                    # (a smoothed PRODUCT of the two was measured worse:
+                    # the prior overrode correct suffix evidence on
+                    # clause-final infinitives)
+                    tag = max(
+                        ext,
+                        key=lambda t: (
+                            dist.get(t, 0.0),
+                            self.bigram.get((prev_tag, t), 0),
+                            t,
+                        ),
+                    )
+                    total = sum(dist.get(t, 0.0) for t in ext)
+                    conf = dist.get(tag, 0.0) / total if total > 0 else 1.0 / len(ext)
+                else:
+                    tag, conf = self.unknown_tree.classify(
+                        _unknown_feats(prev_tag, word, next_ambi)
+                    )
             out.append((tag, conf))
             prev_tag = tag
         return out

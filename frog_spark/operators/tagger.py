@@ -44,10 +44,13 @@ class PosTagger:
 
     @classmethod
     def train(
-        cls, gold: list[GoldSentence], token_trans: dict[str, str] | None = None
+        cls,
+        gold: list[GoldSentence],
+        token_trans: dict[str, str] | None = None,
+        ext_lexicon: dict[str, list[str]] | None = None,
     ) -> "PosTagger":
         return cls(
-            MBTagger.train(pos_training(gold)),
+            MBTagger.train(pos_training(gold), ext_lexicon=ext_lexicon),
             token_trans if token_trans is not None else load_token_trans(),
         )
 

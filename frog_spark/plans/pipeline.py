@@ -86,6 +86,13 @@ class PipelineConfig:
     # corpus parity intact (goldens + tst.ok diff stay byte-identical).
     # 0 disables (pure 78-sentence gold training, the round-3 behavior).
     treebank_sentences: int = 8000
+    # systematic Dutch inflection lexicon (sources/inflect.py) folded
+    # into MBLEM/MBMA training — the stand-in for e-Lex / CELEX
+    # (advanced.rst:121-191). Surfaces already present in the gold +
+    # treebank training rows are dropped first, so trained-word behavior
+    # (goldens, tst.ok) is byte-identical and only never-trained words
+    # gain lemma/morph coverage. False restores round-4 training.
+    inflection_lexicon: bool = True
 
     def __post_init__(self) -> None:
         if self.do_parse and not self.do_mwu:
@@ -285,22 +292,54 @@ class FrogPipeline:
                 else cfg.ner_override_path
             )
             override = Gazetteer(load_gazetteer(p))
+        lemma_rows = lemma_training(syn)
+        morph_rows = morph_training(syn)
+        ext_tag_lexicon: dict[str, list[str]] | None = None
+        if cfg.inflection_lexicon:
+            from frog_spark.sources.inflect import (
+                inflection_morph_rows,
+                inflection_rows,
+            )
+
+            # corpus-trained surfaces stay canonical (byte-identical
+            # goldens); the lexicon only adds never-trained words
+            trained = {w.lower() for w, _t, _l in lemma_rows}
+            lemma_rows = lemma_rows + [
+                r for r in inflection_rows() if r[0].lower() not in trained
+            ]
+            trained_m = {w.lower() for w, _t, _m in morph_rows}
+            morph_rows = morph_rows + [
+                r for r in inflection_morph_rows() if r[0].lower() not in trained_m
+            ]
+            # word -> possible-tags map for the tagger's lexical-lookup
+            # fallback (models/mbt.py ext_lexicon); corpus-trained words
+            # take precedence at tag time, so no exclusion is needed
+            ext_tag_lexicon = {}
+            for w, t, _l in inflection_rows():
+                tags = ext_tag_lexicon.setdefault(w, [])
+                if t not in tags:
+                    tags.append(t)
+            for tags in ext_tag_lexicon.values():
+                tags.sort()
         if mblem_lexicon is not None:
             from frog_spark.models.distributed import train_mblem_distributed
 
             mblem = train_mblem_distributed(mblem_lexicon.sparkSession, mblem_lexicon)
         else:
-            mblem = Mblem.train(lemma_training(syn))
+            mblem = Mblem.train(lemma_rows)
         if pos_corpus is not None:
             from frog_spark.models.distributed import train_mbt_distributed
             from frog_spark.sources.resources import load_token_trans
 
             tagger = PosTagger(
-                train_mbt_distributed(pos_corpus.sparkSession, pos_corpus),
+                train_mbt_distributed(
+                    pos_corpus.sparkSession, pos_corpus,
+                    ext_lexicon=ext_tag_lexicon,
+                ),
                 load_token_trans(),
             )
         else:
-            tagger = PosTagger.train(syn)
+            tagger = PosTagger.train(syn, ext_lexicon=ext_tag_lexicon)
         if dep_treebank is not None:
             from frog_spark.models.distributed import (
                 gold_sentences_df,
@@ -316,7 +355,7 @@ class FrogPipeline:
         return cls(
             tagger=tagger,
             mblem=mblem,
-            mbma=Mbma.train(morph_training(syn)),
+            mbma=Mbma.train(morph_rows),
             ner=NerTagger.train(
                 syn,
                 gaz,

@@ -1,0 +1,813 @@
+"""Systematic Dutch inflection lexicon — the e-Lex stand-in.
+
+The reference trains its MBLEM lemmatizer on the 595,664-entry e-Lex
+lexicon and its MBMA analyzer on 3.2M CELEX-derived instances
+(/root/reference/docs/source/advanced.rst:121-191).  Neither resource is
+redistributable, and round 4's probe decomposition showed the measured
+quality ceiling of the whole triple pipeline is exactly that gap: MBLEM
+passes unseen verb surfaces through ('ontwikkelt' -> 'ontwikkelt'), so
+the triple predicate is wrong even when the parse is right.
+
+This module generates the in-reach substitute: a broad list of common
+Dutch stems (verbs, nouns, adjectives — ordinary public vocabulary)
+expanded through the REAL spelling rules of Dutch inflection:
+
+  * stem derivation from the infinitive: drop -en, undouble a doubled
+    consonant (zwemmen -> zwem), lengthen a stressed open-syllable vowel
+    (spelen -> speel), devoice v->f / z->s (geloven -> geloof);
+  * present 3sg +t (unless the stem already ends in t: starten->start),
+    past tense -de/-te by the voicedness of the stem-final consonant
+    ('t kofschip), participle ge- + stem + -d/-t with no ge- after the
+    unstressed prefixes be-/ge-/ver-/ont-/her-/er-/onder-, and the
+    particle-ge-stem shape for separable verbs (aanpassen->aangepast);
+  * noun plurals (stored: the -en spelling interacts with the stem) and
+    adjective -e / -er / -st forms with the same spelling rules;
+  * strong/irregular verbs carry their parts explicitly.
+
+Each surface also gets a CELEX-style morph segmentation in the gold
+corpus's conventions (surface-spelling stems: 'speelt' -> [speel][t],
+'bespreken' -> [be][sprek][en], 'kinderen' -> [kind][eren]), so the same
+lexicon trains MBMA.
+
+A '|' in a data entry marks a prefix/particle or compound boundary
+('ver|beteren', 'zieken|huis'): the spelling rules apply to the material
+after the last mark, and morph segmentation splits at every mark.
+
+The pipeline folds these rows into MBLEM/MBMA training AFTER dropping
+any surface already present in the gold + treebank training rows, so the
+committed golden outputs (trained-word behavior) are byte-identical and
+only never-trained surfaces gain coverage.  Like e-Lex for the
+reference, this lexicon legitimately covers common vocabulary that also
+appears in the held-out corpora — held-out lemma/morph numbers therefore
+measure lexicon coverage + suffix generalization combined, exactly as
+they do for the reference (disclosed in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+__all__ = [
+    "verb_stem",
+    "verb_forms",
+    "noun_forms",
+    "adj_forms",
+    "inflection_rows",
+    "inflection_morph_rows",
+    "inflection_lexicon_df",
+]
+
+_VOWELS = "aeiouij"  # ij participates in vowel groups (blijven -> blijf)
+
+# CGN tags (gold-corpus conventions)
+_T_INF = "WW(inf,vrij,zonder)"
+_T_PV_MV = "WW(pv,tgw,mv)"
+_T_PV_T = "WW(pv,tgw,met-t)"
+_T_PV_EV = "WW(pv,tgw,ev)"
+_T_VERL_EV = "WW(pv,verl,ev)"
+_T_VERL_MV = "WW(pv,verl,mv)"
+_T_VD = "WW(vd,vrij,zonder)"
+_T_N_DE = "N(soort,ev,basis,zijd,stan)"
+_T_N_HET = "N(soort,ev,basis,onz,stan)"
+_T_N_MV = "N(soort,mv,basis)"
+_T_ADJ_VRIJ = "ADJ(vrij,basis,zonder)"
+_T_ADJ_E = "ADJ(prenom,basis,met-e,stan)"
+_T_ADJ_COMP = "ADJ(vrij,comp,zonder)"
+_T_ADJ_COMP_E = "ADJ(prenom,comp,met-e,stan)"
+_T_ADJ_SUP = "ADJ(vrij,sup,zonder)"
+_T_ADJ_SUP_E = "ADJ(prenom,sup,met-e,stan)"
+
+#: unstressed (inseparable) prefixes: no ge- in the participle
+_UNSTRESSED_PREFIXES = ("be", "ge", "ver", "ont", "her", "er", "onder", "over")
+
+_DOUBLE_CONS = tuple(c + c for c in "bdfgklmnprstz")
+
+
+def _vowel_tail(x: str) -> tuple[str, str, str]:
+    """Split ``x`` as (pre, final_vowel_group, final_consonants)."""
+    i = len(x)
+    while i > 0 and x[i - 1] not in _VOWELS:
+        i -= 1
+    j = i
+    while j > 0 and x[j - 1] in _VOWELS:
+        j -= 1
+    return x[:j], x[j:i], x[i:]
+
+
+def _stressed_final_syllable(x: str) -> bool:
+    """Heuristic: monosyllables are stressed (spel-, mak-); a final
+    single-'e' nucleus after another vowel is schwa (wandel, verander,
+    luister) and unstressed."""
+    pre, vg, _cons = _vowel_tail(x)
+    if not any(ch in _VOWELS for ch in pre):
+        return True
+    if vg == "e":
+        return False
+    return True
+
+
+def _devoice(x: str) -> str:
+    if x.endswith("v"):
+        return x[:-1] + "f"
+    if x.endswith("z"):
+        return x[:-1] + "s"
+    return x
+
+
+def verb_stem(core: str) -> str:
+    """First-person stem of a (prefix-stripped) regular infinitive:
+    drop -en, undouble, lengthen a stressed open vowel, devoice."""
+    x = core[:-2] if core.endswith("en") else core
+    if x.endswith(_DOUBLE_CONS):
+        return x[:-1]  # zwemm -> zwem, bestell -> bestel
+    pre, vg, cons = _vowel_tail(x)
+    if (
+        len(vg) == 1
+        and vg in "aeou"
+        and len(cons) == 1
+        and cons not in ("w", "j")  # duwen -> duw, gooien handled by vg
+        and _stressed_final_syllable(x)
+    ):
+        x = pre + vg + vg + cons  # spel -> speel, lop -> loop
+    return _devoice(x)
+
+
+def _voiceless(x: str) -> bool:
+    """'t kofschip on the pre-devoicing stem-final consonant."""
+    return x.endswith(("t", "k", "f", "s", "p", "ch"))
+
+
+def _split_marked(entry: str) -> tuple[list[str], str]:
+    """'ver|beteren' -> (['ver'], 'beteren'); 'huis' -> ([], 'huis')."""
+    parts = entry.split("|")
+    return parts[:-1], parts[-1]
+
+
+def _segs(parts: list[str], *tail: str) -> str:
+    return "".join(f"[{p}]" for p in [*parts, *tail] if p)
+
+
+def verb_forms(entry) -> list[tuple[str, str, str, str]]:
+    """(word, tag, lemma, morph) rows for one verb.
+
+    ``entry`` is either a marked infinitive string ('ver|beteren') for a
+    fully regular verb, a (marked_inf, explicit_stem) pair for verbs
+    whose stem the spelling rules cannot derive (-eren loans: studeren
+    -> studeer), a 5-tuple (marked_inf, stem, past_ev, past_mv, vd) for
+    strong verbs whose present is regular, or a 6-tuple
+    (marked_inf, stem, sg3, past_ev, past_mv, vd) when the 3sg is
+    irregular too (zijn -> is, kunnen -> kan).  Parts are given WITHOUT
+    the prefix repeated; vd='' suppresses the participle row.
+    """
+    stem = sg3 = past_ev = past_mv = vd = None
+    if isinstance(entry, tuple):
+        if len(entry) == 2:
+            entry, stem = entry
+        elif len(entry) == 5:
+            entry, stem, past_ev, past_mv, vd = entry
+        else:
+            entry, stem, sg3, past_ev, past_mv, vd = entry
+    pref, core = _split_marked(entry)
+    prefix = "".join(pref)
+    separable = bool(pref) and prefix not in _UNSTRESSED_PREFIXES
+    inf = prefix + core
+    lemma = inf
+    if stem is None:
+        stem = verb_stem(core)
+    x_raw = core[:-2] if core.endswith("en") else core
+    if past_ev is None:
+        # regular ('weak') verb: -te/-de by 't kofschip on the raw stem
+        und = x_raw[:-1] if x_raw.endswith(_DOUBLE_CONS) else x_raw
+        weak_suf = "te" if _voiceless(und) else "de"
+        past_ev = stem + weak_suf
+        past_mv = past_ev + "n"
+        if vd is None:
+            d = "t" if weak_suf == "te" else "d"
+            vd_core = stem if stem.endswith(("d", "t")) else stem + d
+            vd = vd_core if prefix in _UNSTRESSED_PREFIXES and pref else (
+                "ge" + vd_core
+            )
+    if sg3 is None:
+        sg3 = stem if stem.endswith("t") else stem + "t"
+
+    rows: list[tuple[str, str, str, str]] = []
+
+    def add(word: str, tag: str, morph: str) -> None:
+        rows.append((word, tag, lemma, morph))
+
+    inf_m = (
+        _segs(pref, x_raw, "en") if core.endswith("en") else _segs(pref, core)
+    )
+    add(inf, _T_INF, inf_m)
+    add(inf, _T_PV_MV, inf_m)
+    add(prefix + stem, _T_PV_EV, _segs(pref, stem))
+    # CGN: 'met-t' is literally "with -t"; suppletive 3sg forms without
+    # it (is, kan, zal, wil, mag) carry the plain ev tag
+    sg3_tag = _T_PV_T if sg3.endswith("t") else _T_PV_EV
+    if sg3 == stem + "t":
+        add(prefix + sg3, sg3_tag, _segs(pref, stem, "t"))
+    else:
+        # covers sg3 == stem too: a t-final stem ('start', 'geniet') is
+        # still CGN met-t as the 3sg
+        add(prefix + sg3, sg3_tag, _segs(pref, sg3))
+    # past: weak forms segment [stem][te/de(n)]; strong pasts keep the
+    # whole-form stem ([vond], [vond][en])
+    if past_ev == stem + "te" or past_ev == stem + "de":
+        add(prefix + past_ev, _T_VERL_EV, _segs(pref, stem, past_ev[-2:]))
+        add(prefix + past_mv, _T_VERL_MV, _segs(pref, stem, past_ev[-2:] + "n"))
+    else:
+        add(prefix + past_ev, _T_VERL_EV, _segs(pref, past_ev))
+        if past_mv.endswith("en"):
+            add(prefix + past_mv, _T_VERL_MV, _segs(pref, past_mv[:-2], "en"))
+        else:
+            add(prefix + past_mv, _T_VERL_MV, _segs(pref, past_mv))
+    if vd:
+        word = prefix + vd
+        if vd.startswith("ge") and len(vd) > 4 and not (pref and not separable):
+            # gemaakt / (aan)gepast — split the participial ge-
+            ge_parts, inner = ["ge"], vd[2:]
+        else:
+            ge_parts, inner = [], vd
+        all_parts = [*pref, *ge_parts]
+        if inner.endswith("en"):
+            m = _segs(all_parts, inner)  # ge-lezen, ver-loren
+        elif inner == stem:
+            m = _segs(all_parts, inner)  # ge-start, be-zet
+        elif inner.endswith(("d", "t")) and inner[:-1] == stem:
+            m = _segs(all_parts, stem, inner[-1])  # ge-maak-t, ver-beter-d
+        else:
+            m = _segs(all_parts, inner)  # ge-had, ge-bracht
+        add(word, _T_VD, m)
+    return rows
+
+
+def noun_forms(entry: str, pl: str | None, gender: str) -> list[tuple[str, str, str, str]]:
+    """(word, tag, lemma, morph) for a noun.  ``entry`` may carry
+    compound/suffix marks ('zieken|huis', 'snel|heid'); ``pl`` is the
+    explicit plural SURFACE (unmarked) or None for no plural row."""
+    pref, core = _split_marked(entry)
+    sg = "".join(pref) + core
+    lemma = sg
+    if core.endswith(("je", "tje", "pje", "etje")) and gender == "het" and pl and pl.endswith("s"):
+        # diminutives carry the dim feature (CGN: N(soort,ev,dim,onz,stan))
+        sg_tag, pl_tag = "N(soort,ev,dim,onz,stan)", "N(soort,mv,dim)"
+    else:
+        sg_tag = _T_N_DE if gender == "de" else _T_N_HET
+        pl_tag = _T_N_MV
+    rows = [(sg, sg_tag, lemma, _segs(pref, core))]
+    if pl:
+        plen = sum(len(p) for p in pref)
+        body = pl[plen:]  # compound head with its plural spelling
+        if pl_tag == "N(soort,mv,dim)":
+            m = _segs(pref, body[:-1], "s")
+        elif body.endswith("ën"):
+            m = _segs(pref, body[:-2], "ën")
+        elif body == core + "eren":
+            m = _segs(pref, core, "eren")  # kind-eren
+        elif body == core + "n" and core.endswith("e"):
+            m = _segs(pref, core, "n")  # jongere-n
+        elif body.endswith("en"):
+            m = _segs(pref, body[:-2], "en")
+        elif body.endswith("s"):
+            m = _segs(pref, body[:-1], "s")
+        else:
+            m = _segs(pref, body)
+        rows.append((pl, pl_tag, lemma, m))
+    return rows
+
+
+def _revoice(c: str) -> str:
+    return {"f": "v", "s": "z"}.get(c, c)
+
+
+def _adj_e(core: str) -> str:
+    """Inflected -e form of a (prefix-stripped) adjective base with the
+    spelling rules (groot->grote, dik->dikke, boos->boze, half->halve,
+    handig->handige)."""
+    pre, vg, cons = _vowel_tail(core)
+    if len(vg) == 2 and vg[0] == vg[1] and len(cons) == 1:
+        return pre + vg[0] + _revoice(cons) + "e"  # groot -> grote
+    if (
+        len(vg) == 1
+        and vg in "aeiou"
+        and len(cons) == 1
+        and cons not in ("w", "j")
+        and _stressed_final_syllable(core)
+    ):
+        return core + cons + "e"  # dik -> dikke
+    if len(vg) >= 2 and cons in ("f", "s"):
+        return pre + vg + _revoice(cons) + "e"  # lief -> lieve, boos -> boze
+    if cons in ("lf", "rf"):
+        return core[:-1] + "ve"  # half -> halve
+    return core + "e"
+
+
+def adj_forms(entry: str) -> list[tuple[str, str, str, str]]:
+    """(word, tag, lemma, morph) for an adjective: base, -e,
+    comparative (+e), superlative (+e)."""
+    pref, core = _split_marked(entry)
+    prefix = "".join(pref)
+    base = prefix + core
+    lemma = base
+    e_core = _adj_e(core)
+    if core.endswith("r"):
+        comp_core = core + "der"
+        comp_m = _segs(pref, core, "der")
+        comp_me = _segs(pref, core, "der", "e")
+    else:
+        comp_core = e_core[:-1] + "er"
+        comp_m = _segs(pref, comp_core[:-2], "er")
+        comp_me = _segs(pref, comp_core[:-2], "er", "e")
+    sup_core = core + ("t" if core.endswith("s") else "st")
+    return [
+        (base, _T_ADJ_VRIJ, lemma, _segs(pref, core)),
+        (base, "ADJ(prenom,basis,zonder)", lemma, _segs(pref, core)),
+        (prefix + e_core, _T_ADJ_E, lemma, _segs(pref, e_core[:-1], "e")),
+        (prefix + comp_core, _T_ADJ_COMP, lemma, comp_m),
+        (prefix + comp_core, "ADJ(prenom,comp,zonder)", lemma, comp_m),
+        (prefix + comp_core + "e", _T_ADJ_COMP_E, lemma, comp_me),
+        (prefix + sup_core, _T_ADJ_SUP, lemma, _segs(pref, core, sup_core[len(core):])),
+        (prefix + sup_core + "e", _T_ADJ_SUP_E, lemma, _segs(pref, sup_core, "e")),
+    ]
+
+
+# ==========================================================================
+# vocabulary — common Dutch words (ordinary public vocabulary; the same
+# coverage role e-Lex plays for the reference)
+# ==========================================================================
+
+# -- strong / irregular verbs ---------------------------------------------
+# (marked_inf, stem, past_ev, past_mv, vd) or
+# (marked_inf, stem, sg3, past_ev, past_mv, vd); parts are prefix-free
+IRREGULAR_VERBS: list[tuple] = [
+    ("zijn", "ben", "is", "was", "waren", "geweest"),
+    ("hebben", "heb", "heeft", "had", "hadden", "gehad"),
+    ("kunnen", "kan", "kan", "kon", "konden", "gekund"),
+    ("zullen", "zal", "zal", "zou", "zouden", ""),
+    ("willen", "wil", "wil", "wilde", "wilden", "gewild"),
+    ("mogen", "mag", "mag", "mocht", "mochten", "gemogen"),
+    ("moeten", "moet", "moest", "moesten", "gemoeten"),
+    ("gaan", "ga", "gaat", "ging", "gingen", "gegaan"),
+    ("staan", "sta", "staat", "stond", "stonden", "gestaan"),
+    ("doen", "doe", "deed", "deden", "gedaan"),
+    ("zien", "zie", "zag", "zagen", "gezien"),
+    ("slaan", "sla", "slaat", "sloeg", "sloegen", "geslagen"),
+    ("weten", "weet", "wist", "wisten", "geweten"),
+    ("komen", "kom", "kwam", "kwamen", "gekomen"),
+    ("nemen", "neem", "nam", "namen", "genomen"),
+    ("geven", "geef", "gaf", "gaven", "gegeven"),
+    ("lezen", "lees", "las", "lazen", "gelezen"),
+    ("eten", "eet", "at", "aten", "gegeten"),
+    ("ver|geten", "geet", "gat", "gaten", "geten"),
+    ("spreken", "spreek", "sprak", "spraken", "gesproken"),
+    ("be|spreken", "spreek", "sprak", "spraken", "sproken"),
+    ("af|spreken", "spreek", "sprak", "spraken", "gesproken"),
+    ("breken", "breek", "brak", "braken", "gebroken"),
+    ("ont|breken", "breek", "brak", "braken", "broken"),
+    ("steken", "steek", "stak", "staken", "gestoken"),
+    ("dragen", "draag", "droeg", "droegen", "gedragen"),
+    ("ver|dragen", "draag", "droeg", "droegen", "dragen"),
+    ("be|dragen", "draag", "droeg", "droegen", "dragen"),
+    ("vragen", "vraag", "vroeg", "vroegen", "gevraagd"),
+    ("varen", "vaar", "voer", "voeren", "gevaren"),
+    ("slapen", "slaap", "sliep", "sliepen", "geslapen"),
+    ("laten", "laat", "liet", "lieten", "gelaten"),
+    ("lopen", "loop", "liep", "liepen", "gelopen"),
+    ("roepen", "roep", "riep", "riepen", "geroepen"),
+    ("houden", "houd", "hield", "hielden", "gehouden"),
+    ("ver|houden", "houd", "hield", "hielden", "houden"),
+    ("be|houden", "houd", "hield", "hielden", "houden"),
+    ("ont|houden", "houd", "hield", "hielden", "houden"),
+    ("vallen", "val", "viel", "vielen", "gevallen"),
+    ("vangen", "vang", "ving", "vingen", "gevangen"),
+    ("ont|vangen", "vang", "ving", "vingen", "vangen"),
+    ("hangen", "hang", "hing", "hingen", "gehangen"),
+    ("helpen", "help", "hielp", "hielpen", "geholpen"),
+    ("sterven", "sterf", "stierf", "stierven", "gestorven"),
+    ("zwerven", "zwerf", "zwierf", "zwierven", "gezworven"),
+    ("werpen", "werp", "wierp", "wierpen", "geworpen"),
+    ("ont|werpen", "werp", "wierp", "wierpen", "worpen"),
+    ("be|ginnen", "gin", "gon", "gonnen", "gonnen"),
+    ("winnen", "win", "won", "wonnen", "gewonnen"),
+    ("ver|zinnen", "zin", "zon", "zonnen", "zonnen"),
+    ("zwemmen", "zwem", "zwom", "zwommen", "gezwommen"),
+    ("binden", "bind", "bond", "bonden", "gebonden"),
+    ("ver|binden", "bind", "bond", "bonden", "bonden"),
+    ("vinden", "vind", "vond", "vonden", "gevonden"),
+    ("drinken", "drink", "dronk", "dronken", "gedronken"),
+    ("zingen", "zing", "zong", "zongen", "gezongen"),
+    ("springen", "spring", "sprong", "sprongen", "gesprongen"),
+    ("klinken", "klink", "klonk", "klonken", "geklonken"),
+    ("dwingen", "dwing", "dwong", "dwongen", "gedwongen"),
+    ("trekken", "trek", "trok", "trokken", "getrokken"),
+    ("ver|trekken", "trek", "trok", "trokken", "trokken"),
+    ("be|trekken", "trek", "trok", "trokken", "trokken"),
+    ("zoeken", "zoek", "zocht", "zochten", "gezocht"),
+    ("be|zoeken", "zoek", "zocht", "zochten", "zocht"),
+    ("onderzoeken", "onderzoek", "onderzocht", "onderzochten", "onderzocht"),
+    ("kopen", "koop", "kocht", "kochten", "gekocht"),
+    ("ver|kopen", "koop", "kocht", "kochten", "kocht"),
+    ("brengen", "breng", "bracht", "brachten", "gebracht"),
+    ("denken", "denk", "dacht", "dachten", "gedacht"),
+    ("zeggen", "zeg", "zei", "zeiden", "gezegd"),
+    ("liggen", "lig", "lag", "lagen", "gelegen"),
+    ("zitten", "zit", "zat", "zaten", "gezeten"),
+    ("kijken", "kijk", "keek", "keken", "gekeken"),
+    ("blijven", "blijf", "bleef", "bleven", "gebleven"),
+    ("schrijven", "schrijf", "schreef", "schreven", "geschreven"),
+    ("be|schrijven", "schrijf", "schreef", "schreven", "schreven"),
+    ("rijden", "rijd", "reed", "reden", "gereden"),
+    ("snijden", "snijd", "sneed", "sneden", "gesneden"),
+    ("lijden", "lijd", "leed", "leden", "geleden"),
+    ("over|lijden", "lijd", "leed", "leden", "leden"),
+    ("bieden", "bied", "bood", "boden", "geboden"),
+    ("ver|bieden", "bied", "bood", "boden", "boden"),
+    ("gieten", "giet", "goot", "goten", "gegoten"),
+    ("ge|nieten", "niet", "noot", "noten", "noten"),
+    ("schieten", "schiet", "schoot", "schoten", "geschoten"),
+    ("ver|liezen", "lies", "loor", "loren", "loren"),
+    ("kiezen", "kies", "koos", "kozen", "gekozen"),
+    ("ver|kiezen", "kies", "koos", "kozen", "kozen"),
+    ("vriezen", "vries", "vroor", "vroren", "gevroren"),
+    ("sluiten", "sluit", "sloot", "sloten", "gesloten"),
+    ("be|sluiten", "sluit", "sloot", "sloten", "sloten"),
+    ("buigen", "buig", "boog", "bogen", "gebogen"),
+    ("vliegen", "vlieg", "vloog", "vlogen", "gevlogen"),
+    ("duiken", "duik", "dook", "doken", "gedoken"),
+    ("ruiken", "ruik", "rook", "roken", "geroken"),
+    ("fluiten", "fluit", "floot", "floten", "gefloten"),
+    ("schuiven", "schuif", "schoof", "schoven", "geschoven"),
+    ("blazen", "blaas", "blies", "bliezen", "geblazen"),
+    ("lachen", "lach", "lachte", "lachten", "gelachen"),
+    ("wassen", "was", "waste", "wasten", "gewassen"),
+    ("vechten", "vecht", "vocht", "vochten", "gevochten"),
+    ("smelten", "smelt", "smolt", "smolten", "gesmolten"),
+    ("schelden", "scheld", "schold", "scholden", "gescholden"),
+    ("treffen", "tref", "trof", "troffen", "getroffen"),
+    ("heffen", "hef", "hief", "hieven", "geheven"),
+    ("scheppen", "schep", "schiep", "schiepen", "geschapen"),
+    ("zenden", "zend", "zond", "zonden", "gezonden"),
+    ("schenken", "schenk", "schonk", "schonken", "geschonken"),
+    ("gelden", "geld", "gold", "golden", "gegolden"),
+    ("ver|gelden", "geld", "gold", "golden", "golden"),
+    ("ver|staan", "sta", "staat", "stond", "stonden", "staan"),
+    ("be|staan", "sta", "staat", "stond", "stonden", "staan"),
+    ("ont|staan", "sta", "staat", "stond", "stonden", "staan"),
+    ("be|grijpen", "grijp", "greep", "grepen", "grepen"),
+    ("grijpen", "grijp", "greep", "grepen", "gegrepen"),
+    ("ver|dwijnen", "dwijn", "dween", "dwenen", "dwenen"),
+    ("ver|schijnen", "schijn", "scheen", "schenen", "schenen"),
+    ("schijnen", "schijn", "scheen", "schenen", "geschenen"),
+    ("ver|gelijken", "gelijk", "geleek", "geleken", "geleken"),
+    ("lijken", "lijk", "leek", "leken", "geleken"),
+    ("be|wijzen", "wijs", "wees", "wezen", "wezen"),
+    ("ver|wijzen", "wijs", "wees", "wezen", "wezen"),
+    ("wijzen", "wijs", "wees", "wezen", "gewezen"),
+    ("krijgen", "krijg", "kreeg", "kregen", "gekregen"),
+    ("stijgen", "stijg", "steeg", "stegen", "gestegen"),
+    ("zwijgen", "zwijg", "zweeg", "zwegen", "gezwegen"),
+    ("wegen", "weeg", "woog", "wogen", "gewogen"),
+    ("be|wegen", "weeg", "woog", "wogen", "wogen"),
+    ("ver|geven", "geef", "gaf", "gaven", "geven"),
+    ("bakken", "bak", "bakte", "bakten", "gebakken"),
+    ("raden", "raad", "raadde", "raadden", "geraden"),
+    ("ver|raden", "raad", "raadde", "raadden", "raden"),
+    ("laden", "laad", "laadde", "laadden", "geladen"),
+    ("be|vatten", "vat", "vatte", "vatten", "vat"),
+    ("be|derven", "derf", "dierf", "dierven", "dorven"),
+    ("strijden", "strijd", "streed", "streden", "gestreden"),
+    ("be|strijden", "strijd", "streed", "streden", "streden"),
+    ("be|zwijken", "zwijk", "zweek", "zweken", "zweken"),
+]
+
+# -- regular ('weak') verbs: marked infinitives; (inf, stem) pairs for
+# the -eren loans whose long 'ee' the spelling rules cannot see ----------
+REGULAR_VERBS: list = [
+    "werken", "maken", "bouwen", "spelen", "leren", "horen", "voelen",
+    "wonen", "leven", "ge|loven", "be|loven", "be|talen", "halen",
+    "sturen", "huren", "duren", "starten", "sporten", "koken", "delen",
+    "ver|delen", "draaien", "gooien", "groeien", "bloeien", "waaien",
+    "zaaien", "naaien", "trouwen", "kennen", "her|kennen", "ont|kennen",
+    "rennen", "tellen", "ver|tellen", "her|stellen", "be|stellen",
+    "stellen", "voor|stellen", "bellen", "op|bellen", "vullen",
+    "in|vullen", "zetten", "ver|zetten", "be|zetten", "wedden",
+    "redden", "pakken", "plakken", "tikken", "zakken", "lekken",
+    "dekken", "ont|dekken", "be|dekken", "stoppen", "kloppen",
+    "stappen", "klappen", "knippen", "missen", "wissen", "passen",
+    "aan|passen", "kussen", "blussen", "persen", "fietsen", "flitsen",
+    "bukken", "drukken", "plukken", "danken", "be|danken", "tanken",
+    "planten", "landen", "branden", "ver|branden", "stranden",
+    "eindigen", "be|eindigen", "ver|dedigen", "be|vestigen", "vestigen",
+    "ont|wikkelen", "twijfelen", "wandelen", "be|handelen", "handelen",
+    "onder|handelen", "ver|zamelen", "be|wonderen", "ver|wonderen",
+    "ver|anderen", "ver|beteren", "luisteren", "fluisteren",
+    "ver|gaderen", "naderen", "be|naderen", "antwoorden",
+    "be|antwoorden", "ver|huizen", "reizen", "prijzen", "be|reiken",
+    "reinigen", "be|schadigen", "beschuldigen", "ver|ontschuldigen",
+    "ver|enigen", "ver|zorgen", "zorgen", "be|zorgen", "volgen",
+    "ver|volgen", "merken", "op|merken", "be|merken", "sterken",
+    "ver|sterken", "ver|werken", "be|werken", "be|leven", "leggen",
+    "ver|leggen", "neer|leggen", "uit|leggen", "zeilen", "mailen",
+    "bergen", "ver|bergen", "melden", "aan|melden", "ver|melden",
+    "be|lasten", "ont|lasten", "testen", "rusten", "be|rusten",
+    "oogsten", "troosten", "kosten", "verven", "erven", "durven",
+    "proeven", "be|proeven", "toetsen", "schaatsen", "plaatsen",
+    "ver|plaatsen", "be|palen", "dalen", "spoelen", "be|doelen",
+    "doelen", "koelen", "ver|moeden", "voeden", "op|voeden", "bloeden",
+    "hoeden", "ver|goeden", "groeten", "be|groeten", "ont|moeten",
+    "kleuren", "ver|kleuren", "be|sturen", "ver|sturen", "keuren",
+    "af|keuren", "goed|keuren", "scheuren", "ver|scheuren", "treuren",
+    "be|treuren", "ge|beuren", "ver|oorzaken", "ver|talen",
+    "ver|nieuwen", "ver|bouwen", "be|bouwen", "op|bouwen",
+    "ver|trouwen", "be|schouwen", "ver|warmen", "be|schermen",
+    "ver|armen", "waarschuwen", "schuwen", "duwen", "stuwen",
+    "be|weren", "be|heren", "ver|teren", "keren", "om|keren",
+    "ver|kleinen", "ver|fijnen", "be|zuinigen", "ver|ruimen", "ruimen",
+    "op|ruimen", "be|dreigen", "dreigen", "be|grenzen", "grenzen",
+    "be|horen", "ver|horen", "ver|storen", "storen", "be|sparen",
+    "sparen", "ver|klaren", "be|waren", "be|toveren", "toveren",
+    "be|leveren", "leveren", "af|leveren", "oefenen", "be|oefenen",
+    "openen", "her|openen", "tekenen", "onder|tekenen", "be|tekenen",
+    "rekenen", "be|rekenen", "uit|rekenen", "ademen", "be|wapenen",
+    "wapenen", "ont|wapenen", "be|lonen", "wenen", "ver|dienen",
+    "dienen", "be|dienen", "menen", "ver|lenen", "lenen", "be|noemen",
+    "noemen", "roemen", "ruilen", "ver|ruilen", "leiden", "be|leiden",
+    "ver|leiden", "be|geleiden", "wijden", "be|vrijden", "ver|blijden",
+    "ver|mijden", "be|landen", "ver|kondigen", "ver|vreemden",
+    "praten", "be|praten", "wachten", "ver|wachten", "richten",
+    "be|richten", "op|richten", "stichten", "vluchten", "zuchten",
+    "letten", "op|letten", "stemmen", "be|stemmen", "remmen", "kammen",
+    "dromen", "stromen", "vormen", "her|vormen", "ver|vormen",
+    "steunen", "onder|steunen", "leunen", "tonen", "ver|tonen",
+    "aan|tonen", "be|wonen", "smeren", "regelen", "schakelen",
+    "worstelen", "haasten", "kuchen", "lunchen", "douchen", "zweven",
+    "beven", "kreunen", "dreunen", "staken", "zweten", "rammelen",
+    "mompelen", "stamelen", "struikelen",
+    ("studeren", "studeer"), ("publiceren", "publiceer"),
+    ("organiseren", "organiseer"), ("adviseren", "adviseer"),
+    ("regeren", "regeer"), ("proberen", "probeer"),
+    ("noteren", "noteer"), ("citeren", "citeer"),
+    ("presenteren", "presenteer"), ("accepteren", "accepteer"),
+    ("protesteren", "protesteer"), ("investeren", "investeer"),
+    ("reserveren", "reserveer"), ("serveren", "serveer"),
+    ("reageren", "reageer"), ("informeren", "informeer"),
+    ("feliciteren", "feliciteer"), ("repareren", "repareer"),
+    ("trakteren", "trakteer"), ("controleren", "controleer"),
+    ("telefoneren", "telefoneer"), ("produceren", "produceer"),
+    ("introduceren", "introduceer"), ("reduceren", "reduceer"),
+    ("isoleren", "isoleer"), ("demonstreren", "demonstreer"),
+    ("registreren", "registreer"), ("concentreren", "concentreer"),
+    ("exporteren", "exporteer"), ("importeren", "importeer"),
+    ("transporteren", "transporteer"), ("garanderen", "garandeer"),
+    ("irriteren", "irriteer"), ("annuleren", "annuleer"),
+    ("stimuleren", "stimuleer"), ("formuleren", "formuleer"),
+    ("combineren", "combineer"), ("negeren", "negeer"),
+    ("fotograferen", "fotografeer"), ("emigreren", "emigreer"),
+    ("integreren", "integreer"), ("opereren", "opereer"),
+    ("functioneren", "functioneer"), ("analyseren", "analyseer"),
+    ("concurreren", "concurreer"), ("financieren", "financier"),
+    ("realiseren", "realiseer"), ("verifiëren", "verifieer"),
+]
+
+# -- nouns: (marked_sg, plural_surface, gender) ---------------------------
+NOUNS: list[tuple[str, str | None, str]] = [
+    ("man", "mannen", "de"), ("vrouw", "vrouwen", "de"),
+    ("kind", "kinderen", "het"), ("jongen", "jongens", "de"),
+    ("meis|je", "meisjes", "het"), ("mens", "mensen", "de"),
+    ("dag", "dagen", "de"), ("week", "weken", "de"),
+    ("maand", "maanden", "de"), ("jaar", "jaren", "het"),
+    ("uur", "uren", "het"), ("minuut", "minuten", "de"),
+    ("tijd", "tijden", "de"), ("stad", "steden", "de"),
+    ("land", "landen", "het"), ("huis", "huizen", "het"),
+    ("zieken|huis", "ziekenhuizen", "het"),
+    ("raad|huis", "raadhuizen", "het"), ("stad|huis", "stadhuizen", "het"),
+    ("deur", "deuren", "de"), ("raam", "ramen", "het"),
+    ("kamer", "kamers", "de"), ("slaap|kamer", "slaapkamers", "de"),
+    ("boek", "boeken", "het"), ("woord", "woorden", "het"),
+    ("zin", "zinnen", "de"), ("naam", "namen", "de"),
+    ("vader", "vaders", "de"), ("moeder", "moeders", "de"),
+    ("broer", "broers", "de"), ("zus", "zussen", "de"),
+    ("vriend", "vrienden", "de"), ("vriendin", "vriendinnen", "de"),
+    ("buur|vrouw", "buurvrouwen", "de"), ("collega", "collega's", "de"),
+    ("water", "wateren", "het"), ("vuur", "vuren", "het"),
+    ("lucht", "luchten", "de"), ("grond", "gronden", "de"),
+    ("zee", "zeeën", "de"), ("berg", "bergen", "de"),
+    ("bos", "bossen", "het"), ("boom", "bomen", "de"),
+    ("bloem", "bloemen", "de"), ("plant", "planten", "de"),
+    ("dier", "dieren", "het"), ("hond", "honden", "de"),
+    ("kat", "katten", "de"), ("paard", "paarden", "het"),
+    ("vogel", "vogels", "de"), ("vis", "vissen", "de"),
+    ("auto", "auto's", "de"), ("fiets", "fietsen", "de"),
+    ("bus", "bussen", "de"), ("boot", "boten", "de"),
+    ("vlieg|tuig", "vliegtuigen", "het"), ("station", "stations", "het"),
+    ("brug", "bruggen", "de"), ("plein", "pleinen", "het"),
+    ("winkel", "winkels", "de"), ("bakkerij", "bakkerijen", "de"),
+    ("be|drijf", "bedrijven", "het"), ("kantoor", "kantoren", "het"),
+    ("werk", "werken", "het"), ("net|werk", "netwerken", "het"),
+    ("baan", "banen", "de"), ("be|roep", "beroepen", "het"),
+    ("loon", "lonen", "het"), ("geld", None, "het"),
+    ("koers", "koersen", "de"), ("winst", "winsten", "de"),
+    ("ver|lies", "verliezen", "het"), ("kost", "kosten", "de"),
+    ("be|lasting", "belastingen", "de"),
+    ("be|groting", "begrotingen", "de"),
+    ("ver|kiezing", "verkiezingen", "de"),
+    ("regering", "regeringen", "de"), ("minister", "ministers", "de"),
+    ("burgemeester", "burgemeesters", "de"),
+    ("wethouder", "wethouders", "de"),
+    ("ambtenaar", "ambtenaren", "de"), ("burger", "burgers", "de"),
+    ("kiezer", "kiezers", "de"), ("partij", "partijen", "de"),
+    ("be|leid", None, "het"), ("be|sluit", "besluiten", "het"),
+    ("be|stuur", "besturen", "het"), ("raad", "raden", "de"),
+    ("debat", "debatten", "het"), ("ver|drag", "verdragen", "het"),
+    ("over|leg", None, "het"), ("onder|zoek", "onderzoeken", "het"),
+    ("onderzoek|er", "onderzoekers", "de"),
+    ("weten|schap", "wetenschappen", "de"), ("leerling", "leerlingen", "de"),
+    ("student", "studenten", "de"), ("docent", "docenten", "de"),
+    ("les", "lessen", "de"), ("examen", "examens", "het"),
+    ("vak", "vakken", "het"), ("universiteit", "universiteiten", "de"),
+    ("ziek|te", "ziektes", "de"), ("dokter", "dokters", "de"),
+    ("arts", "artsen", "de"), ("patiënt", "patiënten", "de"),
+    ("verpleg|er", "verplegers", "de"), ("medicijn", "medicijnen", "het"),
+    ("zorg", "zorgen", "de"), ("train|er", "trainers", "de"),
+    ("ploeg", "ploegen", "de"), ("wedstrijd", "wedstrijden", "de"),
+    ("doel|punt", "doelpunten", "het"), ("seizoen", "seizoenen", "het"),
+    ("zang|er", "zangers", "de"), ("muziek", None, "de"),
+    ("lied", "liederen", "het"), ("film", "films", "de"),
+    ("krant", "kranten", "de"), ("be|richt", "berichten", "het"),
+    ("nieuws", None, "het"), ("foto", "foto's", "de"),
+    ("beeld", "beelden", "het"), ("schrijver", "schrijvers", "de"),
+    ("lezer", "lezers", "de"), ("kunst", "kunsten", "de"),
+    ("museum", "musea", "het"), ("jongere", "jongeren", "de"),
+    ("oudere", "ouderen", "de"), ("volwassene", "volwassenen", "de"),
+    ("probleem", "problemen", "het"), ("op|lossing", "oplossingen", "de"),
+    ("antwoord", "antwoorden", "het"), ("ge|sprek", "gesprekken", "het"),
+    ("af|spraak", "afspraken", "de"), ("doel", "doelen", "het"),
+    ("reden", "redenen", "de"), ("ge|volg", "gevolgen", "het"),
+    ("be|gin", None, "het"), ("einde", "eindes", "het"),
+    ("deel", "delen", "het"), ("stuk", "stukken", "het"),
+    ("kant", "kanten", "de"), ("punt", "punten", "het"),
+    ("groep", "groepen", "de"), ("lid", "leden", "het"),
+    ("ver|eniging", "verenigingen", "de"),
+    ("organisatie", "organisaties", "de"),
+    ("dienst", "diensten", "de"), ("macht", "machten", "de"),
+    ("kracht", "krachten", "de"), ("recht", "rechten", "het"),
+    ("recht|er", "rechters", "de"), ("advocaat", "advocaten", "de"),
+    ("straf", "straffen", "de"), ("politie", None, "de"),
+    ("leger", "legers", "het"), ("oorlog", "oorlogen", "de"),
+    ("vrede", None, "de"), ("dood", None, "de"),
+    ("leven", "levens", "het"), ("licht", "lichten", "het"),
+    ("kleur", "kleuren", "de"), ("vorm", "vormen", "de"),
+    ("maat", "maten", "de"), ("ge|wicht", "gewichten", "het"),
+    ("leng|te", "lengtes", "de"), ("hoog|te", "hoogtes", "de"),
+    ("breed|te", "breedtes", "de"), ("snel|heid", "snelheden", "de"),
+    ("waar|heid", "waarheden", "de"),
+    ("mogelijk|heid", "mogelijkheden", "de"),
+    ("moeilijk|heid", "moeilijkheden", "de"),
+    ("vrij|heid", "vrijheden", "de"), ("ge|zondheid", None, "de"),
+    ("ge|schiedenis", "geschiedenissen", "de"), ("toekomst", None, "de"),
+    ("ver|leden", None, "het"), ("ochtend", "ochtenden", "de"),
+    ("middag", "middagen", "de"), ("avond", "avonden", "de"),
+    ("nacht", "nachten", "de"), ("zomer", "zomers", "de"),
+    ("winter", "winters", "de"), ("lente", "lentes", "de"),
+    ("herfst", None, "de"), ("voor|jaar", None, "het"),
+    ("na|jaar", None, "het"), ("weer", None, "het"),
+    ("regen", None, "de"), ("sneeuw", None, "de"),
+    ("wind", "winden", "de"), ("storm", "stormen", "de"),
+    ("zon", None, "de"), ("maan", "manen", "de"),
+    ("ster", "sterren", "de"), ("tafel", "tafels", "de"),
+    ("stoel", "stoelen", "de"), ("kast", "kasten", "de"),
+    ("bed", "bedden", "het"), ("lamp", "lampen", "de"),
+    ("telefoon", "telefoons", "de"), ("brood", "broden", "het"),
+    ("kaas", "kazen", "de"), ("melk", None, "de"),
+    ("koffie", None, "de"), ("thee", None, "de"),
+    ("bier", "bieren", "het"), ("wijn", "wijnen", "de"),
+    ("glas", "glazen", "het"), ("fles", "flessen", "de"),
+    ("bord", "borden", "het"), ("mes", "messen", "het"),
+    ("lepel", "lepels", "de"), ("vork", "vorken", "de"),
+    ("maal|tijd", "maaltijden", "de"), ("ont|bijt", None, "het"),
+    ("kaart", "kaarten", "de"), ("kaart|je", "kaartjes", "het"),
+    ("brief|je", "briefjes", "het"), ("huis|je", "huisjes", "het"),
+    ("economie", "economieën", "de"), ("gemeente", "gemeentes", "de"),
+    ("wereld", "werelden", "de"), ("concert", "concerten", "het"),
+    ("salaris", "salarissen", "het"), ("crisis", "crises", "de"),
+    ("band", "bands", "de"), ("hotel", "hotels", "het"),
+    ("restaurant", "restaurants", "het"), ("centrum", "centra", "het"),
+    ("regio", "regio's", "de"), ("project", "projecten", "het"),
+    ("budget", "budgetten", "het"), ("rapport", "rapporten", "het"),
+    ("commissie", "commissies", "de"), ("directeur", "directeuren", "de"),
+    ("voor|zitter", "voorzitters", "de"), ("be|drag", "bedragen", "het"),
+    ("periode", "periodes", "de"), ("kwartaal", "kwartalen", "het"),
+    ("procent", "procenten", "het"), ("euro", "euro's", "de"),
+    ("maandag", None, "de"), ("dinsdag", None, "de"),
+    ("woensdag", None, "de"), ("donderdag", None, "de"),
+    ("vrijdag", None, "de"), ("zaterdag", None, "de"),
+    ("zondag", None, "de"), ("zaak", "zaken", "de"),
+    ("ge|bied", "gebieden", "het"), ("ge|bouw", "gebouwen", "het"),
+    ("ministerie", "ministeries", "het"), ("provincie", "provincies", "de"),
+    ("be|volking", None, "de"), ("maatschappij", "maatschappijen", "de"),
+    ("techniek", "technieken", "de"), ("computer", "computers", "de"),
+    ("internet", None, "het"), ("website", "websites", "de"),
+    ("toernooi", "toernooien", "het"), ("kampioen", "kampioenen", "de"),
+    ("publiek", None, "het"), ("festival", "festivals", "het"),
+    ("orkest", "orkesten", "het"), ("toneel", None, "het"),
+    ("ge|dicht", "gedichten", "het"), ("roman", "romans", "de"),
+    ("temperatuur", "temperaturen", "de"), ("graad", "graden", "de"),
+    ("meter", "meters", "de"), ("kilometer", "kilometers", "de"),
+]
+
+# -- adverbs (invariant, BW()) --------------------------------------------
+ADVERBS: list[str] = [
+    "vandaag", "morgen", "gisteren", "vanavond", "vanmorgen",
+    "vanmiddag", "vanochtend", "vannacht", "straks", "binnenkort",
+    "onlangs", "meteen", "misschien", "natuurlijk", "inderdaad",
+    "bovendien", "trouwens", "namelijk", "echter", "daarom", "daarna",
+    "daarvoor", "bijna", "ongeveer", "vooral", "samen", "alleen",
+    "opnieuw", "eindelijk", "plotseling", "langzaamaan", "nauwelijks",
+    "meestal", "intussen", "inmiddels", "tenminste", "overal",
+    "nergens", "ergens", "buiten", "binnen", "thuis", "terug",
+]
+
+# -- adjectives: marked base forms ----------------------------------------
+ADJECTIVES: list[str] = [
+    "groot", "klein", "goed", "slecht", "nieuw", "oud", "jong", "lang",
+    "kort", "hoog", "laag", "breed", "smal", "diep", "dik", "dun",
+    "zwaar", "licht", "snel", "langzaam", "vroeg", "laat", "warm",
+    "koud", "heet", "koel", "nat", "droog", "schoon", "vuil", "mooi",
+    "lelijk", "leuk", "fijn", "prettig", "blij", "boos", "bang",
+    "ziek", "gezond", "sterk", "zwak", "hard", "zacht", "arm",
+    "rijk", "duur", "goedkoop", "vol", "leeg", "open", "dicht", "vrij",
+    "druk", "stil", "rustig", "luid", "helder", "donker", "wit",
+    "zwart", "rood", "blauw", "groen", "geel", "grijs", "bruin",
+    "eerlijk", "moeilijk", "makkelijk", "ge|makkelijk", "mogelijk",
+    "waarschijnlijk", "duidelijk", "eigenlijk", "vriendelijk",
+    "gevaarlijk", "heerlijk", "vrolijk", "dagelijks", "be|langrijk",
+    "be|kend", "be|roemd", "be|leefd", "spannend", "boeiend",
+    "interessant", "modern", "ouderwets", "heel", "half", "echt",
+    "vals", "waar", "zeker", "on|zeker", "veilig", "on|veilig",
+    "ge|lukkig", "on|gelukkig", "tevreden", "trots", "jaloers",
+    "verdrietig", "somber", "ernstig", "grappig", "gek", "wijs", "dom",
+    "slim", "knap", "handig", "nuttig", "nodig", "klaar", "vers",
+    "zoet", "zuur", "bitter", "zout", "lekker", "vies", "scherp",
+    "glad", "ruw", "steil", "vlak", "rond", "recht", "krom", "los",
+    "vast", "strak", "ruim", "eng", "wild", "tam", "trouw", "eenzaam",
+    "ge|zellig", "actief", "passief", "positief", "negatief",
+    "officieel", "speciaal", "normaal", "centraal", "lokaal",
+    "nationaal", "internationaal", "sociaal", "digitaal", "ideaal",
+    "totaal", "royaal", "brutaal",
+]
+
+
+@lru_cache(maxsize=1)
+def _all_rows() -> tuple:
+    rows: list[tuple[str, str, str, str]] = []
+    for entry in IRREGULAR_VERBS:
+        rows.extend(verb_forms(entry))
+    for entry in REGULAR_VERBS:
+        rows.extend(verb_forms(entry))
+    for sg, pl, gender in NOUNS:
+        rows.extend(noun_forms(sg, pl, gender))
+    for entry in ADJECTIVES:
+        rows.extend(adj_forms(entry))
+    for w in ADVERBS:
+        rows.append((w, "BW()", w, f"[{w}]"))
+    # dedup exact duplicates (a word list may repeat an entry)
+    seen = set()
+    out = []
+    for r in rows:
+        if r not in seen:
+            seen.add(r)
+            out.append(r)
+    return tuple(out)
+
+
+def inflection_rows() -> list[tuple[str, str, str]]:
+    """(word, cgn_tag, lemma) triples — the e-Lex shape MBLEM trains on
+    (/root/reference/docs/source/advanced.rst:121-136)."""
+    return [(w, t, lem) for w, t, lem, _m in _all_rows()]
+
+
+def inflection_morph_rows() -> list[tuple[str, str, str]]:
+    """(word, cgn_tag, morph) triples — the CELEX shape MBMA trains on
+    (/root/reference/docs/source/advanced.rst:182-191); one row per
+    surface (MBMA keys on the word alone)."""
+    best: dict[str, tuple[str, str]] = {}
+    order: list[str] = []
+    for w, t, _lem, m in _all_rows():
+        if w not in best:
+            best[w] = (t, m)
+            order.append(w)
+        elif best[w][0].startswith("WW(pv,verl,mv") and t.startswith("WW(vd"):
+            # a surface that is both a strong past plural and a
+            # participle (verloren, vergeten): the participle reading
+            # dominates in text, so its segmentation wins
+            best[w] = (t, m)
+    return [(w, *best[w]) for w in order]
+
+
+def inflection_lexicon_df(spark):
+    """The same lexicon as a (word, tag, lemma, morph) DataFrame for the
+    distributed trainers (models.distributed.train_mblem_distributed /
+    train_mbma_distributed)."""
+    return spark.createDataFrame(
+        list(_all_rows()), schema="word string, tag string, lemma string, morph string"
+    )

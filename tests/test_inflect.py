@@ -1,0 +1,142 @@
+"""Tests for the systematic Dutch inflection lexicon (sources/inflect.py).
+
+The spelling rules are the load-bearing part: each class of Dutch
+orthographic alternation (undoubling, open-syllable lengthening, f/v-s/z
+devoicing, 't kofschip, ge-participles, separable particles) gets a
+round-trip check, plus structural invariants over the whole generated
+lexicon.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from frog_spark.sources.inflect import (
+    adj_forms,
+    inflection_morph_rows,
+    inflection_rows,
+    noun_forms,
+    verb_forms,
+    verb_stem,
+)
+
+
+@pytest.mark.parametrize(
+    "inf,stem",
+    [
+        ("werken", "werk"),      # plain
+        ("zwemmen", "zwem"),     # undouble
+        ("bestellen", "bestel"),
+        ("spelen", "speel"),     # open-syllable lengthening
+        ("maken", "maak"),
+        ("lopen", "loop"),
+        ("wandelen", "wandel"),  # unstressed -el: no lengthening
+        ("veranderen", "verander"),
+        ("tekenen", "teken"),
+        ("geloven", "geloof"),   # v -> f
+        ("verhuizen", "verhuis"),  # z -> s (long vowel, no lengthening)
+        ("blijven", "blijf"),    # ij counts as a long vowel group
+        ("duwen", "duw"),        # never double/lengthen before w
+        ("draaien", "draai"),
+    ],
+)
+def test_verb_stem_spelling_rules(inf, stem):
+    assert verb_stem(inf) == stem
+
+
+@pytest.mark.parametrize(
+    "entry,form,tag,lemma",
+    [
+        # weak past -de/-te by 't kofschip
+        ("werken", "werkte", "WW(pv,verl,ev)", "werken"),
+        ("spelen", "speelde", "WW(pv,verl,ev)", "spelen"),
+        ("ver|huizen", "verhuisde", "WW(pv,verl,ev)", "verhuizen"),
+        ("praten", "praatte", "WW(pv,verl,ev)", "praten"),
+        ("branden", "brandde", "WW(pv,verl,ev)", "branden"),
+        # participles: ge- except after unstressed prefixes;
+        # separable particles wrap the ge-
+        ("spelen", "gespeeld", "WW(vd,vrij,zonder)", "spelen"),
+        ("ver|beteren", "verbeterd", "WW(vd,vrij,zonder)", "verbeteren"),
+        ("aan|passen", "aangepast", "WW(vd,vrij,zonder)", "aanpassen"),
+        ("ont|wikkelen", "ontwikkeld", "WW(vd,vrij,zonder)", "ontwikkelen"),
+        # 3sg: +t, no double t
+        ("starten", "start", "WW(pv,tgw,met-t)", "starten"),
+        ("ont|wikkelen", "ontwikkelt", "WW(pv,tgw,met-t)", "ontwikkelen"),
+        (("studeren", "studeer"), "studeert", "WW(pv,tgw,met-t)", "studeren"),
+    ],
+)
+def test_verb_forms(entry, form, tag, lemma):
+    assert (form, tag, lemma) in {(w, t, le) for w, t, le, _ in verb_forms(entry)}
+
+
+def test_irregular_verbs_in_lexicon():
+    rows = set(inflection_rows())
+    for want in [
+        ("is", "WW(pv,tgw,ev)", "zijn"),
+        ("heeft", "WW(pv,tgw,met-t)", "hebben"),
+        ("kan", "WW(pv,tgw,ev)", "kunnen"),
+        ("staat", "WW(pv,tgw,met-t)", "staan"),
+        ("zagen", "WW(pv,verl,mv)", "zien"),
+        ("gewonnen", "WW(vd,vrij,zonder)", "winnen"),
+        ("verloren", "WW(vd,vrij,zonder)", "verliezen"),
+        ("vertrekt", "WW(pv,tgw,met-t)", "vertrekken"),
+    ]:
+        assert want in rows, want
+
+
+def test_noun_and_adj_forms():
+    rows = {(w, t, le) for w, t, le, _ in noun_forms("kind", "kinderen", "het")}
+    assert ("kinderen", "N(soort,mv,basis)", "kind") in rows
+    rows = {(w, t, le) for w, t, le, _ in noun_forms("kaart|je", "kaartjes", "het")}
+    assert ("kaartjes", "N(soort,mv,dim)", "kaartje") in rows
+    rows = {(w, t, le) for w, t, le, _ in adj_forms("groot")}
+    assert ("grote", "ADJ(prenom,basis,met-e,stan)", "groot") in rows
+    assert ("groter", "ADJ(vrij,comp,zonder)", "groot") in rows
+    assert ("grootst", "ADJ(vrij,sup,zonder)", "groot") in rows
+    rows = {(w, t, le) for w, t, le, _ in adj_forms("boos")}
+    assert ("boze", "ADJ(prenom,basis,met-e,stan)", "boos") in rows
+    rows = {(w, t, le) for w, t, le, _ in adj_forms("dik")}
+    assert ("dikke", "ADJ(prenom,basis,met-e,stan)", "dik") in rows
+
+
+def test_morph_segmentations_follow_gold_conventions():
+    morphs = {w: m for w, _t, m in inflection_morph_rows()}
+    for word, want in [
+        ("speelt", "[speel][t]"),
+        ("gespeeld", "[ge][speel][d]"),
+        ("ontwikkelt", "[ont][wikkel][t]"),
+        ("bespreken", "[be][sprek][en]"),
+        ("kinderen", "[kind][eren]"),
+        ("ziekenhuis", "[zieken][huis]"),
+        ("kaartjes", "[kaart][je][s]"),
+        ("snelheid", "[snel][heid]"),
+        ("verloren", "[ver][loren]"),  # vd reading wins over past-mv
+        ("zagen", "[zag][en]"),
+    ]:
+        assert morphs.get(word) == want, (word, morphs.get(word), want)
+
+
+def test_lexicon_structural_invariants():
+    rows = inflection_rows()
+    assert len(rows) > 4000
+    # concatenated morph segments reproduce the surface for weak verb
+    # forms and nouns/adjectives (strong pasts keep whole-form stems, so
+    # the invariant holds globally by construction)
+    import re
+
+    for w, _t, m in inflection_morph_rows():
+        joined = "".join(re.findall(r"\[([^]]*)\]", m))
+        assert joined == w, (w, m)
+    # every row's lemma is itself a surface somewhere for open classes
+    # (the infinitive / singular / base form rows exist)
+    surfaces = {r[0] for r in rows}
+    missing = {lem for _w, _t, lem in rows if lem not in surfaces}
+    assert not missing, sorted(missing)[:20]
+
+
+def test_lexicon_df_matches_rows(spark):
+    from frog_spark.sources.inflect import inflection_lexicon_df
+
+    df = inflection_lexicon_df(spark)
+    got = {(r["word"], r["tag"], r["lemma"]) for r in df.collect()}
+    assert got == set(inflection_rows())
