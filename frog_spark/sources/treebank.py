@@ -208,7 +208,14 @@ _PRONS = [
 _PREP_N = ["van", "voor", "achter", "naast", "tegen", "aan", "naar", "over"]  # PP -> noun
 _PREP_V = ["in", "op", "bij", "naar"]  # locative/directional PP -> verb
 _TW_CARDS = ["twee", "drie", "vier", "vijf"]
-_TW_RANGS = [("eerste", "eerste"), ("tweede", "tweede"), ("derde", "derde")]
+# ordinals: words AND digit forms ('de 3e verdieping', gold s27 —
+# without digit-ordinals in training, the pairs classifier walks to a
+# '__' node for the obj1 of any NP containing one, measured as the
+# round-4 internal-recall regression)
+_TW_RANGS = [
+    ("eerste", "eerste"), ("tweede", "tweede"), ("derde", "derde"),
+    ("2e", "2e"), ("3e", "3e"), ("4e", "4e"), ("5e", "5e"),
+]
 _V_SAY = [  # matrix verbs taking dat-clauses / quotes
     ("vertelt", "vertellen"), ("beweert", "beweren"), ("hoort", "horen"),
     ("vermoedt", "vermoeden"), ("antwoordt", "antwoorden"),
@@ -535,8 +542,13 @@ def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
             nu = s.tok(pl, N_MV, lemma, chunk="I-NP")
         s.dep(du, nu, "det")
         return nu, True
-    if shape < 7 and allow_num:
-        # ordinal: 'de derde brief' (TW rang -> mod, h22)
+    if shape < 10 and allow_num:
+        # ordinal: 'de derde brief' / 'de 3e verdieping' (TW rang ->
+        # mod, h22/s27); 10% rather than 7% so ordinal objects occur in
+        # every clause template often enough for the pairs tree to grow
+        # the corresponding head-context branches (the round-4 internal
+        # recall regression was a missing MWU-fronted + ordinal-object
+        # branch)
         du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
         rang, rlem = rng.choice(_TW_RANGS)
         ru = s.tok(rang, TW_RANG, rlem, chunk="I-NP")
@@ -1280,7 +1292,7 @@ _TEMPLATES: list[tuple] = [
     (_t_resultative, 3),
     (_t_app, 3),
     (_t_title, 4),
-    (_t_tenslotte, 2),
+    (_t_tenslotte, 3),
     (_t_svo_past, 5),
     (_t_passive_past, 3),
     (_t_relclause, 3),
