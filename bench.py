@@ -65,6 +65,12 @@ def main() -> None:
     # primes Python workers + the model broadcast first.
     n_turns = max(int(sf * 100_000), 2000)
     pipe = FrogPipeline.build()
+    # model-size telemetry (VERDICT r4 #4): the broadcast payload per
+    # executor — watch it round over round so model growth that would
+    # stress the scaling gate is visible in the bench artifact itself
+    import pickle
+
+    model_mb = round(len(pickle.dumps(pipe, protocol=4)) / 1e6, 2)
     warm = transcripts_df_distributed(spark, 2000, partitions=cpus, variants=True, seed=999)
     triples_from_transcripts(spark, warm, pipe, num_partitions=cpus).count()
     kg_sec = float("inf")
@@ -143,6 +149,7 @@ def main() -> None:
                 "n_triples": n_triples,
                 "turns_per_sec": round(turns_per_sec, 1),
                 "module_sec": module_sec,
+                "model_mb": model_mb,
                 "cpus": cpus,
             }
         )
