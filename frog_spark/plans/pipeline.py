@@ -121,6 +121,47 @@ def _detect_lang(words: list[str]) -> str:
     return "nl" if nl >= en else "en"
 
 
+def training_rows(
+    cfg: "PipelineConfig", syn: list
+) -> tuple[list, list, dict[str, list[str]] | None]:
+    """(lemma_rows, morph_rows, ext_tag_lexicon) for training MBLEM /
+    MBMA / the tagger's lexical-lookup fallback under ``cfg`` — the
+    single source of truth shared by the driver trainers in
+    FrogPipeline.build and callers that feed the SAME rows to the
+    distributed trainers (tests/test_train_distributed.py full-chain
+    parity)."""
+    lemma_rows = lemma_training(syn)
+    morph_rows = morph_training(syn)
+    ext_tag_lexicon: dict[str, list[str]] | None = None
+    if cfg.inflection_lexicon:
+        from frog_spark.sources.inflect import (
+            inflection_morph_rows,
+            inflection_rows,
+        )
+
+        # corpus-trained surfaces stay canonical (byte-identical
+        # goldens); the lexicon only adds never-trained words
+        trained = {w.lower() for w, _t, _l in lemma_rows}
+        lemma_rows = lemma_rows + [
+            r for r in inflection_rows() if r[0].lower() not in trained
+        ]
+        trained_m = {w.lower() for w, _t, _m in morph_rows}
+        morph_rows = morph_rows + [
+            r for r in inflection_morph_rows() if r[0].lower() not in trained_m
+        ]
+        # word -> possible-tags map for the tagger's lexical-lookup
+        # fallback (models/mbt.py ext_lexicon); corpus-trained words
+        # take precedence at tag time, so no exclusion is needed
+        ext_tag_lexicon = {}
+        for w, t, _l in inflection_rows():
+            tags = ext_tag_lexicon.setdefault(w, [])
+            if t not in tags:
+                tags.append(t)
+        for tags in ext_tag_lexicon.values():
+            tags.sort()
+    return lemma_rows, morph_rows, ext_tag_lexicon
+
+
 def _pdf(rows, columns):
     """pandas DataFrame that stays Arrow-convertible when EMPTY: a frame
     built from no rows defaults every column to float64, which Arrow
@@ -238,6 +279,7 @@ class FrogPipeline:
         mblem_lexicon=None,
         pos_corpus=None,
         dep_treebank=None,
+        mbma_lexicon=None,
     ) -> "FrogPipeline":
         """Model training/loading (run_api, FrogAPI.cxx:893-1050).
 
@@ -292,35 +334,7 @@ class FrogPipeline:
                 else cfg.ner_override_path
             )
             override = Gazetteer(load_gazetteer(p))
-        lemma_rows = lemma_training(syn)
-        morph_rows = morph_training(syn)
-        ext_tag_lexicon: dict[str, list[str]] | None = None
-        if cfg.inflection_lexicon:
-            from frog_spark.sources.inflect import (
-                inflection_morph_rows,
-                inflection_rows,
-            )
-
-            # corpus-trained surfaces stay canonical (byte-identical
-            # goldens); the lexicon only adds never-trained words
-            trained = {w.lower() for w, _t, _l in lemma_rows}
-            lemma_rows = lemma_rows + [
-                r for r in inflection_rows() if r[0].lower() not in trained
-            ]
-            trained_m = {w.lower() for w, _t, _m in morph_rows}
-            morph_rows = morph_rows + [
-                r for r in inflection_morph_rows() if r[0].lower() not in trained_m
-            ]
-            # word -> possible-tags map for the tagger's lexical-lookup
-            # fallback (models/mbt.py ext_lexicon); corpus-trained words
-            # take precedence at tag time, so no exclusion is needed
-            ext_tag_lexicon = {}
-            for w, t, _l in inflection_rows():
-                tags = ext_tag_lexicon.setdefault(w, [])
-                if t not in tags:
-                    tags.append(t)
-            for tags in ext_tag_lexicon.values():
-                tags.sort()
+        lemma_rows, morph_rows, ext_tag_lexicon = training_rows(cfg, syn)
         if mblem_lexicon is not None:
             from frog_spark.models.distributed import train_mblem_distributed
 
@@ -352,10 +366,16 @@ class FrogPipeline:
             )
         else:
             parser = DepParser.train(syn)
+        if mbma_lexicon is not None:
+            from frog_spark.models.distributed import train_mbma_distributed
+
+            mbma = train_mbma_distributed(mbma_lexicon.sparkSession, mbma_lexicon)
+        else:
+            mbma = Mbma.train(morph_rows)
         return cls(
             tagger=tagger,
             mblem=mblem,
-            mbma=Mbma.train(morph_rows),
+            mbma=mbma,
             ner=NerTagger.train(
                 syn,
                 gaz,

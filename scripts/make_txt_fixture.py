@@ -1,0 +1,88 @@
+"""Derive tests/fixtures/test_txt_slice.ok from the GOLD corpus.
+
+The fixture is the externally-anchored golden for
+tests/test_gold_parity.py::test_against_test_txt_slice_fixture: expected
+TABBED output for the sentences of /root/reference/tests/test.txt that
+the gold corpus transcribes verbatim.  It is derived from the
+hand-verified gold annotations plus the reference's merge rules
+(FrogData.cxx:142-183: member words/lemmas/morphs '_'-joined, member
+POS/NER/chunk tags '_'-joined) — NOT from pipeline output, so it anchors
+the pipeline to the hand-checked annotations rather than to itself.
+The model-dependent confidence column is written as the literal CONF
+(the diff test skips it).
+
+Run:  python scripts/make_txt_fixture.py          # rewrites the fixture
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from frog_spark.operators.mwu import resolve_mwus  # noqa: E402
+from frog_spark.sources.resources import load_gold_corpus, load_mwu_lexicon  # noqa: E402
+
+#: the test.txt slice: gold sentences transcribing reference sentences
+SIDS = ["s02", "s03", "s07", "s08", "s81", "s82", "s83", "s84", "s85", "s86", "s87"]
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "test_txt_slice.ok",
+)
+
+HEADER = """\
+# Reference-derived golden fixture (FIXTURES.md): expected TABBED
+# output for the sentences of /root/reference/tests/test.txt that
+# the gold corpus transcribes VERBATIM ({sids}).
+# Columns: idx word lemma morph pos conf ner chunk head rel —
+# the reference's tabbed format (FrogAPI.cxx:2254-2324) plus the
+# parser columns; conf is model-dependent and written as CONF
+# (the diff test skips it). Derived MECHANICALLY by
+# scripts/make_txt_fixture.py from the hand-verified gold_corpus.tsv
+# annotations + the FrogData.cxx merge() rules (MWU '_'-joins),
+# NOT from pipeline output.
+"""
+
+
+def main() -> None:
+    lexicon = load_mwu_lexicon()
+    by_id = {s.sent_id: s for s in load_gold_corpus()}
+    lines = [HEADER.format(sids=" ".join(SIDS))]
+    for sid in SIDS:
+        s = by_id[sid]
+        words = [t.word for t in s.tokens]
+        tags = [t.pos for t in s.tokens]
+        lemmas = [t.lemma for t in s.tokens]
+        units = resolve_mwus(words, tags, [1.0] * len(words), lemmas, lexicon)
+        lines.append(f"# sent {sid} {s.text}")
+        for u_idx, u in enumerate(units, start=1):
+            toks = s.tokens[u.start : u.end + 1]
+            if u.end > u.start:
+                word = "_".join(t.word for t in toks)
+                lemma = "_".join(t.lemma for t in toks)
+                morph = "_".join(t.morph for t in toks)
+                pos = "_".join(t.pos for t in toks)
+                ner = "_".join(t.ner for t in toks)
+                chunk = "_".join(t.chunk for t in toks)
+            else:
+                t = toks[0]
+                word, lemma, morph, pos, ner, chunk = (
+                    t.word, t.lemma, t.morph, t.pos, t.ner, t.chunk,
+                )
+            head, rel = s.deps.get(u_idx, ("", ""))
+            lines.append(
+                "\t".join(
+                    [str(u_idx), word, lemma, morph, pos, "CONF", ner, chunk,
+                     str(head), rel]
+                )
+            )
+        lines.append("")
+    with open(OUT, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {OUT}: {len(SIDS)} sentences")
+
+
+if __name__ == "__main__":
+    main()

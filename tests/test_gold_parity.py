@@ -278,14 +278,15 @@ def test_mblem_prefix_edit_class(pipeline):
 
 
 def test_against_test_txt_slice_fixture(spark, pipeline):
-    """Second reference-derived anchor (VERDICT r3 Next #5): the four
-    sentences of /root/reference/tests/test.txt that the gold corpus
-    transcribes VERBATIM, diffed as full TABBED-SINK output — raw text
-    in, tokenizer + sentence split + every module + MWU merge + parser
-    columns out. tests/fixtures/test_txt_slice.ok is derived from the
-    hand-verified gold annotations and the reference's merge rules,
-    not from pipeline output; the conf column is model-dependent and
-    skipped."""
+    """Reference-derived anchor (VERDICT r3 Next #5, widened to 11
+    sentences in round 5): the sentences of
+    /root/reference/tests/test.txt that the gold corpus transcribes
+    VERBATIM, diffed as full TABBED-SINK output — raw text in,
+    tokenizer + sentence split + every module + MWU merge + parser
+    columns out. tests/fixtures/test_txt_slice.ok is derived by
+    scripts/make_txt_fixture.py from the hand-verified gold
+    annotations and the reference's merge rules, not from pipeline
+    output; the conf column is model-dependent and skipped."""
     import os
 
     from frog_spark.plans.pipeline import annotate_transcripts
@@ -305,7 +306,7 @@ def test_against_test_txt_slice_fixture(spark, pipeline):
                 expected[sid] = []
             elif line and not line.startswith("#") and cur:
                 expected[cur].append(line.split("\t"))
-    assert len(expected) == 4
+    assert len(expected) == 11
 
     rows = [(sid, 0, "user", text, None, None) for sid, text in sent_texts.items()]
     tdf = spark.createDataFrame(
