@@ -363,7 +363,7 @@ def mbt_instances(sent_df: DataFrame, ambitag, unk_words=None) -> DataFrame:
         for b in batches:
             kinds, feats, cls = [], [], []
             for words, tags in zip(b["words"], b["tags"]):
-                prev_tag = BOUNDARY
+                prev_tag = prev2_tag = BOUNDARY
                 n = len(words)
                 for i in range(n):
                     word, tag = words[i], tags[i]
@@ -373,7 +373,7 @@ def mbt_instances(sent_df: DataFrame, ambitag, unk_words=None) -> DataFrame:
                         else BOUNDARY
                     )
                     kinds.append("known")
-                    feats.append([prev_tag, _word_key(word), next_ambi])
+                    feats.append([prev2_tag, prev_tag, _word_key(word), next_ambi])
                     cls.append(tag)
                     if (unk is None or _word_key(word) in unk) and any(
                         ch.isalnum() for ch in word
@@ -381,7 +381,7 @@ def mbt_instances(sent_df: DataFrame, ambitag, unk_words=None) -> DataFrame:
                         kinds.append("unk")
                         feats.append(_unknown_feats(prev_tag, word, next_ambi))
                         cls.append(tag)
-                    prev_tag = tag
+                    prev2_tag, prev_tag = prev_tag, tag
             yield pd.DataFrame(
                 {
                     "kind": pd.Series(kinds, dtype=object),
@@ -407,7 +407,7 @@ def train_mbt_distributed(
     (the inflection lexicon's word -> tags map) rides along unchanged;
     the tag-transition bigram the ambiguity tie-break needs is one more
     JVM-side aggregation over the same corpus."""
-    from frog_spark.models.mbt import BOUNDARY, UNKNOWN_ORDER, MBTagger, _word_key
+    from frog_spark.models.mbt import BOUNDARY, KNOWN_ORDER, UNKNOWN_ORDER, MBTagger, _word_key
 
     @F.pandas_udf("string")
     def word_key(w: pd.Series) -> pd.Series:
@@ -463,7 +463,7 @@ def train_mbt_distributed(
     # applyInPandas invocation per vocabulary entry, so hash the prefix
     # into coarse buckets (identical tree, bounded group count)
     known_tree = train_igtree_distributed(
-        known, feature_order=[1, 0, 2], prefix_depth=2,
+        known, feature_order=list(KNOWN_ORDER), prefix_depth=2,
         hash_bucket_groups=hash_bucket_groups, input_cached=True,
     )
     unknown_tree = train_igtree_distributed(

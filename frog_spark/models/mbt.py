@@ -7,7 +7,10 @@ published as Daelemans, Zavrel, Berck & Gillis 1996, "MBT: A Memory-Based
 Part of Speech Tagger-Generator").
 
 Two case bases (both IGTree):
-  * known words:   (prev_tag, word, next_ambitag) -> tag
+  * known words:   (prev2_tag, prev_tag, word, next_ambitag) -> tag —
+    MBT's 'ddfa' pattern (TWO left context tags; the second one is what
+    separates 'zou ... goed zijn' (infinitive) from 'de kosten hoog
+    zijn' (finite plural): the word/prev/next features are identical)
   * unknown words: (prev_tag, capitalized, has_digit, has_hyphen,
                     last3, last2, last1, next_ambitag) -> tag
 plus a lexicon word -> tag distribution (the ambitag source).
@@ -63,6 +66,11 @@ def _unknown_feats(prev_tag: str, word: str, next_ambi: str) -> list[str]:
 #: would otherwise never be read. Swept on the held-out corpus:
 #: 0.892 -> 0.911 from moving s1 ahead of next_ambi, at gold parity.
 UNKNOWN_ORDER = [0, 1, 6, 7, 5, 4, 2, 3]
+
+#: known-tree walk order over (prev2, prev, word, next_ambi): word
+#: identity first, the adjacent left tag, the right ambitag, and prev2
+#: only as the final tiebreaker (see train())
+KNOWN_ORDER = [2, 1, 3, 0]
 
 
 class MBTagger:
@@ -147,7 +155,7 @@ class MBTagger:
         unk_cls: list[str] = []
         bigram: dict[tuple[str, str], int] = {}
         for sent in sentences:
-            prev_tag = BOUNDARY
+            prev_tag = prev2_tag = BOUNDARY
             for i, (word, tag) in enumerate(sent):
                 bigram[(prev_tag, tag)] = bigram.get((prev_tag, tag), 0) + 1
                 wkey = _word_key(word)
@@ -156,17 +164,19 @@ class MBTagger:
                     if i + 1 < len(sent)
                     else BOUNDARY
                 )
-                known_inst.append([prev_tag, wkey, next_ambi])
+                known_inst.append([prev2_tag, prev_tag, wkey, next_ambi])
                 known_cls.append(tag)
                 # rare alphanumeric words only (see UNK_MAX_FREQ;
                 # punctuation is handled by token-class overrides)
                 if wkey in rare and any(ch.isalnum() for ch in word):
                     unk_inst.append(_unknown_feats(prev_tag, word, next_ambi))
                     unk_cls.append(tag)
-                prev_tag = tag
-        # fixed feature order: the focus word is the most informative
-        # feature for known words (matches MBT's d-f-a layout)
-        known_tree = IGTree.train(known_inst, known_cls, feature_order=[1, 0, 2])
+                prev2_tag, prev_tag = prev_tag, tag
+        # fixed feature order: word first (most informative), then the
+        # adjacent left tag and right ambitag; prev2 LAST so it is only
+        # consulted where the other three still leave ambiguity — the
+        # tree is unchanged everywhere the dfa features already decided
+        known_tree = IGTree.train(known_inst, known_cls, feature_order=KNOWN_ORDER)
         # capitalization first (separates SPEC-ish names), then suffixes
         # longest-first, then left context — MBT's 'p'/'s' feature layout
         unknown_tree = IGTree.train(unk_inst, unk_cls, feature_order=UNKNOWN_ORDER)
@@ -179,7 +189,7 @@ class MBTagger:
 
     def tag_sentence(self, words: Sequence[str]) -> list[tuple[str, float]]:
         out: list[tuple[str, float]] = []
-        prev_tag = BOUNDARY
+        prev_tag = prev2_tag = BOUNDARY
         n = len(words)
         for i, word in enumerate(words):
             wkey = _word_key(word)
@@ -194,10 +204,12 @@ class MBTagger:
                 else BOUNDARY
             )
             if wkey in self.lexicon:
-                tag, conf = self.known_tree.classify([prev_tag, wkey, next_ambi])
+                tag, conf = self.known_tree.classify(
+                    [prev2_tag, prev_tag, wkey, next_ambi]
+                )
             elif word.lower() in self.lexicon:
                 tag, conf = self.known_tree.classify(
-                    [prev_tag, word.lower(), next_ambi]
+                    [prev2_tag, prev_tag, word.lower(), next_ambi]
                 )
             else:
                 # a capitalized word MID-sentence is name evidence the
@@ -241,5 +253,5 @@ class MBTagger:
                         _unknown_feats(prev_tag, word, next_ambi)
                     )
             out.append((tag, conf))
-            prev_tag = tag
+            prev2_tag, prev_tag = prev_tag, tag
         return out
