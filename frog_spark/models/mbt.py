@@ -211,6 +211,19 @@ class MBTagger:
                 tag, conf = self.known_tree.classify(
                     [prev2_tag, prev_tag, word.lower(), next_ambi]
                 )
+            elif (
+                (cap := word[:1].upper() + word[1:]) != word
+                and cap in self.lexicon
+                and not all(t.startswith("SPEC") for t in self.lexicon[cap])
+            ):
+                # titles and sentence-initial-only training forms: the
+                # corpus stored 'Mevrouw', the text says 'mevrouw' — use
+                # the stored key so the word feature matches training.
+                # NAME-only entries are excluded: 'de bakker' (the
+                # profession) must not borrow 'Bakker' (the surname).
+                tag, conf = self.known_tree.classify(
+                    [prev2_tag, prev_tag, cap, next_ambi]
+                )
             else:
                 # a capitalized word MID-sentence is name evidence the
                 # lowercase lexicon must not override ('De Vries' vs the

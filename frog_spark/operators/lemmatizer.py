@@ -183,9 +183,13 @@ class Mblem:
         cls_str = self.memory.get(word) or self.memory.get(word.lower())
         if cls_str is None:
             cls_str, _conf = self.tree.classify(_instance(word.lower()))
+        # keep_case decodes on the original-case surface (the edits act
+        # on the lowercase tail either way); the default path lowercased
+        # ``word`` above, so behavior there is unchanged
+        decode_base = word if self.keep_case else word.lower()
         decoded: list[str] = []
         for cand in cls_str.split("|"):
-            applied = self._apply(word.lower(), cand)
+            applied = self._apply(decode_base, cand)
             if applied is None:
                 continue
             tag, lemma = applied

@@ -542,7 +542,12 @@ REGULAR_VERBS: list = [
     "aan|tonen", "be|wonen", "smeren", "regelen", "schakelen",
     "worstelen", "haasten", "kuchen", "lunchen", "douchen", "zweven",
     "beven", "kreunen", "dreunen", "staken", "zweten", "rammelen",
-    "mompelen", "stamelen", "struikelen",
+    "mompelen", "stamelen", "struikelen", "op|lossen", "lossen",
+    "ver|lossen", "juichen", "schoppen", "trappen", "af|ronden",
+    "be|oordelen", "ver|oordelen", "oordelen", "mikken", "plannen",
+    "klikken", "typen", "printen", "scannen", "filmen", "sporten",
+    "zagen", "boren", "timmeren", "schilderen", "be|schilderen",
+    "poetsen", "dweilen", "vegen",
     ("studeren", "studeer"), ("publiceren", "publiceer"),
     ("organiseren", "organiseer"), ("adviseren", "adviseer"),
     ("regeren", "regeer"), ("proberen", "probeer"),
@@ -567,6 +572,10 @@ REGULAR_VERBS: list = [
     ("functioneren", "functioneer"), ("analyseren", "analyseer"),
     ("concurreren", "concurreer"), ("financieren", "financier"),
     ("realiseren", "realiseer"), ("verifiëren", "verifieer"),
+    ("scoren", "scoor"), ("pauzeren", "pauzeer"), ("trainen", "train"),
+    ("blesseren", "blesseer"), ("signaleren", "signaleer"),
+    ("markeren", "markeer"), ("rapporteren", "rapporteer"),
+    ("solliciteren", "solliciteer"), ("debatteren", "debatteer"),
 ]
 
 # -- nouns: (marked_sg, plural_surface, gender) ---------------------------
@@ -713,6 +722,59 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("ge|dicht", "gedichten", "het"), ("roman", "romans", "de"),
     ("temperatuur", "temperaturen", "de"), ("graad", "graden", "de"),
     ("meter", "meters", "de"), ("kilometer", "kilometers", "de"),
+    ("pauze", "pauzes", "de"), ("rekening", "rekeningen", "de"),
+    ("voor|stelling", "voorstellingen", "de"),
+    ("uit|nodiging", "uitnodigingen", "de"),
+    ("ver|zameling", "verzamelingen", "de"),
+    ("ver|gunning", "vergunningen", "de"),
+    ("ver|bouwing", "verbouwingen", "de"),
+    ("op|leiding", "opleidingen", "de"),
+    ("aan|bieding", "aanbiedingen", "de"),
+    ("recensent", "recensenten", "de"), ("journalist", "journalisten", "de"),
+    ("fotograaf", "fotografen", "de"), ("muzikant", "muzikanten", "de"),
+    ("acteur", "acteurs", "de"), ("actrice", "actrices", "de"),
+    ("schrijf|ster", "schrijfsters", "de"),
+    ("verpleeg|ster", "verpleegsters", "de"),
+    ("lerares", "leraressen", "de"),
+    ("weekend", "weekends", "het"), ("vakantie", "vakanties", "de"),
+    ("feest", "feesten", "het"), ("cadeau", "cadeaus", "het"),
+    ("keuze", "keuzes", "de"), ("mening", "meningen", "de"),
+    ("ervaring", "ervaringen", "de"), ("herinnering", "herinneringen", "de"),
+    ("beslissing", "beslissingen", "de"), ("afstand", "afstanden", "de"),
+    ("richting", "richtingen", "de"), ("omgeving", "omgevingen", "de"),
+    ("buurt", "buurten", "de"), ("wijk", "wijken", "de"),
+    ("campus", "campussen", "de"), ("theater", "theaters", "het"),
+    ("bioscoop", "bioscopen", "de"), ("bibliotheek", "bibliotheken", "de"),
+    ("zwembad", "zwembaden", "het"), ("sporthal", "sporthallen", "de"),
+    ("stadion", "stadions", "het"), ("kerk", "kerken", "de"),
+    ("toren", "torens", "de"), ("kasteel", "kastelen", "het"),
+    ("subsidie", "subsidies", "de"), ("contract", "contracten", "het"),
+    ("aanvaller", "aanvallers", "de"), ("verdediger", "verdedigers", "de"),
+    ("keeper", "keepers", "de"), ("scheidsrechter", "scheidsrechters", "de"),
+    ("supporter", "supporters", "de"), ("boete", "boetes", "de"),
+    ("klacht", "klachten", "de"), ("ongeluk", "ongelukken", "het"),
+    ("brand", "branden", "de"), ("schade", None, "de"),
+    ("gevaar", "gevaren", "het"), ("risico", "risico's", "het"),
+    ("kans", "kansen", "de"), ("succes", "successen", "het"),
+    ("fout", "fouten", "de"), ("regel", "regels", "de"),
+    ("voorbeeld", "voorbeelden", "het"), ("uitleg", None, "de"),
+    ("les|geld", None, "het"), ("college|geld", "collegegelden", "het"),
+]
+
+# -- prepositions (VZ(init)) ----------------------------------------------
+# The round-5 probe's worst tagger failures were FUNCTION words outside
+# every lexicon ('wegens' -> N, 'Na' -> SPEC): unlike content words,
+# these are a small closed class, so enumerate it. Words that are also
+# adverbs/particles stay ambiguous via the ADVERBS list below (the
+# context disambiguator picks).
+PREPOSITIONS: list[str] = [
+    "aan", "achter", "behalve", "beneden", "bij", "binnen", "boven",
+    "buiten", "dankzij", "door", "gedurende", "langs", "met", "na",
+    "naar", "naast", "namens", "om", "omstreeks", "ondanks", "onder",
+    "op", "over", "per", "richting", "rond", "rondom", "sinds",
+    "tegen", "tegenover", "tijdens", "tot", "tussen", "uit", "van",
+    "vanaf", "vanuit", "vanwege", "via", "volgens", "voor", "voorbij",
+    "wegens", "zonder", "in",
 ]
 
 # -- adverbs (invariant, BW()) --------------------------------------------
@@ -770,6 +832,8 @@ def _all_rows() -> tuple:
         rows.extend(adj_forms(entry))
     for w in ADVERBS:
         rows.append((w, "BW()", w, f"[{w}]"))
+    for w in PREPOSITIONS:
+        rows.append((w, "VZ(init)", w, f"[{w}]"))
     # dedup exact duplicates (a word list may repeat an entry)
     seen = set()
     out = []

@@ -952,11 +952,19 @@ def _t_dat(rng: _Rng, s: _Sent) -> None:
 
 
 def _t_modal(rng: _Rng, s: _Sent) -> None:
-    """Modal + infinitive: obj1 -> INF, inf vc -> modal (gold s02)."""
+    """Modal + infinitive: obj1 -> INF, inf vc -> modal (gold s02).
+    20% insert a MID-FIELD duration NP before the object ('wil volgend
+    jaar drie winkels starten' — the temporal NP is mod on the
+    infinitive, never obj1 of the modal)."""
     su, plural = _np(rng, s)
     modal = rng.choice([("wil", "willen", "willen"),
                         ("kan", "kunnen", "kunnen"), ("moet", "moeten", "moeten")])
     v = s.tok(modal[1] if plural else modal[0], WW_MV if plural else WW_EV, modal[2], chunk="B-VP")
+    dur_u = None
+    if rng.flip(20):
+        du = s.tok("dit", "VNW(aanw,det,stan,prenom,zonder,evon)", "dit", chunk="B-NP")
+        dur_u = s.tok("jaar", N_HET, "jaar", chunk="I-NP")
+        s.dep(du, dur_u, "det")
     ob, _ = _np(rng, s)
     sg3, inf, vd, lemma = rng.choice(_V_TRANS)
     adv_u = None
@@ -966,6 +974,8 @@ def _t_modal(rng: _Rng, s: _Sent) -> None:
     iu = s.tok(inf, WW_INF, lemma, chunk="B-VP")
     s.dep(su, v, "su")
     s.dep(ob, iu, "obj1")
+    if dur_u is not None:
+        s.dep(dur_u, iu, "mod")
     if adv_u is not None:
         s.dep(adv_u, iu, "mod")
     s.dep(iu, v, "vc")
@@ -973,11 +983,25 @@ def _t_modal(rng: _Rng, s: _Sent) -> None:
 
 
 def _t_perfect(rng: _Rng, s: _Sent) -> None:
-    """heeft + participle: obj1 -> participle, vd vc -> aux."""
+    """heeft + participle: obj1 -> participle, vd vc -> aux. The object
+    may carry a PP ('heeft het verdrag over de begroting gesteund') and
+    the mid-field a negation pair ('nog niet') — both shapes otherwise
+    walk to nodes whose majority fabricates an aux-obj1 triple."""
     su, plural = _np(rng, s)
     v = s.tok("hebben" if plural else "heeft", WW_MV if plural else WW_T, "hebben", chunk="B-VP")
-    ob, _ = _np(rng, s)
+    ob, _ = _np(rng, s, pp_mod=rng.flip(20))
     sg3, inf, vd, lemma = rng.choice(_V_TRANS)
+    if rng.flip(12):
+        nu1 = s.tok("nog", BW, "nog", chunk="B-ADVP")
+        nu2 = s.tok("niet", BW, "niet", chunk="B-ADVP")
+        du = s.tok(vd, WW_VD, lemma, chunk="B-VP")
+        s.dep(su, v, "su")
+        s.dep(ob, du, "obj1")
+        s.dep(nu1, du, "mod")
+        s.dep(nu2, du, "mod")
+        s.dep(du, v, "vc")
+        _end(rng, s, v)
+        return
     adv_u = None
     if rng.flip(30):
         w, alem = rng.choice(_ADVS)

@@ -50,6 +50,7 @@ def test_treebank_structure_valid():
 
 
 PROBE = os.path.join(os.path.dirname(HELDOUT), "probe_corpus.tsv")
+PROBE_R5 = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5.tsv")
 
 
 def test_treebank_heldout_disjoint():
@@ -59,7 +60,7 @@ def test_treebank_heldout_disjoint():
     exempt: they were never held out.) Covers BOTH evaluation corpora:
     the 103-sentence held-out set and the frozen-models probe set."""
     gold_words = {t.word.lower() for s in load_gold_corpus() for t in s.tokens}
-    for path in (HELDOUT, PROBE):
+    for path in (HELDOUT, PROBE, PROBE_R5):
         eval_content = {
             t.word.lower()
             for s in load_gold_corpus(path)
