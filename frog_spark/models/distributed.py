@@ -171,6 +171,8 @@ def train_igtree_distributed(
         # and silently mis-trains
         n_feat = len(first[feats_col])
         if sorted(feature_order) != list(range(n_feat)):
+            if we_persisted:
+                inst.unpersist()  # don't leak the cache on the error path
             raise ValueError(
                 f"feature_order {feature_order} is not a permutation of "
                 f"0..{n_feat - 1} — a feature added to the extractor "

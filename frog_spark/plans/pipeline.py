@@ -123,6 +123,27 @@ def _detect_lang(words: list[str]) -> str:
     return "nl" if nl >= en else "en"
 
 
+def ext_tag_lexicon_from_inflect(
+    cfg: "PipelineConfig",
+) -> dict[str, list[str]] | None:
+    """word -> sorted possible-tags map for the tagger's lexical-lookup
+    fallback (models/mbt.py ext_lexicon); corpus-trained words take
+    precedence at tag time, so no exclusion is needed. None when the
+    inflection lexicon is disabled."""
+    if not cfg.inflection_lexicon:
+        return None
+    from frog_spark.sources.inflect import inflection_rows
+
+    ext: dict[str, list[str]] = {}
+    for w, t, _l in inflection_rows():
+        tags = ext.setdefault(w, [])
+        if t not in tags:
+            tags.append(t)
+    for tags in ext.values():
+        tags.sort()
+    return ext
+
+
 def training_rows(
     cfg: "PipelineConfig", syn: list
 ) -> tuple[list, list, dict[str, list[str]] | None]:
@@ -134,7 +155,6 @@ def training_rows(
     parity)."""
     lemma_rows = lemma_training(syn)
     morph_rows = morph_training(syn)
-    ext_tag_lexicon: dict[str, list[str]] | None = None
     if cfg.inflection_lexicon:
         from frog_spark.sources.inflect import (
             inflection_morph_rows,
@@ -151,17 +171,7 @@ def training_rows(
         morph_rows = morph_rows + [
             r for r in inflection_morph_rows() if r[0].lower() not in trained_m
         ]
-        # word -> possible-tags map for the tagger's lexical-lookup
-        # fallback (models/mbt.py ext_lexicon); corpus-trained words
-        # take precedence at tag time, so no exclusion is needed
-        ext_tag_lexicon = {}
-        for w, t, _l in inflection_rows():
-            tags = ext_tag_lexicon.setdefault(w, [])
-            if t not in tags:
-                tags.append(t)
-        for tags in ext_tag_lexicon.values():
-            tags.sort()
-    return lemma_rows, morph_rows, ext_tag_lexicon
+    return lemma_rows, morph_rows, ext_tag_lexicon_from_inflect(cfg)
 
 
 def _pdf(rows, columns):
@@ -336,7 +346,14 @@ class FrogPipeline:
                 else cfg.ner_override_path
             )
             override = Gazetteer(load_gazetteer(p))
-        lemma_rows, morph_rows, ext_tag_lexicon = training_rows(cfg, syn)
+        if mblem_lexicon is not None and mbma_lexicon is not None:
+            # fully distributed lexicon training: the driver-side row
+            # lists would be thrown away, so only build the tagger's
+            # ext lexicon
+            lemma_rows = morph_rows = None
+            ext_tag_lexicon = ext_tag_lexicon_from_inflect(cfg)
+        else:
+            lemma_rows, morph_rows, ext_tag_lexicon = training_rows(cfg, syn)
         if mblem_lexicon is not None:
             from frog_spark.models.distributed import train_mblem_distributed
 

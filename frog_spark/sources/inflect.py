@@ -280,10 +280,25 @@ def _revoice(c: str) -> str:
     return {"f": "v", "s": "z"}.get(c, c)
 
 
+#: e-forms the spelling rules cannot derive (diaeresis)
+_ADJ_E_EXCEPTIONS = {"officieel": "officiële"}
+
+#: suppletive comparative/superlative pairs — the regular derivation
+#: would emit non-words ('goeder', 'goedst') while the REAL forms
+#: ('beter', 'best') went uncovered (review finding)
+_ADJ_SUPPLETIVE = {"goed": ("beter", "best"), "veel": ("meer", "meest"),
+                   "weinig": ("minder", "minst")}
+
+
 def _adj_e(core: str) -> str:
     """Inflected -e form of a (prefix-stripped) adjective base with the
     spelling rules (groot->grote, dik->dikke, boos->boze, half->halve,
-    handig->handige)."""
+    handig->handige). Unstressed -en adjectives do not inflect
+    (open->open, tevreden->tevreden)."""
+    if core in _ADJ_E_EXCEPTIONS:
+        return _ADJ_E_EXCEPTIONS[core]
+    if core.endswith("en") and not _stressed_final_syllable(core):
+        return core  # open, tevreden, ouderwets-style -en: invariant
     pre, vg, cons = _vowel_tail(core)
     if len(vg) == 2 and vg[0] == vg[1] and len(cons) == 1:
         return pre + vg[0] + _revoice(cons) + "e"  # groot -> grote
@@ -304,31 +319,55 @@ def _adj_e(core: str) -> str:
 
 def adj_forms(entry: str) -> list[tuple[str, str, str, str]]:
     """(word, tag, lemma, morph) for an adjective: base, -e,
-    comparative (+e), superlative (+e)."""
+    comparative (+e), superlative (+e). Suppletive pairs come from
+    _ADJ_SUPPLETIVE; their morphs are whole-form ([beter], not
+    [goed][er])."""
     pref, core = _split_marked(entry)
     prefix = "".join(pref)
     base = prefix + core
     lemma = base
     e_core = _adj_e(core)
-    if core.endswith("r"):
+    if core in _ADJ_SUPPLETIVE:
+        comp_core, sup_core = _ADJ_SUPPLETIVE[core]
+        comp_m = _segs(pref, comp_core)
+        comp_me = _segs(pref, comp_core, "e")
+        sup_m = _segs(pref, sup_core)
+        comp_e = comp_core + "e"
+        sup_e = sup_core + "e"
+        sup_me = _segs(pref, sup_core, "e")
+    elif core.endswith("r"):
         comp_core = core + "der"
         comp_m = _segs(pref, core, "der")
         comp_me = _segs(pref, core, "der", "e")
+        sup_core = core + ("t" if core.endswith("s") else "st")
+        sup_m = _segs(pref, core, sup_core[len(core):])
+        comp_e = comp_core + "e"
+        sup_e = sup_core + "e"
+        sup_me = _segs(pref, sup_core, "e")
     else:
-        comp_core = e_core[:-1] + "er"
+        # base the comparative on the e-form's stem; invariant -en
+        # adjectives (e_core == core) just append -er
+        comp_core = (core if e_core == core else e_core[:-1]) + "er"
         comp_m = _segs(pref, comp_core[:-2], "er")
         comp_me = _segs(pref, comp_core[:-2], "er", "e")
-    sup_core = core + ("t" if core.endswith("s") else "st")
-    return [
+        sup_core = core + ("t" if core.endswith("s") else "st")
+        sup_m = _segs(pref, core, sup_core[len(core):])
+        comp_e = comp_core + "e"
+        sup_e = sup_core + "e"
+        sup_me = _segs(pref, sup_core, "e")
+    rows = [
         (base, _T_ADJ_VRIJ, lemma, _segs(pref, core)),
         (base, "ADJ(prenom,basis,zonder)", lemma, _segs(pref, core)),
-        (prefix + e_core, _T_ADJ_E, lemma, _segs(pref, e_core[:-1], "e")),
         (prefix + comp_core, _T_ADJ_COMP, lemma, comp_m),
         (prefix + comp_core, "ADJ(prenom,comp,zonder)", lemma, comp_m),
-        (prefix + comp_core + "e", _T_ADJ_COMP_E, lemma, comp_me),
-        (prefix + sup_core, _T_ADJ_SUP, lemma, _segs(pref, core, sup_core[len(core):])),
-        (prefix + sup_core + "e", _T_ADJ_SUP_E, lemma, _segs(pref, sup_core, "e")),
+        (prefix + comp_e, _T_ADJ_COMP_E, lemma, comp_me),
+        (prefix + sup_core, _T_ADJ_SUP, lemma, sup_m),
+        (prefix + sup_e, _T_ADJ_SUP_E, lemma, sup_me),
     ]
+    if e_core != core:
+        rows.insert(2, (prefix + e_core, _T_ADJ_E, lemma,
+                        _segs(pref, e_core[:-1], "e")))
+    return rows
 
 
 # ==========================================================================
@@ -497,7 +536,7 @@ REGULAR_VERBS: list = [
     "aan|passen", "kussen", "blussen", "persen", "fietsen", "flitsen",
     "bukken", "drukken", "plukken", "danken", "be|danken", "tanken",
     "planten", "landen", "branden", "ver|branden", "stranden",
-    "eindigen", "be|eindigen", "ver|dedigen", "be|vestigen", "vestigen",
+    "eindigen", "be|ëindigen", "ver|dedigen", "be|vestigen", "vestigen",
     "ont|wikkelen", "twijfelen", "wandelen", "be|handelen", "handelen",
     "onder|handelen", "ver|zamelen", "be|wonderen", "ver|wonderen",
     "ver|anderen", "ver|beteren", "luisteren", "fluisteren",

@@ -549,7 +549,14 @@ def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
         # the corresponding head-context branches (the round-4 internal
         # recall regression was a missing MWU-fronted + ordinal-object
         # branch)
-        du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
+        # determiner agrees with the noun's gender ('het 3e apparaat',
+        # not 'de 3e apparaat' — review finding: the hardcoded 'de'
+        # trained a determiner-gender co-occurrence real text
+        # contradicts)
+        if gender == "de":
+            du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
+        else:
+            du = s.tok(_cap(s, "het"), LID_HET, "het", chunk="B-NP")
         rang, rlem = rng.choice(_TW_RANGS)
         ru = s.tok(rang, TW_RANG, rlem, chunk="I-NP")
         nu = s.tok(sg, N_DE if gender == "de" else N_HET, lemma, chunk="I-NP")
@@ -1351,9 +1358,14 @@ def _t_er(rng: _Rng, s: _Sent) -> None:
         # OBJECTS ('Wij vergelijken de kosten ...' — head-1 is coarse
         # VNW for both 'Er' and 'Wij'), and er-verbs are trained words
         # that reach their own word branches — so the shared distance-2
-        # node's majority must stay obj1 (measured: h54-class recall)
-        _ab, ae, alem = rng.choice(_ADJS)
-        adj_u = s.tok(ae, ADJ_E, alem, chunk="I-NP")
+        # node's majority must stay obj1 (measured: h54-class recall).
+        # Indefinite neuter takes the UNINFLECTED prenominal adjective
+        # ('een groot schip', not 'een grote schip' — review finding)
+        ab, ae, alem = rng.choice(_ADJS)
+        if gender == "het":
+            adj_u = s.tok(ab, "ADJ(prenom,basis,zonder)", alem, chunk="I-NP")
+        else:
+            adj_u = s.tok(ae, ADJ_E, alem, chunk="I-NP")
     nu = s.tok(sg, N_DE if gender == "de" else N_HET, lemma, chunk="I-NP")
     s.dep(eenu, nu, "det")
     if adj_u is not None:

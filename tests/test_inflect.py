@@ -140,3 +140,39 @@ def test_lexicon_df_matches_rows(spark):
     df = inflection_lexicon_df(spark)
     got = {(r["word"], r["tag"], r["lemma"]) for r in df.collect()}
     assert got == set(inflection_rows())
+
+
+def test_adjective_review_findings():
+    """Round-5 self-review findings: suppletive comparatives, -ieel
+    diaeresis, invariant unstressed -en adjectives."""
+    rows = {(w, t, le) for w, t, le, _ in adj_forms("goed")}
+    assert ("beter", "ADJ(vrij,comp,zonder)", "goed") in rows
+    assert ("betere", "ADJ(prenom,comp,met-e,stan)", "goed") in rows
+    assert ("best", "ADJ(vrij,sup,zonder)", "goed") in rows
+    surfaces = {w for w, *_ in rows}
+    assert "goeder" not in surfaces and "goedst" not in surfaces
+    rows = {w for w, *_ in adj_forms("officieel")}
+    assert "officiële" in rows and "officieele" not in rows
+    rows = {w for w, *_ in adj_forms("open")}
+    assert "opene" not in rows and "opener" in rows
+    # morphs of suppletive forms are whole-form
+    morphs = {w: m for w, _t, _le, m in adj_forms("goed")}
+    assert morphs["beter"] == "[beter]" and morphs["betere"] == "[beter][e]"
+
+
+def test_treebank_agreement_review_findings():
+    """Ordinal determiners agree in gender; existential indefinite
+    neuter NPs take the uninflected adjective (no 'een grote schip' /
+    'de 3e apparaat' in generated training data)."""
+    from frog_spark.sources.treebank import _NOUNS, synthetic_treebank
+
+    het_sg = {sg for sg, _pl, g, _lem in _NOUNS if g == "het"}
+    e_adjs = {ae for _ab, ae, _lem in __import__("frog_spark.sources.treebank", fromlist=["_ADJS"])._ADJS}
+    for s in synthetic_treebank(4000):
+        words = [t.word for t in s.tokens]
+        for i in range(len(words) - 2):
+            if words[i].lower() == "de" and words[i + 2] in het_sg:
+                tag = s.tokens[i + 1].pos
+                assert not tag.startswith("TW(rang"), s.text
+            if words[i] == "een" and words[i + 1] in e_adjs and words[i + 2] in het_sg:
+                raise AssertionError(f"inflected adj before het-noun: {s.text}")
