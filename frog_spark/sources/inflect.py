@@ -281,7 +281,7 @@ def _revoice(c: str) -> str:
 
 
 #: e-forms the spelling rules cannot derive (diaeresis)
-_ADJ_E_EXCEPTIONS = {"officieel": "officiële"}
+_ADJ_E_EXCEPTIONS = {"officieel": "officiële", "financieel": "financiële"}
 
 #: suppletive comparative/superlative pairs — the regular derivation
 #: would emit non-words ('goeder', 'goedst') while the REAL forms
@@ -299,6 +299,8 @@ def _adj_e(core: str) -> str:
         return _ADJ_E_EXCEPTIONS[core]
     if core.endswith("en") and not _stressed_final_syllable(core):
         return core  # open, tevreden, ouderwets-style -en: invariant
+    if core.endswith("ees"):
+        return core[:-2] + "se"  # Europees -> Europese (loan -ees, no z)
     pre, vg, cons = _vowel_tail(core)
     if len(vg) == 2 and vg[0] == vg[1] and len(cons) == 1:
         return pre + vg[0] + _revoice(cons) + "e"  # groot -> grote
@@ -327,6 +329,19 @@ def adj_forms(entry: str) -> list[tuple[str, str, str, str]]:
     base = prefix + core
     lemma = base
     e_core = _adj_e(core)
+    # morph stem for the inflected forms: the UNDERLYING stem for the
+    # vowel-undoubling class ([groot][e], [heel][e] — the corpus
+    # convention for these), the surface stem otherwise ([dikk][e],
+    # [boz][e])
+    _pre, _vg, _cons = _vowel_tail(core)
+    if (
+        e_core != core + "e"
+        and len(_vg) == 2 and _vg[0] == _vg[1] and len(_cons) == 1
+        and len(e_core) >= 2 and e_core[-2] == core[-1]  # no devoicing
+    ):
+        m_stem = core  # pure undoubling: [groot][e], [heel][e]
+    else:
+        m_stem = e_core[:-1] if e_core.endswith("e") else core
     if core in _ADJ_SUPPLETIVE:
         comp_core, sup_core = _ADJ_SUPPLETIVE[core]
         comp_m = _segs(pref, comp_core)
@@ -348,8 +363,8 @@ def adj_forms(entry: str) -> list[tuple[str, str, str, str]]:
         # base the comparative on the e-form's stem; invariant -en
         # adjectives (e_core == core) just append -er
         comp_core = (core if e_core == core else e_core[:-1]) + "er"
-        comp_m = _segs(pref, comp_core[:-2], "er")
-        comp_me = _segs(pref, comp_core[:-2], "er", "e")
+        comp_m = _segs(pref, m_stem if e_core != core else core, "er")
+        comp_me = _segs(pref, m_stem if e_core != core else core, "er", "e")
         sup_core = core + ("t" if core.endswith("s") else "st")
         sup_m = _segs(pref, core, sup_core[len(core):])
         comp_e = comp_core + "e"
@@ -366,7 +381,7 @@ def adj_forms(entry: str) -> list[tuple[str, str, str, str]]:
     ]
     if e_core != core:
         rows.insert(2, (prefix + e_core, _T_ADJ_E, lemma,
-                        _segs(pref, e_core[:-1], "e")))
+                        _segs(pref, m_stem, "e")))
     return rows
 
 
@@ -582,6 +597,14 @@ REGULAR_VERBS: list = [
     "worstelen", "haasten", "kuchen", "lunchen", "douchen", "zweven",
     "beven", "kreunen", "dreunen", "staken", "zweten", "rammelen",
     "mompelen", "stamelen", "struikelen", "op|lossen", "lossen",
+    "duiden", "aan|duiden", "eisen", "ver|eisen", "wensen", "hopen",
+    "vrezen", "stichten", "ont|hullen", "hullen", "ploegen", "snoeien",
+    "harken", "knikken", "schudden", "zwaaien", "wuiven", "hurken",
+    "reiken", "strekken", "uit|strekken", "rekken", "sjouwen",
+    "tillen", "op|tillen", "slepen", "ver|slepen", "kantelen",
+    "rollen", "op|rollen", "turen", "staren", "loeren", "gluren",
+    "stralen", "schitteren", "glanzen", "flonkeren", "knipperen",
+    "fonkelen", "gloeien", "smeulen", "doven",
     "ver|lossen", "juichen", "schoppen", "trappen", "af|ronden",
     "be|oordelen", "ver|oordelen", "oordelen", "mikken", "plannen",
     "klikken", "typen", "printen", "scannen", "filmen", "sporten",
@@ -792,6 +815,75 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("keeper", "keepers", "de"), ("scheidsrechter", "scheidsrechters", "de"),
     ("supporter", "supporters", "de"), ("boete", "boetes", "de"),
     ("klacht", "klachten", "de"), ("ongeluk", "ongelukken", "het"),
+    ("persoon", "personen", "de"), ("inwoner", "inwoners", "de"),
+    ("bezoeker", "bezoekers", "de"), ("deelnemer", "deelnemers", "de"),
+    ("medewerker", "medewerkers", "de"), ("eigenaar", "eigenaren", "de"),
+    ("verkoper", "verkopers", "de"), ("aankoop", "aankopen", "de"),
+    ("ver|koop", None, "de"), ("prijsstijging", "prijsstijgingen", "de"),
+    ("daling", "dalingen", "de"), ("stijging", "stijgingen", "de"),
+    ("groei", None, "de"), ("krimp", None, "de"),
+    ("omzet", "omzetten", "de"), ("in|komen", "inkomens", "het"),
+    ("uitgave", "uitgaven", "de"), ("schuld", "schulden", "de"),
+    ("lening", "leningen", "de"), ("rente", "rentes", "de"),
+    ("spaargeld", None, "het"), ("pensioen", "pensioenen", "het"),
+    ("uitkering", "uitkeringen", "de"), ("premie", "premies", "de"),
+    ("toeslag", "toeslagen", "de"), ("korting", "kortingen", "de"),
+    ("folder", "folders", "de"), ("reclame", "reclames", "de"),
+    ("adres", "adressen", "het"), ("nummer", "nummers", "het"),
+    ("postcode", "postcodes", "de"), ("formulier", "formulieren", "het"),
+    ("document", "documenten", "het"), ("dossier", "dossiers", "het"),
+    ("pagina", "pagina's", "de"), ("hoofdstuk", "hoofdstukken", "het"),
+    ("titel", "titels", "de"), ("tekst", "teksten", "de"),
+    ("zinsdeel", "zinsdelen", "het"), ("alinea", "alinea's", "de"),
+    ("vertaling", "vertalingen", "de"), ("samenvatting", "samenvattingen", "de"),
+    ("presentatie", "presentaties", "de"), ("lezing", "lezingen", "de"),
+    ("cursus", "cursussen", "de"), ("training", "trainingen", "de"),
+    ("oefening", "oefeningen", "de"), ("toets", "toetsen", "de"),
+    ("cijfer", "cijfers", "het"), ("diploma", "diploma's", "het"),
+    ("stage", "stages", "de"), ("sollicitatie", "sollicitaties", "de"),
+    ("functie", "functies", "de"), ("carrière", "carrières", "de"),
+    ("ontslag", None, "het"), ("staking", "stakingen", "de"),
+    ("vakbond", "vakbonden", "de"), ("werkgever", "werkgevers", "de"),
+    ("werknemer", "werknemers", "de"), ("sollicitant", "sollicitanten", "de"),
+    ("behandeling", "behandelingen", "de"),
+    ("operatie", "operaties", "de"), ("onderzoekster", "onderzoeksters", "de"),
+    ("apotheek", "apotheken", "de"), ("recept", "recepten", "het"),
+    ("griep", None, "de"), ("koorts", None, "de"),
+    ("verkoudheid", None, "de"), ("blessure", "blessures", "de"),
+    ("herstel", None, "het"), ("conditie", "condities", "de"),
+    ("gezin", "gezinnen", "het"), ("familie", "families", "de"),
+    ("huwelijk", "huwelijken", "het"), ("bruiloft", "bruiloften", "de"),
+    ("geboorte", "geboortes", "de"), ("verjaardag", "verjaardagen", "de"),
+    ("buur", "buren", "de"), ("gast", "gasten", "de"),
+    ("bezoek", None, "het"), ("afscheid", None, "het"),
+    ("verhuizing", "verhuizingen", "de"), ("woning", "woningen", "de"),
+    ("flat", "flats", "de"), ("appartement", "appartementen", "het"),
+    ("zolder", "zolders", "de"), ("kelder", "kelders", "de"),
+    ("garage", "garages", "de"), ("schuur", "schuren", "de"),
+    ("dak", "daken", "het"), ("muur", "muren", "de"),
+    ("vloer", "vloeren", "de"), ("trap", "trappen", "de"),
+    ("venster", "vensters", "het"), ("gordijn", "gordijnen", "het"),
+    ("sleutel", "sleutels", "de"), ("slot", "sloten", "het"),
+    ("tuinman", "tuinmannen", "de"), ("gras", None, "het"),
+    ("heg", "heggen", "de"), ("pad", "paden", "het"),
+    ("vijver", "vijvers", "de"), ("fontein", "fonteinen", "de"),
+    ("verkeer", None, "het"), ("file", "files", "de"),
+    ("kruispunt", "kruispunten", "het"), ("stoplicht", "stoplichten", "het"),
+    ("snelweg", "snelwegen", "de"), ("tunnel", "tunnels", "de"),
+    ("parkeerplaats", "parkeerplaatsen", "de"), ("benzine", None, "de"),
+    ("chauffeur", "chauffeurs", "de"), ("passagier", "passagiers", "de"),
+    ("vertraging", "vertragingen", "de"), ("aankomst", None, "de"),
+    ("vertrek", None, "het"), ("bestemming", "bestemmingen", "de"),
+    ("reiziger", "reizigers", "de"), ("toerist", "toeristen", "de"),
+    ("paspoort", "paspoorten", "het"), ("koffer", "koffers", "de"),
+    ("strand", "stranden", "het"), ("eiland", "eilanden", "het"),
+    ("grens", "grenzen", "de"), ("natuur", None, "de"),
+    ("milieu", None, "het"), ("klimaat", None, "het"),
+    ("energie", None, "de"), ("stroom", None, "de"),
+    ("gas", None, "het"), ("olie", None, "de"),
+    ("afval", None, "het"), ("vervuiling", None, "de"),
+    ("uitstoot", None, "de"), ("windmolen", "windmolens", "de"),
+    ("zonnepaneel", "zonnepanelen", "het"), ("batterij", "batterijen", "de"),
     ("brand", "branden", "de"), ("schade", None, "de"),
     ("gevaar", "gevaren", "het"), ("risico", "risico's", "het"),
     ("kans", "kansen", "de"), ("succes", "successen", "het"),
@@ -842,7 +934,7 @@ ADJECTIVES: list[str] = [
     "eerlijk", "moeilijk", "makkelijk", "ge|makkelijk", "mogelijk",
     "waarschijnlijk", "duidelijk", "eigenlijk", "vriendelijk",
     "gevaarlijk", "heerlijk", "vrolijk", "dagelijks", "be|langrijk",
-    "be|kend", "be|roemd", "be|leefd", "spannend", "boeiend",
+    "be|kend", "beroemd", "be|leefd", "spannend", "boeiend",
     "interessant", "modern", "ouderwets", "heel", "half", "echt",
     "vals", "waar", "zeker", "on|zeker", "veilig", "on|veilig",
     "ge|lukkig", "on|gelukkig", "tevreden", "trots", "jaloers",
@@ -854,7 +946,24 @@ ADJECTIVES: list[str] = [
     "ge|zellig", "actief", "passief", "positief", "negatief",
     "officieel", "speciaal", "normaal", "centraal", "lokaal",
     "nationaal", "internationaal", "sociaal", "digitaal", "ideaal",
-    "totaal", "royaal", "brutaal",
+    "totaal", "royaal", "brutaal", "goed", "prachtig", "geweldig",
+    "fantastisch", "verschrikkelijk", "vreselijk", "afschuwelijk",
+    "uitstekend", "voortreffelijk", "middelmatig", "matig",
+    "voldoende", "onvoldoende", "compleet", "volledig", "gedeeltelijk",
+    "definitief", "voorlopig", "tijdelijk", "permanent", "plaatselijk",
+    "landelijk", "stedelijk", "regionaal", "Europees", "buitenlands",
+    "binnenlands", "economisch", "politiek", "financieel", "juridisch",
+    "technisch", "medisch", "wetenschappelijk", "cultureel",
+    "historisch", "traditioneel", "origineel", "creatief",
+    "praktisch", "theoretisch", "automatisch", "elektrisch",
+    "elektronisch", "muzikaal", "sportief", "populair", "succesvol",
+    "beschikbaar", "bruikbaar", "betaalbaar", "haalbaar", "zichtbaar",
+    "hoorbaar", "leesbaar", "denkbaar", "dankbaar", "kwetsbaar",
+    "betrouw|baar", "onbetrouwbaar", "aangenaam", "onaangenaam",
+    "opvallend", "uitzonderlijk", "gewoon", "ongewoon", "gebruikelijk",
+    "ongebruikelijk", "algemeen", "bijzonder", "apart", "identiek",
+    "gelijk", "ongelijk", "verschillend", "divers", "talrijk",
+    "schaars", "overvloedig", "zeldzaam", "frequent",
 ]
 
 
@@ -903,6 +1012,12 @@ def inflection_morph_rows() -> list[tuple[str, str, str]]:
             # a surface that is both a strong past plural and a
             # participle (verloren, vergeten): the participle reading
             # dominates in text, so its segmentation wins
+            best[w] = (t, m)
+        elif best[w][0].startswith("WW(") and t.startswith("N("):
+            # noun/verb homographs ('kosten', 'fietsen'): MBMA's head-tag
+            # filter drops analyses whose training tag disagrees with the
+            # predicted POS, and the NOUN reading dominates these
+            # surfaces in text — train the analysis under the N tag
             best[w] = (t, m)
     return [(w, *best[w]) for w in order]
 

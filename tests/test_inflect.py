@@ -119,14 +119,26 @@ def test_morph_segmentations_follow_gold_conventions():
 def test_lexicon_structural_invariants():
     rows = inflection_rows()
     assert len(rows) > 4000
-    # concatenated morph segments reproduce the surface for weak verb
-    # forms and nouns/adjectives (strong pasts keep whole-form stems, so
-    # the invariant holds globally by construction)
+    # concatenated morph segments reproduce the surface, EXCEPT the
+    # vowel-undoubling adjective class where the corpus convention keeps
+    # the underlying stem ([groot][e] for 'grote', [heel][e] for 'hele')
+    # — there the concatenation differs exactly by collapsing a doubled
+    # long vowel at a segment boundary
     import re
 
     for w, _t, m in inflection_morph_rows():
-        joined = "".join(re.findall(r"\[([^]]*)\]", m))
-        assert joined == w, (w, m)
+        segs = re.findall(r"\[([^]]*)\]", m)
+        joined = "".join(segs)
+        if joined == w:
+            continue
+        undoubled = False
+        for i, seg in enumerate(segs[:-1]):
+            if len(seg) >= 3 and seg[-2] == seg[-3] and seg[-2] in "aeou":
+                collapsed = "".join(segs[:i]) + seg[:-2] + seg[-1] + "".join(segs[i + 1:])
+                if collapsed == w:
+                    undoubled = True
+                    break
+        assert undoubled, (w, m)
     # every row's lemma is itself a surface somewhere for open classes
     # (the infinitive / singular / base form rows exist)
     surfaces = {r[0] for r in rows}
