@@ -299,6 +299,8 @@ def _adj_e(core: str) -> str:
         return _ADJ_E_EXCEPTIONS[core]
     if core.endswith("en") and not _stressed_final_syllable(core):
         return core  # open, tevreden, ouderwets-style -en: invariant
+    if core.endswith("ig"):
+        return core + "e"  # unstressed -ig: handig -> handige, NOT *handigge
     if core.endswith("ees"):
         return core[:-2] + "se"  # Europees -> Europese (loan -ees, no z)
     pre, vg, cons = _vowel_tail(core)
@@ -963,7 +965,10 @@ ADJECTIVES: list[str] = [
     "opvallend", "uitzonderlijk", "gewoon", "ongewoon", "gebruikelijk",
     "ongebruikelijk", "algemeen", "bijzonder", "apart", "identiek",
     "gelijk", "ongelijk", "verschillend", "divers", "talrijk",
-    "schaars", "overvloedig", "zeldzaam", "frequent",
+    "schaars", "overvloedig", "zeldzaam", "frequent", "volgend",
+    "vorig", "huidig", "komend", "afgelopen", "dubbel", "enkel",
+    "kapot", "verkeerd", "juist", "links", "rechts", "voorzichtig",
+    "ver|standig", "on|verstandig", "aardig", "leerzaam",
 ]
 
 

@@ -785,8 +785,12 @@ def _t_copula_np(rng: _Rng, s: _Sent) -> None:
 
 def _t_fronted(rng: _Rng, s: _Sent) -> None:
     """Verb-second: Adv/PP V su obj — su AFTER the finite verb (h15,
-    h66 'In Gouda wint Sophie ...')."""
-    if rng.flip(30):
+    h66 'In Gouda wint Sophie ...'). 20% take a PLURAL inversion
+    ('Morgen sturen wij de brief'): without it, a sentence-initial
+    adverb followed by an -en verb always reads as infinitive (the
+    round-5 probe's 'Morgen mailen wij' failure class)."""
+    plural = rng.flip(20)
+    if rng.flip(30) and not plural:
         prep = rng.choice(_PREP_V)
         pu = s.tok(_cap(s, prep), VZ, prep, chunk="B-PP")
         inner = (
@@ -801,9 +805,17 @@ def _t_fronted(rng: _Rng, s: _Sent) -> None:
         w, lemma = rng.choice(_ADVS)
         au = s.tok(_cap(s, w), BW, lemma, chunk="B-ADVP")
         sg3, pl, vd, vlemma = rng.choice(_V_TRANS)
-        v = s.tok(sg3, WW_T, vlemma, chunk="B-VP")
+        v = s.tok(pl if plural else sg3, WW_MV if plural else WW_T,
+                  vlemma, chunk="B-VP")
         s.dep(au, v, "mod")
-    su = _su_after_verb(rng, s)
+    if plural:
+        if rng.flip(50):
+            w2, tag2, lem2 = rng.choice([p for p in _PRONS if p[1].endswith("mv)")])
+            su = s.tok(w2, tag2, lem2, chunk="B-NP")
+        else:
+            su, _ = _np_common(rng, s, plural=True)
+    else:
+        su = _su_after_verb(rng, s)
     ob, _ = _np(rng, s)
     s.dep(su, v, "su")
     s.dep(ob, v, "obj1")
