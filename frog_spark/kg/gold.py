@@ -9,7 +9,7 @@ corpus and module semantics, cf. SURVEY.md §5.)
 
 from __future__ import annotations
 
-from frog_spark.kg.triples import OBJ_ROLES, lca_pair_triples_py
+from frog_spark.kg.triples import lca_pair_triples_py, verb_triples_py
 from frog_spark.operators.mwu import resolve_mwus
 from frog_spark.sources.resources import GoldSentence, load_mwu_lexicon
 
@@ -41,28 +41,10 @@ def gold_sentence_triples(s: GoldSentence, mwu_lexicon: dict) -> set[Triple]:
             i = j + 1
         else:
             i += 1
-    ent_by_unit = {}
-    for fu, text, cat in ents:
-        ent_by_unit.setdefault(fu, (text, cat))
-
-    def repr_of(u_idx: int) -> str:
-        hit = ent_by_unit.get(u_idx)
-        return hit[0] if hit else units[u_idx - 1].lemma
-
     triples: set[Triple] = set()
-    # verb triples
-    pos_head = {ui + 1: u.tag.split("(", 1)[0] for ui, u in enumerate(units)}
-    subs = [(u, r) for u, (h, r) in s.deps.items() if r == "su"]
-    for v_idx in range(1, len(units) + 1):
-        if pos_head.get(v_idx) != "WW":
-            continue
-        v_lemma = units[v_idx - 1].lemma
-        su = [u for u, (h, r) in s.deps.items() if h == v_idx and r == "su"]
-        ob = [u for u, (h, r) in s.deps.items() if h == v_idx and r in OBJ_ROLES]
-        for su_u in su:
-            for ob_u in ob:
-                triples.add((repr_of(su_u), v_lemma, repr_of(ob_u)))
-    # entity-pair LCA triples
+    # the SAME lift implementations the pipeline UDF uses (kg/triples.py
+    # verb_triples_py / lca_pair_triples_py), fed the GOLD tree — the
+    # harness measures pipeline quality, never lift drift
     unit_rows = [
         (
             ui + 1,
@@ -73,6 +55,8 @@ def gold_sentence_triples(s: GoldSentence, mwu_lexicon: dict) -> set[Triple]:
         )
         for ui, u in enumerate(units)
     ]
+    for a, p, b, _sc, _oc in verb_triples_py(unit_rows, ents):
+        triples.add((a, p, b))
     for a, p, b, _sc, _oc in lca_pair_triples_py(unit_rows, ents):
         triples.add((a, p, b))
     return triples

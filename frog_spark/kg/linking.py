@@ -40,9 +40,7 @@ def _shingles(forms: DataFrame, col: str = "form") -> DataFrame:
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-                    lambda i: F.substring(padded, 1, 0x7FFFFFFF).substr(
-                        i, F.lit(SHINGLE_SIZE)
-                    ),
+                    lambda i: padded.substr(i, F.lit(SHINGLE_SIZE)),
                 )
             )
         ).alias("shingle"),
@@ -71,6 +69,12 @@ def candidate_pairs(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding -> distinct candidate (a, b) pairs with a < b."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands} — "
+            "trailing minhashes would be computed but silently never banded, "
+            "changing the LSH sensitivity curve from the requested one"
+        )
     sig = minhash_signatures(forms, col, num_hashes, shingles=shingles)
     rows_per_band = num_hashes // bands
     band_cols = []

@@ -50,18 +50,33 @@ def build_graph(
     )
 
     def nodes_fn() -> DataFrame:
+        # node category by majority (deterministic: max (count, cat));
+        # F.first() without ordering made rerun output nondeterministic
+        # for entities whose mentions carry two categories
+        cat_counts = (
+            ents.join(canon, ents.span_text == canon.form)
+            .groupBy("canonical_id", "ner_cat")
+            .agg(F.count("*").alias("c"))
+            .groupBy("canonical_id")
+            .agg(F.max(F.struct("c", "ner_cat")).alias("top"))
+            .select("canonical_id", F.col("top.ner_cat").alias("ner_cat"))
+        )
         return (
             ents.join(canon, ents.span_text == canon.form)
             .groupBy("canonical_id")
             .agg(
                 F.collect_set("span_text").alias("forms"),
                 F.count("*").alias("mention_count"),
-                F.first("ner_cat").alias("ner_cat"),
             )
+            .join(cat_counts, "canonical_id")
             .withColumn("bucket", F.pmod(F.xxhash64("canonical_id"), F.lit(16)))
         )
 
     def edges_fn() -> DataFrame:
+        # NO broadcast hint: the canonical table is one row per distinct
+        # entity surface, which at the design scale (10^12 turns) far
+        # exceeds Spark's broadcast-size cap. A plain equi-join lets AQE
+        # choose broadcast when the table is actually small.
         subj_c = canon.select(
             F.col("form").alias("subj"), F.col("canonical_id").alias("subj_id")
         )
@@ -69,8 +84,8 @@ def build_graph(
             F.col("form").alias("obj"), F.col("canonical_id").alias("obj_id")
         )
         return (
-            triples.join(F.broadcast(subj_c), "subj", "left")
-            .join(F.broadcast(obj_c), "obj", "left")
+            triples.join(subj_c, "subj", "left")
+            .join(obj_c, "obj", "left")
             .withColumn("subj_id", F.coalesce("subj_id", "subj"))
             .withColumn("obj_id", F.coalesce("obj_id", "obj"))
             .select(

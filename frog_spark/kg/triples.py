@@ -130,6 +130,39 @@ def verb_triples(annotated: DataFrame) -> DataFrame:
     )
 
 
+def verb_triples_py(
+    unit_rows: list[tuple[int, str, str, int, str]],
+    entities: list[tuple[int, str, str]],
+) -> list[tuple[str, str, str, str | None, str | None]]:
+    """Pure-Python verb-argument lift for one sentence — THE single
+    implementation shared by the annotation UDF (plans/pipeline.py) and
+    the gold harness (kg/gold.py), so the P/R measurement can never
+    drift from the pipeline's own lift. unit_rows:
+    (unit_idx, lemma, pos_head, parse_head, role); entities:
+    (first_unit, span_text, cat). Output order is deterministic:
+    verbs in unit order, subjects/objects in unit order."""
+    ent_by_unit: dict[int, tuple[str, str]] = {}
+    for fu, text, cat in entities:
+        ent_by_unit.setdefault(fu, (text, cat))
+
+    def repr_of(u_idx: int) -> tuple[str, str | None]:
+        hit = ent_by_unit.get(u_idx)
+        return hit if hit else (unit_rows[u_idx - 1][1], None)
+
+    out: list[tuple[str, str, str, str | None, str | None]] = []
+    for v_idx, v_lemma, v_pos, _vh, _vr in unit_rows:
+        if v_pos != "WW":
+            continue
+        subs = [u for u in unit_rows if u[3] == v_idx and u[4] == "su"]
+        objs = [u for u in unit_rows if u[3] == v_idx and u[4] in OBJ_ROLES]
+        for su_u in subs:
+            for ob_u in objs:
+                s_repr, s_cat = repr_of(su_u[0])
+                o_repr, o_cat = repr_of(ob_u[0])
+                out.append((s_repr, v_lemma, o_repr, s_cat, o_cat))
+    return out
+
+
 def lca_pair_triples_py(
     unit_rows: list[tuple[int, str, str, int, str]],
     entities: list[tuple[int, str, str]],

@@ -9,9 +9,13 @@ Iceberg ``writeTo(...).createOrReplace`` and the manifest is an Iceberg
 snapshot + a stage-state table — the sandbox has no Iceberg runtime, so
 the parquet+manifest pair stands in (documented deviation).
 
-Counters come from ``observe`` (Catalyst-computed, no extra job) and a
-per-partition row count, giving the "per-partition lineage + counters"
-the north rule requires.
+Counters are per written FILE (row counts keyed by the part-file name):
+file names are stable provenance — unlike reader spark_partition_id,
+which depends on spark.sql.files.maxPartitionBytes and would make the
+same table hash to different "partitions" across runs. Computing them
+costs one aggregation pass over the just-written table (cheap relative
+to the stage that produced it; an Iceberg backend would read the same
+numbers from snapshot manifests for free).
 """
 
 from __future__ import annotations
@@ -108,15 +112,25 @@ class CheckpointedRun:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
         out = self.spark.read.parquet(data_dir)
-        # per-partition lineage counters (spark_partition_id over the
-        # materialized table = file-level provenance)
+        # per-FILE lineage counters: part-file names are write-time
+        # provenance (reader split ids are NOT — they change with reader
+        # config). String keys survive the JSON round-trip unchanged, so
+        # fresh and resumed counter dicts compare equal.
+        # key = last two path segments: a partitionBy write reuses the
+        # same part-file BASENAME across partition directories (one per
+        # write task), so 'bucket=3/part-00000-...' is the unique unit
+        parts = F.split(F.input_file_name(), "/")
         per_part = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            out.groupBy(
+                F.concat_ws(
+                    "/", F.element_at(parts, -2), F.element_at(parts, -1)
+                ).alias("file")
+            )
             .count()
             .collect()
         )
         counters = {
-            "per_partition_rows": {int(r["partition_id"]): r["count"] for r in per_part}
+            "per_partition_rows": {str(r["file"]): r["count"] for r in per_part}
         }
         rows = sum(counters["per_partition_rows"].values())
         elapsed = time.time() - t0

@@ -567,8 +567,8 @@ class FrogPipeline:
                 # lives in kg/triples.py and is equality-tested against
                 # these arrays.
                 from frog_spark.kg.triples import (
-                    OBJ_ROLES,
                     lca_pair_triples_py,
+                    verb_triples_py,
                 )
 
                 unit_rows = [
@@ -586,33 +586,13 @@ class FrogPipeline:
                     for r in rows
                     if r["span_text"] is not None
                 ]
-                ent_by_unit: dict[int, tuple[str, str]] = {}
-                for fu, text, cat in ents:
-                    ent_by_unit.setdefault(fu, (text, cat))
-
-                def repr_of(u_idx: int) -> tuple[str, str | None]:
-                    hit = ent_by_unit.get(u_idx)
-                    return hit if hit else (unit_rows[u_idx - 1][1], None)
-
-                vtrip = []
-                for v_idx, v_lemma, v_pos, _vh, _vr in unit_rows:
-                    if v_pos != "WW":
-                        continue
-                    subs = [u for u in unit_rows if u[3] == v_idx and u[4] == "su"]
-                    objs = [
-                        u for u in unit_rows if u[3] == v_idx and u[4] in OBJ_ROLES
-                    ]
-                    for su_u in subs:
-                        for ob_u in objs:
-                            s_repr, s_cat = repr_of(su_u[0])
-                            o_repr, o_cat = repr_of(ob_u[0])
-                            vtrip.append(
-                                {
-                                    "subj": s_repr, "pred": v_lemma,
-                                    "obj": o_repr, "subj_cat": s_cat,
-                                    "obj_cat": o_cat,
-                                }
-                            )
+                vtrip = [
+                    {
+                        "subj": s, "pred": p, "obj": o,
+                        "subj_cat": sc, "obj_cat": oc,
+                    }
+                    for s, p, o, sc, oc in verb_triples_py(unit_rows, ents)
+                ]
                 if vtrip:
                     rows[0]["verb_triples"] = vtrip
                 if cfg.do_ner and len(ents) >= 2:

@@ -49,9 +49,12 @@ def annotate_stream(
             .parquet(output_path)
         )
 
+    # no watermark here: foreachBatch has no stateful operator to bound
+    # (late-data handling lives in windowed_turn_counts, which sets its
+    # own watermark); a watermark ahead of foreachBatch would be a no-op
+    # that only suggests otherwise
     return (
-        stream.withWatermark("ts", "1 hour")
-        .writeStream.foreachBatch(handle)
+        stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

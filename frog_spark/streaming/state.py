@@ -81,13 +81,20 @@ def conversation_entity_state(
             n_turns += len(pdf)
             for text in pdf["text"]:
                 toks = [t.word.lower() for t in tokenize_text(text or "")]
-                for i in range(len(toks)):
-                    # longest match first per position
+                i = 0
+                while i < len(toks):
+                    # longest match first per position; a match CONSUMES
+                    # its tokens, so a name nested inside a longer
+                    # matched name ('rekenkamer' in 'algemene
+                    # rekenkamer') is not double-counted
+                    matched = 0
                     for n in range(min(max_n, len(toks) - i), 0, -1):
                         g = " ".join(toks[i : i + n])
                         if g in name_set:
                             hist[g] = hist.get(g, 0) + 1
+                            matched = n
                             break
+                    i += matched or 1
         state.update((n_turns, list(hist.keys()), list(hist.values())))
         state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
         top = max(hist.items(), key=lambda kv: (kv[1], kv[0]), default=(None, 0))
