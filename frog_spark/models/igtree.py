@@ -135,8 +135,14 @@ class IGTree:
             if nxt is None:
                 break
             node = nxt
-        total = sum(node.dist.values()) or 1
-        return node.label, node.dist.get(node.label, 0) / total
+        nd = node.norm_dist
+        if nd is None:
+            # cached per node (shared with distribution()): the hot parser
+            # path classifies ~150x per sentence and the per-call dist-sum
+            # dominated the walk itself
+            total = sum(node.dist.values()) or 1
+            nd = node.norm_dist = {k: v / total for k, v in node.dist.items()}
+        return node.label, nd.get(node.label, 0.0)
 
     def distribution(self, features: Sequence[str]) -> dict[str, float]:
         node = self.root
@@ -145,7 +151,7 @@ class IGTree:
             if nxt is None:
                 break
             node = nxt
-        cached = getattr(node, "norm_dist", None)
+        cached = node.norm_dist
         if cached is None:
             total = sum(node.dist.values()) or 1
             cached = node.norm_dist = {k: v / total for k, v in node.dist.items()}

@@ -153,7 +153,36 @@ class Mblem:
             return found
         return False
 
+    _MEMO_MAX = 200_000  # bounded per-executor memo (see lemmatize)
+
+    def __getstate__(self):
+        # drop the memo so broadcast size stays deterministic (model_mb
+        # is a recorded metric) and executors start cold
+        state = dict(self.__dict__)
+        state.pop("_memo", None)
+        return state
+
     def lemmatize(
+        self, word: str, cgn_tag: str, token_class: str = "WORD"
+    ) -> list[str]:
+        """Memoized per (word, tag, token_class) — pure function of those
+        args and the frozen model; one-token sentence variants miss the
+        sentence cache but hit here. Callers must treat the returned list
+        as immutable (every in-repo consumer only reads / copies it)."""
+        key = (word, cgn_tag, token_class)
+        memo = getattr(self, "_memo", None)
+        if memo is None:
+            memo = self._memo = {}
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
+        out = self._lemmatize_uncached(word, cgn_tag, token_class)
+        if len(memo) >= self._MEMO_MAX:
+            memo.clear()
+        memo[key] = out
+        return out
+
+    def _lemmatize_uncached(
         self, word: str, cgn_tag: str, token_class: str = "WORD"
     ) -> list[str]:
         """Return lemma alternatives (Classify,

@@ -232,6 +232,15 @@ class Mbma:
         compound = "0" if best.compound == mr.NONE else best.compound
         return morph, compound
 
+    _MEMO_MAX = 200_000  # bounded per-executor memo (see analyze)
+
+    def __getstate__(self):
+        # drop the memo so broadcast size stays deterministic (model_mb
+        # is a recorded metric) and executors start cold
+        state = dict(self.__dict__)
+        state.pop("_memo", None)
+        return state
+
     def analyze(
         self,
         word: str,
@@ -244,7 +253,33 @@ class Mbma:
         ``next_tag`` is the POS tag of the following word (P3), consumed by
         the V2I inflection cleanup (check_next + getCleanInflect,
         mbma_mod.cxx:446-510).
-        """
+
+        Memoized per (word, tag, token_class, next_tag): the analysis is a
+        pure function of those four args and the frozen model, and corpora
+        repeat tokens heavily even when whole sentences differ (the
+        sentence-level cache in plans/pipeline.py misses on any one-token
+        variant; this memo converts those misses into per-token hits —
+        MBMA was ~26% of the uncached annotate profile)."""
+        key = (word, cgn_tag, token_class, next_tag)
+        memo = getattr(self, "_memo", None)
+        if memo is None:
+            memo = self._memo = {}
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
+        out = self._analyze_uncached(word, cgn_tag, token_class, next_tag)
+        if len(memo) >= self._MEMO_MAX:
+            memo.clear()
+        memo[key] = out
+        return out
+
+    def _analyze_uncached(
+        self,
+        word: str,
+        cgn_tag: str,
+        token_class: str = "WORD",
+        next_tag: str = "",
+    ) -> tuple[str, str]:
         head = cgn_tag.split("(", 1)[0]
         # M8 pass-through: LET/SPEC heads & abbreviations are one morpheme
         if token_class == "ABBREVIATION" or head in ("LET", "SPEC"):

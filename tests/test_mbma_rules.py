@@ -204,3 +204,22 @@ def test_analyze_next_tag_plumbing():
         "gek", "VNW(pers,pron,nomin,vol,2v,ev)", ["V", "0", "0/te2I"]
     )[0]
     assert (r_plain.inflection, r_keep.inflection) == ("te1", "te2I")
+
+
+def test_analyze_memo_transparent_and_unpickled():
+    """The per-token memo must be output-transparent, keyed on all four
+    args (next_tag included — the V2I path depends on it), and dropped
+    on pickling so broadcast size stays deterministic."""
+    import pickle
+
+    m = Mbma.train([("gek", "ADJ(vrij,basis,zonder)", "[gek]")])
+    a1 = m.analyze("gek", "ADJ(vrij,basis,zonder)")
+    a2 = m.analyze("gek", "ADJ(vrij,basis,zonder)")  # memo hit
+    assert a1 == a2 == m._analyze_uncached("gek", "ADJ(vrij,basis,zonder)")
+    # distinct next_tag -> distinct memo entries, not a stale hit
+    keys = set(m._memo)
+    m.analyze("gek", "ADJ(vrij,basis,zonder)", "WORD", "WW(pv,tgw,ev)")
+    assert len(m._memo) == len(keys) + 1
+    m2 = pickle.loads(pickle.dumps(m))
+    assert not hasattr(m2, "_memo")
+    assert m2.analyze("gek", "ADJ(vrij,basis,zonder)") == a1
