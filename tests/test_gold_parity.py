@@ -278,7 +278,7 @@ def test_mblem_prefix_edit_class(pipeline):
 
 
 def test_against_test_txt_slice_fixture(spark, pipeline):
-    """Reference-derived anchor (VERDICT r3 Next #5, widened to 11
+    """Reference-derived anchor (VERDICT r3 Next #5, widened to all 13
     sentences in round 5): the sentences of
     /root/reference/tests/test.txt that the gold corpus transcribes
     VERBATIM, diffed as full TABBED-SINK output — raw text in,
@@ -306,7 +306,7 @@ def test_against_test_txt_slice_fixture(spark, pipeline):
                 expected[sid] = []
             elif line and not line.startswith("#") and cur:
                 expected[cur].append(line.split("\t"))
-    assert len(expected) == 11
+    assert len(expected) == 13
 
     rows = [(sid, 0, "user", text, None, None) for sid, text in sent_texts.items()]
     tdf = spark.createDataFrame(
