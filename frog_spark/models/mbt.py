@@ -115,6 +115,15 @@ class MBTagger:
     #: held-out corpus: 300 is the optimum at exact gold parity).
     UNK_MAX_FREQ = 300
 
+    #: a KNOWN word with training frequency at most this is "rare": its
+    #: corpus tag set is one or two accidents, so when the external
+    #: inflection lexicon lists the word, the lexicon-constrained
+    #: context path re-decides the tag over the union of both tag sets
+    #: (see tag_sentence). 3 covers the measured failure class
+    #: (freq-1/2 -en verbs locked to a single infinitive reading)
+    #: without touching function words or well-attested content words.
+    RARE_KNOWN_MAX = 3
+
     #: open-class tag prefixes (bare class names so plain-tag test
     #: corpora work too; no closed-class CGN tag shares these prefixes)
     OPEN_CLASS = ("N", "WW", "ADJ", "SPEC", "TW")
@@ -203,14 +212,11 @@ class MBTagger:
                 if i + 1 < n
                 else BOUNDARY
             )
+            known_key = None
             if wkey in self.lexicon:
-                tag, conf = self.known_tree.classify(
-                    [prev2_tag, prev_tag, wkey, next_ambi]
-                )
+                known_key = wkey
             elif word.lower() in self.lexicon:
-                tag, conf = self.known_tree.classify(
-                    [prev2_tag, prev_tag, word.lower(), next_ambi]
-                )
+                known_key = word.lower()
             elif (
                 (cap := word[:1].upper() + word[1:]) != word
                 and cap in self.lexicon
@@ -221,9 +227,36 @@ class MBTagger:
                 # the stored key so the word feature matches training.
                 # NAME-only entries are excluded: 'de bakker' (the
                 # profession) must not borrow 'Bakker' (the surname).
+                known_key = cap
+            if known_key is not None:
                 tag, conf = self.known_tree.classify(
-                    [prev2_tag, prev_tag, cap, next_ambi]
+                    [prev2_tag, prev_tag, known_key, next_ambi]
                 )
+                # RARE known words defer to the richer external lexicon:
+                # a word seen once or twice in training locks its tag set
+                # to those accidents ('concurreren' appears only as an
+                # infinitive in the corpus, so 'Google en Yahoo
+                # concurreren' can never read pv,tgw,mv), and a tied
+                # two-way count makes the word-node leaf a coin flip.
+                # MBT itself splits known/unknown treatment by lexical
+                # frequency (Mbt's lexicon frequency threshold,
+                # mbt/docs); here a rare known word whose inflection-
+                # lexicon entry widens or matches its ambiguity is
+                # re-decided by the lexicon-constrained context path —
+                # over the UNION of corpus and external tags, so the
+                # gold reading always stays reachable.
+                if sum(self.lexicon[known_key].values()) <= self.RARE_KNOWN_MAX and (
+                    i == 0 or not word[:1].isupper()
+                ):
+                    ext = self.ext_lexicon.get(wkey) or self.ext_lexicon.get(
+                        word.lower()
+                    )
+                    if ext is not None:
+                        union = sorted(set(self.lexicon[known_key]) | set(ext))
+                        if len(union) > 1:
+                            tag, conf = self._constrained_tag(
+                                prev_tag, word, next_ambi, union
+                            )
             else:
                 # a capitalized word MID-sentence is name evidence the
                 # lowercase lexicon must not override ('De Vries' vs the
@@ -238,29 +271,7 @@ class MBTagger:
                     # lexical lookup: unambiguous in the external lexicon
                     tag, conf = ext[0], 1.0
                 elif ext is not None:
-                    # ambiguous: context (the unknown-word tree's
-                    # distribution) picks among the lexicon's tags only —
-                    # MBT's lexicon-constrained classification; the
-                    # corpus tag-bigram prior P(tag | prev_tag) breaks
-                    # ties the suffix distribution cannot see
-                    dist = self.unknown_tree.distribution(
-                        _unknown_feats(prev_tag, word, next_ambi)
-                    )
-                    # the suffix-context distribution decides; the
-                    # transition prior P(tag | prev_tag) breaks its ties
-                    # (a smoothed PRODUCT of the two was measured worse:
-                    # the prior overrode correct suffix evidence on
-                    # clause-final infinitives)
-                    tag = max(
-                        ext,
-                        key=lambda t: (
-                            dist.get(t, 0.0),
-                            self.bigram.get((prev_tag, t), 0),
-                            t,
-                        ),
-                    )
-                    total = sum(dist.get(t, 0.0) for t in ext)
-                    conf = dist.get(tag, 0.0) / total if total > 0 else 1.0 / len(ext)
+                    tag, conf = self._constrained_tag(prev_tag, word, next_ambi, ext)
                 else:
                     tag, conf = self.unknown_tree.classify(
                         _unknown_feats(prev_tag, word, next_ambi)
@@ -268,3 +279,27 @@ class MBTagger:
             out.append((tag, conf))
             prev2_tag, prev_tag = prev_tag, tag
         return out
+
+    def _constrained_tag(
+        self, prev_tag: str, word: str, next_ambi: str, tags: Sequence[str]
+    ) -> tuple[str, float]:
+        """Lexicon-constrained classification (MBT's known-word ambitag
+        semantics): the unknown-word tree's context/suffix distribution
+        picks among ``tags`` only; the corpus tag-bigram prior
+        P(tag | prev_tag) breaks ties the suffix distribution cannot see
+        (a smoothed PRODUCT of the two was measured worse: the prior
+        overrode correct suffix evidence on clause-final infinitives)."""
+        dist = self.unknown_tree.distribution(
+            _unknown_feats(prev_tag, word, next_ambi)
+        )
+        tag = max(
+            tags,
+            key=lambda t: (
+                dist.get(t, 0.0),
+                self.bigram.get((prev_tag, t), 0),
+                t,
+            ),
+        )
+        total = sum(dist.get(t, 0.0) for t in tags)
+        conf = dist.get(tag, 0.0) / total if total > 0 else 1.0 / len(tags)
+        return tag, conf

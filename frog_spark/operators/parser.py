@@ -50,7 +50,14 @@ PAIRS_ORDER = [13, 14, 12, 7, 10, 6, 8, 9, 11, 15, 1, 4, 0, 2, 3, 5]
 DIR_ORDER = [7, 15, 16, 5, 6, 8, 9, 17, 18, 19, 12, 10, 11, 13, 14, 0, 1, 2, 3, 4]
 # rels (15): w-2..w+2 (0-4), mods (5), t-2..t+2 (6-10), t-1^t0 (11),
 #            t0^t+1 (12), t-2^t-1^t0 (13), t0^t+1^t+2 (14)
-RELS_ORDER = [8, 11, 12, 13, 14, 6, 7, 9, 10, 5, 2, 0, 1, 3, 4]
+# Within the word block, LEFT-CONTEXT words before the focus word:
+# w-2/w-1 are usually closed-class (determiners, the governing verb's
+# clitics) and nearly always seen, while w0 is the open-class focus —
+# an unseen focus word would end the walk before the 'de' (mid-sentence
+# object) vs 'De' (sentence-initial subject) capitalization evidence
+# that separates su from obj1 in det-ADJ-N windows where the verb lies
+# outside the +/-2 context (measured: h07-class recall).
+RELS_ORDER = [8, 11, 12, 13, 14, 6, 7, 9, 10, 5, 0, 1, 2, 3, 4]
 
 
 def extract_tag(tv: str) -> tuple[str, str]:

@@ -641,6 +641,19 @@ def _np(rng: _Rng, s: _Sent, pp_mod: bool = False) -> tuple[int, bool]:
     if shape < 55:
         nu, plural = _np_common(rng, s, plural=None)
         if pp_mod:
+            if rng.flip(12):
+                # noun + prep + BARE INFINITIVE complement ('een nieuwe
+                # manier van werken', gold s43): prep mod->N, inf
+                # obj1->prep. Without this arm, every rare -en word
+                # after VZ(init) is a bare plural noun in training, so
+                # the lexicon-constrained tag path reads nominalized
+                # infinitives as N(soort,mv,basis).
+                pu = s.tok("van", VZ, "van", chunk="B-PP")
+                _sg3, inf, _vd, vlem = rng.choice(_V_TRANS)
+                iu = s.tok(inf, WW_INF, vlem, chunk="B-VP")
+                s.dep(pu, nu, "mod")
+                s.dep(iu, pu, "obj1")
+                return nu, plural
             prep = rng.choice(_PREP_N)
             pu = s.tok(prep, VZ, prep, chunk="B-PP")
             inner = _np_common(rng, s)[0] if rng.flip(70) else _np_name(rng, s)

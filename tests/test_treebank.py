@@ -115,10 +115,12 @@ def test_treebank_df_matches_driver(spark):
 
 def test_external_heldout_generalization_gate(pipeline):
     """On the NEVER-trained held-out corpus (103 sentences) the default
-    pipeline must reach heads >= 0.95, triple recall >= 0.85 and
-    precision >= 0.88. Round-5 models (inflection lexicon + ddfa tagger
-    + widened treebank) measure ~0.977 heads, ~0.93 recall, ~0.96
-    precision (round 4: 0.95/0.78/0.85; round 3 on the easier 28: heads
+    pipeline must reach heads >= 0.96, triple recall >= 0.92 and
+    precision >= 0.92. Round-5 models (inflection lexicon + ddfa tagger
+    + widened treebank + rare-known-word lexical reclassification)
+    measure ~0.984 heads, ~0.96 recall, ~0.96 precision — the north
+    rule's >=0.95 triple target now holds on never-trained text
+    (round 4: 0.95/0.78/0.85; round 3 on the easier 28: heads
     0.77 / recall 0.33). The gate leaves noise margin: 74 gold triples
     make one triple ~0.014, and treebank template edits resample the
     generated corpus, flipping boundary sentences. Uses the session
@@ -144,6 +146,6 @@ def test_external_heldout_generalization_gate(pipeline):
         gold_t |= gold_sentence_triples(s, lex)
     heads = ok / tot
     p, r = precision_recall(pred_t, gold_t)
-    assert heads >= 0.95, f"held-out heads {heads:.4f} < 0.95"
-    assert r >= 0.85, f"held-out triple recall {r:.4f} < 0.85"
-    assert p >= 0.88, f"held-out triple precision {p:.4f} < 0.88"
+    assert heads >= 0.96, f"held-out heads {heads:.4f} < 0.96"
+    assert r >= 0.92, f"held-out triple recall {r:.4f} < 0.92"
+    assert p >= 0.92, f"held-out triple precision {p:.4f} < 0.92"
