@@ -44,7 +44,12 @@ DEFAULT_EDGE = -0.5  # ckyparser.cxx:169 (bestEdge default)
 # 0.78 at byte-identical gold-corpus output.) Feature index maps:
 # pairs (16): w-1 w0 w1 wh-1 wh0 wh1 t-1 t0 t1 th-1 th0 th1 t^th
 #             dir dist mods^mods  (Parser.cxx:328-475)
-PAIRS_ORDER = [13, 14, 12, 7, 10, 6, 8, 9, 11, 15, 1, 4, 0, 2, 3, 5]
+# Within the word block, the HEAD word (f4) before the DEP word (f1):
+# candidate heads are verbs, prepositions, and auxiliaries — far more
+# often in-vocabulary than the open-class dependent — so an unseen dep
+# word must not end the walk before the head word is read (same
+# truncation argument as RELS_ORDER's left-context-first word block).
+PAIRS_ORDER = [13, 14, 12, 7, 10, 6, 8, 9, 11, 15, 4, 1, 0, 2, 3, 5]
 # dir (20): w-2..w+2 (0-4), t-2..t+2 (5-9), w^t-2..w^t+2 (10-14),
 #           t-1^t0 (15), t0^t+1 (16), m-1 m0 m+1 (17-19)
 DIR_ORDER = [7, 15, 16, 5, 6, 8, 9, 17, 18, 19, 12, 10, 11, 13, 14, 0, 1, 2, 3, 4]

