@@ -251,7 +251,13 @@ class MBTagger:
                     ext = self.ext_lexicon.get(wkey) or self.ext_lexicon.get(
                         word.lower()
                     )
-                    if ext is not None:
+                    # VERBAL entries only: the measured failure class is
+                    # rare -en verbs corpus-locked to one finiteness
+                    # reading. Re-deciding rare ADJECTIVES was measured
+                    # to break gold parity ('waarschijnlijk' s81: the
+                    # corpus prenom reading is right and the context
+                    # vote prefers vrij).
+                    if ext is not None and any(t.startswith("WW(") for t in ext):
                         union = sorted(set(self.lexicon[known_key]) | set(ext))
                         if len(union) > 1:
                             tag, conf = self._constrained_tag(

@@ -640,6 +640,41 @@ REGULAR_VERBS: list = [
     ("blesseren", "blesseer"), ("signaleren", "signaleer"),
     ("markeren", "markeer"), ("rapporteren", "rapporteer"),
     ("solliciteren", "solliciteer"), ("debatteren", "debatteer"),
+    # unstressed -eren/-elen (stem keeps the schwa: weiger-t, not
+    # *weigert-from-weigr — the round-5 probe's 'weigert -> weigren'
+    # lemma error class: MBLEM's learned edits mis-generalize unseen
+    # -ert surfaces unless this class is represented)
+    "weigeren", "ver|overen", "ver|zekeren", "her|inneren",
+    "ver|minderen", "minderen", "hinderen", "ver|hinderen",
+    "plunderen", "haperen", "offeren", "op|offeren", "filteren",
+    "stotteren", "bibberen", "huiveren", "kletteren", "fladderen",
+    "wankelen", "strompelen", "sleutelen", "goochelen", "bungelen",
+    "borrelen", "stapelen", "op|stapelen", "bundelen", "kibbelen",
+    # separable weak verbs (particle + ge-participle: uitgevoerd)
+    "uit|voeren", "in|voeren", "door|voeren", "in|richten",
+    "aan|kondigen", "uit|nodigen", "op|halen", "af|halen",
+    "in|leveren", "op|leveren", "uit|werken", "bij|werken",
+    "samen|werken", "terug|keren", "af|melden", "in|schakelen",
+    "uit|schakelen", "om|ruilen", "toe|voegen",
+    # separable strong verbs (explicit ablaut forms)
+    ("aan|bieden", "bied", "bood", "boden", "geboden"),
+    ("over|nemen", "neem", "nam", "namen", "genomen"),
+    ("deel|nemen", "neem", "nam", "namen", "genomen"),
+    ("om|schrijven", "schrijf", "schreef", "schreven", "geschreven"),
+    ("af|wijzen", "wijs", "wees", "wezen", "gewezen"),
+    ("toe|wijzen", "wijs", "wees", "wezen", "gewezen"),
+    ("aan|wijzen", "wijs", "wees", "wezen", "gewezen"),
+    ("af|sluiten", "sluit", "sloot", "sloten", "gesloten"),
+    ("aan|sluiten", "sluit", "sloot", "sloten", "gesloten"),
+    ("over|wegen", "weeg", "woog", "wogen", "gewogen"),
+    ("plaats|vinden", "vind", "vond", "vonden", "gevonden"),
+    ("op|zoeken", "zoek", "zocht", "zochten", "gezocht"),
+    ("na|kijken", "kijk", "keek", "keken", "gekeken"),
+    # stems the spelling rules cannot derive: voorbereiden's core is
+    # be|reiden (no participial ge-), afgelasten's core already starts
+    # with ge- (vd 'afgelast', not *afgegelast)
+    ("voor|bereiden", "bereid", "bereidde", "bereidden", "bereid"),
+    ("af|gelasten", "gelast", "gelastte", "gelastten", "gelast"),
 ]
 
 # -- nouns: (marked_sg, plural_surface, gender) ---------------------------
@@ -910,6 +945,22 @@ PREPOSITIONS: list[str] = [
     "wegens", "zonder", "in",
 ]
 
+# -- possessive determiners (closed class; CGN bez tags) ------------------
+# 'zijn' is deliberately absent: its verb reading dominates and the
+# two-way ambiguity belongs to the context disambiguator, not a lexicon
+# row. 'haar' the noun (hair) is rare enough that the determiner
+# reading owning the surface is the right prior (round-5 probe p32/p35:
+# unknown-word 'haar' tagged ADJ/TW and broke det attachment).
+POSSESSIVES: list[tuple[str, str]] = [
+    ("mijn", "VNW(bez,det,stan,vol,1,ev,prenom,zonder,agr)"),
+    ("jouw", "VNW(bez,det,stan,vol,2,ev,prenom,zonder,agr)"),
+    ("uw", "VNW(bez,det,stan,vol,2,ev,prenom,zonder,agr)"),
+    ("haar", "VNW(bez,det,stan,vol,3,ev,prenom,zonder,agr)"),
+    ("hun", "VNW(bez,det,stan,vol,3,mv,prenom,zonder,agr)"),
+    ("ons", "VNW(bez,det,stan,vol,1,mv,prenom,zonder,agr)"),
+    ("onze", "VNW(bez,det,stan,vol,1,mv,prenom,met-e,rest)"),
+]
+
 # -- adverbs (invariant, BW()) --------------------------------------------
 ADVERBS: list[str] = [
     "vandaag", "morgen", "gisteren", "vanavond", "vanmorgen",
@@ -919,7 +970,16 @@ ADVERBS: list[str] = [
     "daarvoor", "bijna", "ongeveer", "vooral", "samen", "alleen",
     "opnieuw", "eindelijk", "plotseling", "langzaamaan", "nauwelijks",
     "meestal", "intussen", "inmiddels", "tenminste", "overal",
-    "nergens", "ergens", "buiten", "binnen", "thuis", "terug",
+    "nergens", "ergens", "buiten", "binnen", "thuis", "terug", "al",
+]
+
+# -- cardinal numerals (closed class, TW) ---------------------------------
+NUMERALS: list[str] = [
+    "een", "twee", "drie", "vier", "vijf", "zes", "zeven", "acht",
+    "negen", "tien", "elf", "twaalf", "dertien", "veertien", "vijftien",
+    "zestien", "zeventien", "achttien", "negentien", "twintig",
+    "dertig", "veertig", "vijftig", "zestig", "zeventig", "tachtig",
+    "negentig", "honderd", "duizend", "miljoen", "miljard",
 ]
 
 # -- adjectives: marked base forms ----------------------------------------
@@ -987,6 +1047,15 @@ def _all_rows() -> tuple:
         rows.append((w, "BW()", w, f"[{w}]"))
     for w in PREPOSITIONS:
         rows.append((w, "VZ(init)", w, f"[{w}]"))
+    for w, tag in POSSESSIVES:
+        rows.append((w, tag, w, f"[{w}]"))
+    for w in NUMERALS:
+        if w == "een":
+            # 'een' the article dominates the numeral reading by orders
+            # of magnitude; a TW row would force every indefinite
+            # article through the ambiguity path
+            continue
+        rows.append((w, "TW(hoofd,prenom,stan)", w, f"[{w}]"))
     # dedup exact duplicates (a word list may repeat an entry)
     seen = set()
     out = []

@@ -143,6 +143,8 @@ _V_TRANS = [
     ("bakt", "bakken", "gebakken", "bakken"), ("gooit", "gooien", "gegooid", "gooien"),
     ("pakt", "pakken", "gepakt", "pakken"), ("herstelt", "herstellen", "hersteld", "herstellen"),
     ("verzint", "verzinnen", "verzonnen", "verzinnen"),
+    ("verrast", "verrassen", "verrast", "verrassen"),
+    ("test", "testen", "getest", "testen"),
     ("verdedigt", "verdedigen", "verdedigd", "verdedigen"),
     ("reinigt", "reinigen", "gereinigd", "reinigen"),
     ("wandelt", "wandelen", "gewandeld", "wandelen"),
@@ -167,6 +169,9 @@ _V_PC = [
     ("praat", "praten", "praten", "over"), ("klaagt", "klagen", "klagen", "over"),
     ("strijdt", "strijden", "strijden", "tegen"), ("begint", "beginnen", "beginnen", "met"),
     ("stopt", "stoppen", "stoppen", "met"), ("gelooft", "geloven", "geloven", "in"),
+    ("stemt", "stemmen", "stemmen", "tegen"),
+    ("vecht", "vechten", "vechten", "tegen"),
+    ("wijst", "wijzen", "wijzen", "op"),
 ]
 
 # separable verbs: (3sg, particle, lemma)
@@ -198,6 +203,7 @@ _ADVS = [
     ("vaak", "vaak"), ("soms", "soms"), ("nooit", "nooit"),
     ("hier", "hier"), ("daar", "daar"), ("nu", "nu"), ("later", "later"),
     ("meestal", "meestal"), ("zelden", "zelden"),
+    ("buiten", "buiten"), ("binnen", "binnen"),
 ]
 _WH = [("Waarom", "waarom"), ("Wanneer", "wanneer"), ("Waar", "waar")]
 _PRONS = [
@@ -240,6 +246,8 @@ _MORPH_EXCEPTIONS = {
     "afdeling": "[af][deling]", "afdelingen": "[af][deling][en]",
     "buurman": "[buur][man]", "buurmannen": "[buur][mann][en]",
     "voorjaar": "[voor][jaar]",
+    "volgend": "[volg][end]", "komende": "[kom][end][e]",
+    "vorige": "[vorig][e]",
     "tentoonstelling": "[tentoonstelling]",
     "tentoonstellingen": "[tentoonstelling][en]",
     "woestijn": "[woestijn]", "woestijnen": "[woestijn][en]",
@@ -535,10 +543,19 @@ def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
                 nu = s.tok(_cap(s, pl), N_MV, lemma, chunk="B-NP")
             return nu, True
         if allow_num and rng.flip(30):
-            # bare cardinal + plural: 'drie brieven' (TW -> det, h11)
+            # bare cardinal + plural: 'drie brieven' (TW -> det, h11);
+            # optionally with an adjective ('drie nieuwe winkels',
+            # round-5 probe p28 — without the shape the TW in a
+            # TW-ADJ-N window loses its det head)
             card = rng.choice(_TW_CARDS)
             cu = s.tok(_cap(s, card), TW_CARD, card, chunk="B-NP")
-            nu = s.tok(pl, N_MV, lemma, chunk="I-NP")
+            if allow_adj and rng.flip(25):
+                ab, ae, alem = rng.choice(_ADJS)
+                au = s.tok(ae, ADJ_E, alem, chunk="I-NP")
+                nu = s.tok(pl, N_MV, lemma, chunk="I-NP")
+                s.dep(au, nu, "mod")
+            else:
+                nu = s.tok(pl, N_MV, lemma, chunk="I-NP")
             s.dep(cu, nu, "det")
             return nu, True
         du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
@@ -721,8 +738,12 @@ def _t_svo(rng: _Rng, s: _Sent) -> None:
         # object attached into the PP instead (h100-class triple loss)
         if rng.flip(40):
             _adv(rng, s, v)
-        else:
+        elif rng.flip(55):
             _pp_verb(rng, s, v)
+        else:
+            # mid-field temporal NP before the object ('verkoopt elke
+            # maand vers brood' shape — round-5 probe p18/p27 class)
+            _t_duration_np(rng, s, v)
     ob, _ = _np(rng, s, pp_mod=rng.flip(25))
     s.dep(su, v, "su")
     s.dep(ob, v, "obj1")
@@ -799,6 +820,35 @@ def _t_svo_mid_pp(rng: _Rng, s: _Sent) -> None:
     _end(rng, s, v)
 
 
+def _t_svo_mid_temporal(rng: _Rng, s: _Sent) -> None:
+    """Transitive verb + mid-field temporal NP + object: 'De bakkerij
+    verkoopt elke maand vers brood' / 'Het museum toont deze lente een
+    beroemde verzameling' (round-5 probe p18/p27/p28 class). Dedicated
+    template (like _t_svo_mid_pp) because the (object -> verb) pair
+    node is keyed by exact distance: the temporal NP shifts the object
+    to LEFT-dist 4-6 and those cells need their own mass. Half the
+    objects take the determiner-less ADJ+mass-noun shape ('vers brood')
+    whose N otherwise has no det-less obj1 evidence at all."""
+    su, plural = _np_common(rng, s, plural=None, allow_adj=False,
+                            allow_num=False)
+    w, tag, lemma = _vfin_trans(rng, plural)
+    v = s.tok(w, tag, lemma, chunk="B-VP")
+    _t_duration_np(rng, s, v)
+    if rng.flip(50):
+        # det-less object: zonder-ADJ only combines with onz singulars
+        # ('vers brood', not *'vers soep')
+        ab, _ae, alem = rng.choice(_ADJS)
+        au = s.tok(ab, "ADJ(prenom,basis,zonder)", alem, chunk="B-NP")
+        sg, _pl, _g, nlem = rng.choice([n for n in _NOUNS if n[2] == "het"])
+        ob = s.tok(sg, N_HET, nlem, chunk="I-NP")
+        s.dep(au, ob, "mod")
+    else:
+        ob, _ = _np(rng, s)
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    _end(rng, s, v)
+
+
 def _t_intrans(rng: _Rng, s: _Sent) -> None:
     """NP(+PP) V_intrans (ADV | vrij-ADJ | duration-NP mod) — the
     h16/h25 shape. The vrij-ADJ arm carries the pre-word-node majority
@@ -817,34 +867,91 @@ def _t_intrans(rng: _Rng, s: _Sent) -> None:
         ab, _ae, alem = rng.choice(_ADJS)
         au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
         s.dep(au, v, "mod")
+        if rng.flip(20):
+            # modifier + directional PP: 'fietsen dagelijks naar de
+            # campus' (round-5 probe p19 class — without the shape the
+            # vrij-ADJ read predc and the PP's NP read obj1). Minority:
+            # the pure ADJ-then-END shape carries the mod-not-predc
+            # majority for unseen intransitives (h25 class)
+            _pp_verb(rng, s, v)
     elif shape < 55:
         _adv(rng, s, v)
+        if rng.flip(25):
+            _pp_verb(rng, s, v)
     elif shape < 80:
         _t_duration_np(rng, s, v)
+        if rng.flip(30):
+            # duration + locative PP, both mod on the verb ('werkt al
+            # twintig jaar in het ziekenhuis', probe p26 class)
+            _pp_verb(rng, s, v)
     _end(rng, s, v)
 
 
-def _t_duration_np(rng: _Rng, s: _Sent, v: int) -> None:
+#: temporal nouns/determiners for the duration-NP shapes. The nouns are
+#: NOT in the held-out or probe corpora (disjointness preserved); the
+#: VARIETY matters: with one noun ('jaar') the mod reading lived on a
+#: single word branch, and the round-5 probe's unseen temporal nouns
+#: (ochtend/zomer/weekend/week) walked det+N tag paths owned by obj1
+#: (p18/p20/p27/p28/p34 class: fabricated '<su> <verb> <timespan>'
+#: triples that also steal the real object's attachment).
+_TEMPORAL_DE = ["maand", "middag", "avond", "lente"]
+_TEMPORAL_DETS_DE = [
+    ("elke", "VNW(onbep,det,stan,prenom,met-e,rest)", "elke", "det"),
+    ("deze", "VNW(aanw,det,stan,prenom,met-e,rest)", "deze", "det"),
+    ("komende", ADJ_E, "komend", "mod"),
+    ("vorige", ADJ_E, "vorig", "mod"),
+]
+_TEMPORAL_DETS_HET = [
+    ("dit", "VNW(aanw,det,stan,prenom,zonder,evon)", "dit", "det"),
+    ("elk", "VNW(onbep,det,stan,prenom,zonder,evon)", "elk", "det"),
+    ("volgend", "ADJ(prenom,basis,zonder)", "volgend", "mod"),
+]
+
+
+def _t_duration_np(rng: _Rng, s: _Sent, v: int | None) -> int:
+    # NOTE: a det+e-ADJ+temporal arm ('het hele weekend' -> mod, probe
+    # p29) was tried here and REVERTED: the LID^ADJ^N mod mass flipped
+    # unseen-verb det-ADJ-N OBJECTS to mod (held-out h67-class recall
+    # loss). The shape is locally feature-identical to an object; it
+    # stays out until a discriminating feature exists.
     """Bare temporal/measure NP as a verb modifier: 'twee jaar',
-    'dit jaar' (gold s81 'begin volgend jaar' / held-out h39 'dit
-    jaar' conventions: the NP head takes mod on the verb). 'jaar' is
-    gold vocabulary (s81), so held-out disjointness is preserved."""
-    if rng.flip(25):
+    'dit jaar', 'elke maand', 'komende lente' (gold s81 'begin volgend
+    jaar' / held-out h39 'dit jaar' conventions: the NP head takes mod
+    on the verb; VNW determiners take det, prenominal ADJs take mod).
+    Pass ``v=None`` when the governing verb is emitted later (modal
+    infinitives) and attach the returned unit yourself."""
+    if rng.flip(20):
         # cardinal measure ('twee jaar') stays a MINORITY shape: its
         # (dep-1=TW, dep=N) prefix is shared with cardinal OBJECTS
         # ('drie zaken'), and a duration-heavy prior at that node would
         # flip unseen cardinal objects to mod (measured: h34/h49-class
         # recall loss). The singular-onz subtag + sentence-final dep+1
         # keep the deeper branches separable.
+        al_u = None
+        if rng.flip(25):
+            # 'al twee jaar' — 'al' modifies the duration NOUN, not the
+            # verb (probe p26 convention)
+            al_u = s.tok("al", BW, "al", chunk="B-ADVP")
         card = rng.choice(_TW_CARDS)
         cu = s.tok(card, TW_CARD, card, chunk="B-NP")
         nu = s.tok("jaar", N_HET, "jaar", chunk="I-NP")
         s.dep(cu, nu, "det")
-    else:
-        du = s.tok("dit", "VNW(aanw,det,stan,prenom,zonder,evon)", "dit", chunk="B-NP")
+        if al_u is not None:
+            s.dep(al_u, nu, "mod")
+    elif rng.flip(40):
+        dw, dtag, dlem, drel = rng.choice(_TEMPORAL_DETS_HET)
+        du = s.tok(dw, dtag, dlem, chunk="B-NP")
         nu = s.tok("jaar", N_HET, "jaar", chunk="I-NP")
-        s.dep(du, nu, "det")
-    s.dep(nu, v, "mod")
+        s.dep(du, nu, drel)
+    else:
+        dw, dtag, dlem, drel = rng.choice(_TEMPORAL_DETS_DE)
+        du = s.tok(dw, dtag, dlem, chunk="B-NP")
+        noun = rng.choice(_TEMPORAL_DE)
+        nu = s.tok(noun, N_DE, noun, chunk="I-NP")
+        s.dep(du, nu, drel)
+    if v is not None:
+        s.dep(nu, v, "mod")
+    return nu
 
 
 def _t_copula_adj(rng: _Rng, s: _Sent) -> None:
@@ -914,13 +1021,29 @@ def _t_fronted(rng: _Rng, s: _Sent) -> None:
         # owned entirely by svo-tail OBJECTS, so inverted subjects of
         # unseen intransitives read obj1.
         iplural = rng.flip(50)
-        if rng.flip(55):
+        if rng.flip(40):
             prep = rng.choice(_PREP_V)
             pu = s.tok(_cap(s, prep), VZ, prep, chunk="B-PP")
             inner = (
                 _np_name(rng, s, kind="loc") if rng.flip(45)
                 else _np_common(rng, s, plural=False)[0]
             )
+        elif rng.flip(45):
+            # fronted TEMPORAL NP + inversion: 'Komende maand start de
+            # verbouwing van het station' (round-5 probe p34 class —
+            # without it the fronted det-N reads su and the post-verbal
+            # subject reads obj1, fabricating a timespan-subject triple)
+            if rng.flip(40):
+                dw, dtag, dlem, drel = rng.choice(_TEMPORAL_DETS_HET)
+                du = s.tok(_cap(s, dw), dtag, dlem, chunk="B-NP")
+                pu = s.tok("jaar", N_HET, "jaar", chunk="I-NP")
+            else:
+                dw, dtag, dlem, drel = rng.choice(_TEMPORAL_DETS_DE)
+                du = s.tok(_cap(s, dw), dtag, dlem, chunk="B-NP")
+                noun = rng.choice(_TEMPORAL_DE)
+                pu = s.tok(noun, N_DE, noun, chunk="I-NP")
+            s.dep(du, pu, drel)
+            inner = None
         else:
             w, alem = rng.choice(_ADVS)
             pu = s.tok(_cap(s, w), BW, alem, chunk="B-ADVP")
@@ -933,7 +1056,16 @@ def _t_fronted(rng: _Rng, s: _Sent) -> None:
             s.dep(inner, pu, "obj1")
         su, _ = _np_common(rng, s, plural=iplural, allow_num=False)
         s.dep(su, v, "su")
-        if rng.flip(60):
+        if rng.flip(30) and not iplural:
+            # post-verbal subject with a van-PP ('start de verbouwing
+            # van het station', probe p34): the PP attaches to the
+            # inverted SUBJECT, not the verb
+            vp = s.tok("van", VZ, "van", chunk="B-PP")
+            vin = (_np_common(rng, s, plural=False)[0] if rng.flip(60)
+                   else _np_name(rng, s))
+            s.dep(vp, su, "mod")
+            s.dep(vin, vp, "obj1")
+        elif rng.flip(60):
             _adv(rng, s, v)
         _end(rng, s, v)
         return
@@ -970,6 +1102,73 @@ def _t_fronted(rng: _Rng, s: _Sent) -> None:
     _end(rng, s, v)
 
 
+def _t_fronted_temporal(rng: _Rng, s: _Sent) -> None:
+    """Fronted temporal NP + verb-second inversion: 'Komende maand
+    start de verbouwing van het station' (round-5 probe p34 class).
+    Dedicated template: as a sub-arm of _t_fronted the shape drew ~40
+    sentences at 12k and the fronted ADJ^N window kept reading su with
+    the post-verbal subject as obj1."""
+    if rng.flip(40):
+        dw, dtag, dlem, drel = rng.choice(_TEMPORAL_DETS_HET)
+        du = s.tok(_cap(s, dw), dtag, dlem, chunk="B-NP")
+        nu = s.tok("jaar", N_HET, "jaar", chunk="I-NP")
+    else:
+        dw, dtag, dlem, drel = rng.choice(_TEMPORAL_DETS_DE)
+        du = s.tok(_cap(s, dw), dtag, dlem, chunk="B-NP")
+        noun = rng.choice(_TEMPORAL_DE)
+        nu = s.tok(noun, N_DE, noun, chunk="I-NP")
+    s.dep(du, nu, drel)
+    iplural = rng.flip(30)
+    sg3i, pli, ilem = rng.choice(_V_INTRANS)
+    v = s.tok(pli if iplural else sg3i, WW_MV if iplural else WW_T,
+              ilem, chunk="B-VP")
+    s.dep(nu, v, "mod")
+    su, _ = _np_common(rng, s, plural=iplural, allow_num=False)
+    s.dep(su, v, "su")
+    if rng.flip(35) and not iplural:
+        vp = s.tok("van", VZ, "van", chunk="B-PP")
+        vin = (_np_common(rng, s, plural=False)[0] if rng.flip(60)
+               else _np_name(rng, s))
+        s.dep(vp, su, "mod")
+        s.dep(vin, vp, "obj1")
+    _end(rng, s, v)
+
+
+def _t_fronted_past(rng: _Rng, s: _Sent) -> None:
+    """Fronted PP + preterite inversion + (cardinal) object: 'Na de
+    pauze scoorde de aanvaller twee doelpunten' (round-5 probe p30
+    class). Dedicated template for the same mass reason as
+    _t_fronted_temporal."""
+    prep = rng.choice(_PREP_V + ["na", "tijdens"])
+    pu = s.tok(_cap(s, prep), VZ, prep, chunk="B-PP")
+    inner, _ = _np_common(rng, s, plural=False, allow_num=False)
+    ev, _mv, vlemma = rng.choice(_V_TRANS_VERL)
+    v = s.tok(ev, WW_VERL_EV, vlemma, chunk="B-VP")
+    s.dep(pu, v, "mod")
+    s.dep(inner, pu, "obj1")
+    # subject restricted to pronouns/names: a det-N subject at RIGHT
+    # dist 2 of a preterite is feature-identical to a past-SVO OBJECT
+    # (the fronted PP sits outside every context window), and training
+    # det-N su there was measured to flip held-out SVO objects to su
+    # (h29/h67/h81-class recall loss)
+    if rng.flip(45):
+        w, tag, lemma = rng.choice(_PRONS[:2])
+        su = s.tok(w, tag, lemma, chunk="B-NP")
+    else:
+        su = _np_name(rng, s)
+    if rng.flip(45):
+        card = rng.choice(_TW_CARDS)
+        cu = s.tok(card, TW_CARD, card, chunk="B-NP")
+        sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
+        ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
+        s.dep(cu, ob, "det")
+    else:
+        ob, _ = _np(rng, s)
+    s.dep(su, v, "su")
+    s.dep(ob, v, "obj1")
+    _end(rng, s, v)
+
+
 def _t_question(rng: _Rng, s: _Sent) -> None:
     wh, lemma = rng.choice(_WH)
     au = s.tok(wh, BW, lemma, chunk="B-ADVP")
@@ -994,7 +1193,10 @@ def _t_pc(rng: _Rng, s: _Sent) -> None:
     sg3, pl, lemma, prep = rng.choice(_V_PC)
     v = s.tok(pl if plural else sg3, WW_MV if plural else WW_T, lemma, chunk="B-VP")
     pu = s.tok(prep, VZ, prep, chunk="B-PP")
-    ob, _ = _np(rng, s)
+    # the pc object may itself carry a van-PP ('hoopt op een antwoord
+    # van de provincie', probe p36: without the shape the inner van-PP
+    # re-attached to the verb and its NP fabricated an obj1 triple)
+    ob, _ = _np(rng, s, pp_mod=rng.flip(30))
     s.dep(su, v, "su")
     s.dep(pu, v, "pc")
     s.dep(ob, pu, "obj1")
@@ -1039,10 +1241,23 @@ def _t_ditrans(rng: _Rng, s: _Sent) -> None:
 
 
 def _t_coord_su(rng: _Rng, s: _Sent) -> None:
-    """Name en Name V_pl ... — crd/cnj (h04/h23)."""
+    """Name en Name V_pl ... — crd/cnj (h04/h23). A minority second
+    conjunct is a possessive-det NP ('Sophie en haar broer', round-5
+    probe p32 class: without it the possessive and its noun both read
+    su and the coordination collapsed)."""
     a = _np_name(rng, s)
     en = s.tok("en", VG_NEVEN, "en")
-    b = _np_name(rng, s)
+    if rng.flip(25):
+        pw, ptag = rng.choice([
+            ("haar", "VNW(bez,det,stan,vol,3,ev,prenom,zonder,agr)"),
+            ("hun", "VNW(bez,det,stan,vol,3,mv,prenom,zonder,agr)"),
+        ])
+        pu = s.tok(pw, ptag, pw, chunk="B-NP")
+        sg, _pl, gender, nlem = rng.choice(_NOUNS)
+        b = s.tok(sg, N_DE if gender == "de" else N_HET, nlem, chunk="I-NP")
+        s.dep(pu, b, "det")
+    else:
+        b = _np_name(rng, s)
     s.dep(en, a, "crd")
     s.dep(b, en, "cnj")
     if rng.flip(60):
@@ -1090,7 +1305,21 @@ def _t_dat(rng: _Rng, s: _Sent) -> None:
     dat = s.tok("dat", VG_ONDER, "dat", chunk="B-SBAR")
     s.dep(su, v1, "su")
     s.dep(dat, v1, "vc")
-    if rng.flip(60):
+    if rng.flip(25):
+        # intransitive verb-final with a temporal NP before the clause
+        # verb: 'belooft dat de subsidie volgend jaar stijgt' (round-5
+        # probe p20 class — in verb-final order the temporal noun sits
+        # DIRECTLY before the verb, a position otherwise owned by
+        # verb-final objects, so it read obj1 and fabricated a triple)
+        su2, pl2 = _np_common(rng, s, plural=None, allow_adj=False,
+                              allow_num=False)
+        nu = _t_duration_np(rng, s, None)
+        sg3i, pli, ilem = rng.choice(_V_INTRANS)
+        v2 = s.tok(pli if pl2 else sg3i, WW_MV if pl2 else WW_T,
+                   ilem, chunk="B-VP")
+        s.dep(su2, v2, "su")
+        s.dep(nu, v2, "mod")
+    elif rng.flip(55):
         # transitive verb-final: dat SU OBJ V2
         su2, pl2 = _np(rng, s)
         ob2, _ = _np(rng, s)
@@ -1127,11 +1356,7 @@ def _t_modal(rng: _Rng, s: _Sent) -> None:
     modal = rng.choice([("wil", "willen", "willen"),
                         ("kan", "kunnen", "kunnen"), ("moet", "moeten", "moeten")])
     v = s.tok(modal[1] if plural else modal[0], WW_MV if plural else WW_EV, modal[2], chunk="B-VP")
-    dur_u = None
-    if rng.flip(20):
-        du = s.tok("dit", "VNW(aanw,det,stan,prenom,zonder,evon)", "dit", chunk="B-NP")
-        dur_u = s.tok("jaar", N_HET, "jaar", chunk="I-NP")
-        s.dep(du, dur_u, "det")
+    dur_u = _t_duration_np(rng, s, None) if rng.flip(20) else None
     ob, _ = _np(rng, s)
     sg3, inf, vd, lemma = rng.choice(_V_TRANS)
     adv_u = None
@@ -1154,6 +1379,26 @@ def _t_perfect(rng: _Rng, s: _Sent) -> None:
     may carry a PP ('heeft het verdrag over de begroting gesteund') and
     the mid-field a negation pair ('nog niet') — both shapes otherwise
     walk to nodes whose majority fabricates an aux-obj1 triple."""
+    if rng.flip(15):
+        # fronted PP + inversion: 'Volgens de trainer heeft de ploeg
+        # de wedstrijd gewonnen' (round-5 probe p21 class — with the
+        # aux mid-sentence, the object and participle both walked to
+        # root-adjacent nodes and the vc chain collapsed)
+        prep = rng.choice(["Volgens", "Na", "Ondanks"])
+        pu = s.tok(prep, VZ, prep.lower(), chunk="B-PP")
+        inner, _ = _np_common(rng, s, plural=False)
+        v = s.tok("heeft", WW_T, "hebben", chunk="B-VP")
+        s.dep(pu, v, "mod")
+        s.dep(inner, pu, "obj1")
+        su, _ = _np_common(rng, s, plural=False, allow_num=False)
+        ob, _ = _np(rng, s)
+        sg3, inf, vd, lemma = rng.choice(_V_TRANS)
+        du = s.tok(vd, WW_VD, lemma, chunk="B-VP")
+        s.dep(su, v, "su")
+        s.dep(ob, du, "obj1")
+        s.dep(du, v, "vc")
+        _end(rng, s, v)
+        return
     su, plural = _np(rng, s)
     v = s.tok("hebben" if plural else "heeft", WW_MV if plural else WW_T, "hebben", chunk="B-VP")
     # generous PP share: the (object-with-PP -> participle) pair node
@@ -1174,9 +1419,16 @@ def _t_perfect(rng: _Rng, s: _Sent) -> None:
         _end(rng, s, v)
         return
     adv_u = None
-    if rng.flip(30):
-        w, alem = rng.choice(_ADVS)
-        adv_u = s.tok(w, BW, alem, chunk="B-ADVP")
+    if rng.flip(35):
+        if rng.flip(55):
+            w, alem = rng.choice(_ADVS)
+            adv_u = s.tok(w, BW, alem, chunk="B-ADVP")
+        else:
+            # vrij-ADJ manner modifier before the participle ('heeft de
+            # klacht snel opgelost', probe p33: without this shape the
+            # ADJ walked to a predc node and the vc chain collapsed)
+            ab, _ae, alem = rng.choice(_ADJS)
+            adv_u = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
     du = s.tok(vd, WW_VD, lemma, chunk="B-VP")
     s.dep(su, v, "su")
     s.dep(ob, du, "obj1")
@@ -1266,10 +1518,20 @@ def _t_quote(rng: _Rng, s: _Sent) -> None:
 
 
 def _t_app(rng: _Rng, s: _Sent) -> None:
-    """Comma apposition: Det N , Name , V OBJ (gold s02 conventions)."""
+    """Comma apposition: Det N , (title-noun) Name , V OBJ (gold s02
+    conventions; the title-noun arm is the probe p24 'De rechter,
+    mevrouw Jansen, behandelt' class — the apposed unit chains
+    name -app-> title -app-> head noun)."""
     nu, _ = _np_common(rng, s, allow_adj=False)
     c1 = s.tok(",", LET, ",")
-    name = _np_name(rng, s, kind="per")
+    if rng.flip(35):
+        mu = s.tok("professor", N_DE, "professor", chunk="B-NP")
+        last = rng.choice(_LAST)
+        au = s.tok(last, SPEC, last, ner="B-per", chunk="I-NP")
+        s.dep(au, mu, "app")
+        name = mu
+    else:
+        name = _np_name(rng, s, kind="per")
     c2 = s.tok(",", LET, ",")
     sg3, pl, vd, lemma = rng.choice(_V_TRANS)
     v = s.tok(sg3, WW_T, lemma, chunk="B-VP")
@@ -1372,6 +1634,10 @@ for _v in _V_TRANS_VERL:
 # derived comparative forms (the disjointness test must see EVERYTHING
 # the generator can emit)
 CONTENT_WORDS.update(["ligt", "hangt", "zit", "maakt", "vindt", "jaar"])
+# temporal-NP vocabulary (duration-mod shapes; round-5 probe classes)
+CONTENT_WORDS.update(
+    ["maand", "middag", "avond", "lente", "komende", "vorige", "volgend"]
+)
 
 
 def _t_svo_past(rng: _Rng, s: _Sent) -> None:
@@ -1393,13 +1659,24 @@ def _t_passive_past(rng: _Rng, s: _Sent) -> None:
     su, plural = _np(rng, s)
     v = s.tok("werden" if plural else "werd", WW_VERL_MV if plural else WW_VERL_EV, "worden", chunk="B-VP")
     sg3, inf, vd, lemma = rng.choice(_V_TRANS)
-    if rng.flip(45):
+    pp_u = au = None
+    if rng.flip(25):
+        # causal PP between aux and participle: 'werd wegens de regen
+        # afgelast' (round-5 probe p17 class — the participle's prev
+        # token is then a NOUN, a context the unknown-word tree read as
+        # finite-verb territory, and the PP re-attached to the subject)
+        prep = rng.choice(["wegens", "vanwege", "ondanks"])
+        pp_u = s.tok(prep, VZ, prep, chunk="B-PP")
+        inner, _ = _np_common(rng, s, plural=False, allow_adj=False,
+                              allow_num=False)
+        s.dep(inner, pp_u, "obj1")
+    elif rng.flip(45):
         w, alem = rng.choice(_ADVS)
         au = s.tok(w, BW, alem, chunk="B-ADVP")
-    else:
-        au = None
     du = s.tok(vd, WW_VD, lemma, chunk="B-VP")
     s.dep(su, v, "su")
+    if pp_u is not None:
+        s.dep(pp_u, du, "mod")
     if au is not None:
         s.dep(au, du, "mod")
     s.dep(du, v, "vc")
@@ -1550,6 +1827,7 @@ _TEMPLATES: list[tuple] = [
     (_t_svo, 20),
     (_t_pron_svo_pp, 2),
     (_t_svo_mid_pp, 3),
+    (_t_svo_mid_temporal, 3),
     (_t_intrans, 8),
     (_t_copula_adj, 8),
     (_t_copula_np, 4),
