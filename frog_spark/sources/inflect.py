@@ -281,7 +281,13 @@ def _revoice(c: str) -> str:
 
 
 #: e-forms the spelling rules cannot derive (diaeresis)
-_ADJ_E_EXCEPTIONS = {"officieel": "officiële", "financieel": "financiële"}
+_ADJ_E_EXCEPTIONS = {
+    "officieel": "officiële", "financieel": "financiële",
+    # -ueel adjectives: the 'uee' vowel cluster hides the doubled 'ee'
+    # from the undoubling rule (which only fires on two-letter groups)
+    "actueel": "actuele", "eventueel": "eventuele",
+    "individueel": "individuele", "visueel": "visuele",
+}
 
 #: suppletive comparative/superlative pairs — the regular derivation
 #: would emit non-words ('goeder', 'goedst') while the REAL forms
@@ -534,6 +540,154 @@ IRREGULAR_VERBS: list[tuple] = [
     ("strijden", "strijd", "streed", "streden", "gestreden"),
     ("be|strijden", "strijd", "streed", "streden", "streden"),
     ("be|zwijken", "zwijk", "zweek", "zweken", "zweken"),
+    # ---- round-5 breadth batch: more strong verbs (parts explicit) ----
+    ("bijten", "bijt", "beet", "beten", "gebeten"),
+    ("blijken", "blijk", "bleek", "bleken", "gebleken"),
+    ("drijven", "drijf", "dreef", "dreven", "gedreven"),
+    ("glijden", "glijd", "gleed", "gleden", "gegleden"),
+    ("mijden", "mijd", "meed", "meden", "gemeden"),
+    ("ver|mijden", "mijd", "meed", "meden", "meden"),
+    ("wrijven", "wrijf", "wreef", "wreven", "gewreven"),
+    ("rijzen", "rijs", "rees", "rezen", "gerezen"),
+    ("smijten", "smijt", "smeet", "smeten", "gesmeten"),
+    ("knijpen", "knijp", "kneep", "knepen", "geknepen"),
+    ("strijken", "strijk", "streek", "streken", "gestreken"),
+    ("wijken", "wijk", "week", "weken", "geweken"),
+    ("af|wijken", "wijk", "week", "weken", "geweken"),
+    ("uit|wijken", "wijk", "week", "weken", "geweken"),
+    ("ont|wijken", "wijk", "week", "weken", "weken"),
+    ("liegen", "lieg", "loog", "logen", "gelogen"),
+    ("be|driegen", "drieg", "droog", "drogen", "drogen"),
+    ("zuigen", "zuig", "zoog", "zogen", "gezogen"),
+    ("sluipen", "sluip", "sloop", "slopen", "geslopen"),
+    ("kruipen", "kruip", "kroop", "kropen", "gekropen"),
+    ("druipen", "druip", "droop", "dropen", "gedropen"),
+    ("spuiten", "spuit", "spoot", "spoten", "gespoten"),
+    ("stinken", "stink", "stonk", "stonken", "gestonken"),
+    ("zinken", "zink", "zonk", "zonken", "gezonken"),
+    ("dringen", "dring", "drong", "drongen", "gedrongen"),
+    ("aan|dringen", "dring", "drong", "drongen", "gedrongen"),
+    ("klimmen", "klim", "klom", "klommen", "geklommen"),
+    ("glimmen", "glim", "glom", "glommen", "geglommen"),
+    ("schrikken", "schrik", "schrok", "schrokken", "geschrokken"),
+    ("treden", "treed", "trad", "traden", "getreden"),
+    ("op|treden", "treed", "trad", "traden", "getreden"),
+    ("af|treden", "treed", "trad", "traden", "getreden"),
+    ("toe|treden", "treed", "trad", "traden", "getreden"),
+    ("meten", "meet", "mat", "maten", "gemeten"),
+    ("stelen", "steel", "stal", "stalen", "gestolen"),
+    ("be|velen", "veel", "val", "valen", "volen"),
+    ("ge|nezen", "nees", "nas", "nazen", "nezen"),
+    ("graven", "graaf", "groef", "groeven", "gegraven"),
+    ("jagen", "jaag", "joeg", "joegen", "gejaagd"),
+    ("ver|jagen", "jaag", "joeg", "joegen", "jaagd"),
+    ("hijsen", "hijs", "hees", "hesen", "gehesen"),
+    ("bidden", "bid", "bad", "baden", "gebeden"),
+    ("werven", "werf", "wierf", "wierven", "geworven"),
+    ("ver|werven", "werf", "wierf", "wierven", "worven"),
+    ("zweren", "zweer", "zwoer", "zwoeren", "gezworen"),
+    ("bergen", "berg", "borg", "borgen", "geborgen"),
+    ("ver|bergen", "berg", "borg", "borgen", "borgen"),
+    ("krimpen", "krimp", "kromp", "krompen", "gekrompen"),
+    ("vouwen", "vouw", "vouwde", "vouwden", "gevouwen"),
+    ("spannen", "span", "spande", "spanden", "gespannen"),
+    ("ont|spannen", "span", "spande", "spanden", "spannen"),
+    ("spijten", "spijt", "speet", "speten", "gespeten"),
+    ("er|varen", "vaar", "voer", "voeren", "varen"),
+    # prefixed/separable forms of strong stems (news-register verbs)
+    ("toe|nemen", "neem", "nam", "namen", "genomen"),
+    ("af|nemen", "neem", "nam", "namen", "genomen"),
+    ("aan|nemen", "neem", "nam", "namen", "genomen"),
+    ("mee|nemen", "neem", "nam", "namen", "genomen"),
+    ("weg|nemen", "neem", "nam", "namen", "genomen"),
+    ("op|nemen", "neem", "nam", "namen", "genomen"),
+    ("aan|houden", "houd", "hield", "hielden", "gehouden"),
+    ("vast|houden", "houd", "hield", "hielden", "gehouden"),
+    ("bij|houden", "houd", "hield", "hielden", "gehouden"),
+    ("in|houden", "houd", "hield", "hielden", "gehouden"),
+    ("op|houden", "houd", "hield", "hielden", "gehouden"),
+    ("onder|houden", "houd", "hield", "hielden", "houden"),
+    ("aan|komen", "kom", "kwam", "kwamen", "gekomen"),
+    ("terug|komen", "kom", "kwam", "kwamen", "gekomen"),
+    ("voor|komen", "kom", "kwam", "kwamen", "gekomen"),
+    ("bij|komen", "kom", "kwam", "kwamen", "gekomen"),
+    ("om|komen", "kom", "kwam", "kwamen", "gekomen"),
+    ("voort|komen", "kom", "kwam", "kwamen", "gekomen"),
+    ("door|gaan", "ga", "gaat", "ging", "gingen", "gegaan"),
+    ("uit|gaan", "ga", "gaat", "ging", "gingen", "gegaan"),
+    ("na|gaan", "ga", "gaat", "ging", "gingen", "gegaan"),
+    ("mee|gaan", "ga", "gaat", "ging", "gingen", "gegaan"),
+    ("om|gaan", "ga", "gaat", "ging", "gingen", "gegaan"),
+    ("ver|gaan", "ga", "gaat", "ging", "gingen", "gaan"),
+    ("op|staan", "sta", "staat", "stond", "stonden", "gestaan"),
+    ("toe|staan", "sta", "staat", "stond", "stonden", "gestaan"),
+    ("aan|geven", "geef", "gaf", "gaven", "gegeven"),
+    ("op|geven", "geef", "gaf", "gaven", "gegeven"),
+    ("af|geven", "geef", "gaf", "gaven", "gegeven"),
+    ("toe|geven", "geef", "gaf", "gaven", "gegeven"),
+    ("uit|geven", "geef", "gaf", "gaven", "gegeven"),
+    ("weer|geven", "geef", "gaf", "gaven", "gegeven"),
+    ("door|geven", "geef", "gaf", "gaven", "gegeven"),
+    ("terug|geven", "geef", "gaf", "gaven", "gegeven"),
+    ("in|zien", "zie", "zag", "zagen", "gezien"),
+    ("toe|zien", "zie", "zag", "zagen", "gezien"),
+    ("her|zien", "zie", "zag", "zagen", "zien"),
+    ("voor|zien", "zie", "zag", "zagen", "zien"),
+    ("aan|trekken", "trek", "trok", "trokken", "getrokken"),
+    ("in|trekken", "trek", "trok", "trokken", "getrokken"),
+    ("terug|trekken", "trek", "trok", "trokken", "getrokken"),
+    ("af|breken", "breek", "brak", "braken", "gebroken"),
+    ("uit|breken", "breek", "brak", "braken", "gebroken"),
+    ("in|breken", "breek", "brak", "braken", "gebroken"),
+    ("uit|spreken", "spreek", "sprak", "spraken", "gesproken"),
+    ("aan|spreken", "spreek", "sprak", "spraken", "gesproken"),
+    ("tegen|spreken", "spreek", "sprak", "spraken", "gesproken"),
+    ("vrij|spreken", "spreek", "sprak", "spraken", "gesproken"),
+    ("op|lopen", "loop", "liep", "liepen", "gelopen"),
+    ("af|lopen", "loop", "liep", "liepen", "gelopen"),
+    ("door|lopen", "loop", "liep", "liepen", "gelopen"),
+    ("weg|lopen", "loop", "liep", "liepen", "gelopen"),
+    ("ver|lopen", "loop", "liep", "liepen", "lopen"),
+    ("uit|brengen", "breng", "bracht", "brachten", "gebracht"),
+    ("over|brengen", "breng", "bracht", "brachten", "gebracht"),
+    ("aan|brengen", "breng", "bracht", "brachten", "gebracht"),
+    ("door|brengen", "breng", "bracht", "brachten", "gebracht"),
+    ("na|denken", "denk", "dacht", "dachten", "gedacht"),
+    ("be|denken", "denk", "dacht", "dachten", "dacht"),
+    ("ver|denken", "denk", "dacht", "dachten", "dacht"),
+    ("ver|zoeken", "zoek", "zocht", "zochten", "zocht"),
+    ("uit|zoeken", "zoek", "zocht", "zochten", "gezocht"),
+    ("be|kijken", "kijk", "keek", "keken", "keken"),
+    ("ver|vangen", "vang", "ving", "vingen", "vangen"),
+    ("op|vangen", "vang", "ving", "vingen", "gevangen"),
+    ("aan|vallen", "val", "viel", "vielen", "gevallen"),
+    ("uit|vallen", "val", "viel", "vielen", "gevallen"),
+    ("op|vallen", "val", "viel", "vielen", "gevallen"),
+    ("mee|vallen", "val", "viel", "vielen", "gevallen"),
+    ("tegen|vallen", "val", "viel", "vielen", "gevallen"),
+    ("be|vallen", "val", "viel", "vielen", "vallen"),
+    ("ver|werpen", "werp", "wierp", "wierpen", "worpen"),
+    ("ver|slaan", "sla", "slaat", "sloeg", "sloegen", "slagen"),
+    ("op|slaan", "sla", "slaat", "sloeg", "sloegen", "geslagen"),
+    ("uit|sluiten", "sluit", "sloot", "sloten", "gesloten"),
+    ("be|vinden", "vind", "vond", "vonden", "vonden"),
+    ("uit|vinden", "vind", "vond", "vonden", "gevonden"),
+    ("onder|vinden", "vind", "vond", "vonden", "vonden"),
+    ("be|treffen", "tref", "trof", "troffen", "troffen"),
+    ("aan|treffen", "tref", "trof", "troffen", "getroffen"),
+    ("in|schrijven", "schrijf", "schreef", "schreven", "geschreven"),
+    ("voor|schrijven", "schrijf", "schreef", "schreven", "geschreven"),
+    ("ver|schuiven", "schuif", "schoof", "schoven", "schoven"),
+    ("op|heffen", "hef", "hief", "hieven", "geheven"),
+    ("ver|blijven", "blijf", "bleef", "bleven", "bleven"),
+    ("achter|blijven", "blijf", "bleef", "bleven", "gebleven"),
+    ("over|blijven", "blijf", "bleef", "bleven", "gebleven"),
+    ("mee|doen", "doe", "deed", "deden", "gedaan"),
+    ("aan|raden", "raad", "raadde", "raadden", "geraden"),
+    ("af|wegen", "weeg", "woog", "wogen", "gewogen"),
+    ("op|zeggen", "zeg", "zei", "zeiden", "gezegd"),
+    ("samen|vatten", "vat", "vatte", "vatten", "gevat"),
+    ("om|vatten", "vat", "vatte", "vatten", "vat"),
 ]
 
 # -- regular ('weak') verbs: marked infinitives; (inf, stem) pairs for
@@ -564,7 +718,7 @@ REGULAR_VERBS: list = [
     "ver|volgen", "merken", "op|merken", "be|merken", "sterken",
     "ver|sterken", "ver|werken", "be|werken", "be|leven", "leggen",
     "ver|leggen", "neer|leggen", "uit|leggen", "zeilen", "mailen",
-    "bergen", "ver|bergen", "melden", "aan|melden", "ver|melden",
+    "melden", "aan|melden", "ver|melden",
     "be|lasten", "ont|lasten", "testen", "rusten", "be|rusten",
     "oogsten", "troosten", "kosten", "verven", "erven", "durven",
     "proeven", "be|proeven", "toetsen", "schaatsen", "plaatsen",
@@ -589,7 +743,7 @@ REGULAR_VERBS: list = [
     "dienen", "be|dienen", "menen", "ver|lenen", "lenen", "be|noemen",
     "noemen", "roemen", "ruilen", "ver|ruilen", "leiden", "be|leiden",
     "ver|leiden", "be|geleiden", "wijden", "be|vrijden", "ver|blijden",
-    "ver|mijden", "be|landen", "ver|kondigen", "ver|vreemden",
+    "be|landen", "ver|kondigen", "ver|vreemden",
     "praten", "be|praten", "wachten", "ver|wachten", "richten",
     "be|richten", "op|richten", "stichten", "vluchten", "zuchten",
     "letten", "op|letten", "stemmen", "be|stemmen", "remmen", "kammen",
@@ -675,6 +829,55 @@ REGULAR_VERBS: list = [
     # with ge- (vd 'afgelast', not *afgegelast)
     ("voor|bereiden", "bereid", "bereidde", "bereidden", "bereid"),
     ("af|gelasten", "gelast", "gelastte", "gelastten", "gelast"),
+    # ---- round-5 breadth batch: more weak verbs ----
+    "ge|bruiken", "ver|bruiken", "her|halen", "ver|wijderen",
+    "ver|groten", "ver|lagen", "ver|hogen", "ver|snellen",
+    "ver|tragen", "ver|dubbelen", "ver|zwakken", "ver|zachten",
+    "ver|scherpen", "ver|breden", "ver|diepen", "ver|lengen",
+    "ver|korten", "ver|lichten", "ver|zwaren", "ver|spillen",
+    "ver|plegen", "ver|velen", "ver|heugen", "ver|bazen",
+    "ver|rassen", "ver|huren", "ver|schillen",
+    "be|halen", "be|heersen", "be|klagen", "be|leggen", "be|moeien",
+    "be|nadrukken", "be|nutten", "be|reiden", "be|smetten",
+    "be|twijfelen", "be|vorderen", "be|waken", "be|zichtigen",
+    "be|slissen", "be|straffen", "be|roven", "be|luisteren",
+    "aan|vullen", "aan|raken", "aan|leggen", "aan|schaffen",
+    "aan|stellen", "aan|klagen", "aan|zetten", "aan|sporen",
+    "af|schaffen", "af|maken", "af|wachten", "af|remmen",
+    "op|stellen", "op|starten", "op|sporen", "op|volgen",
+    "op|warmen", "op|zetten",
+    "in|dienen", "in|stellen", "in|pakken", "in|huren", "in|zetten",
+    "in|leiden",
+    "uit|pakken", "uit|zetten", "uit|breiden", "uit|delen",
+    "uit|stellen", "uit|keren", "uit|rusten",
+    "toe|lichten", "toe|passen", "toe|kennen",
+    "door|sturen", "door|werken",
+    "mee|maken", "mee|delen", "mee|werken",
+    "over|tuigen", "over|leggen", "over|leven",
+    ("over|halen", "haal", "haalde", "haalden", "gehaald"),
+    ("mis|bruiken", "bruik", "bruikte", "bruikten", "bruikt"),
+    ("uit|be|talen", "taal", "taalde", "taalden", "taald"),
+    ("terug|be|talen", "taal", "taalde", "taalden", "taald"),
+    ("voor|spellen", "spel", "spelde", "spelden", "speld"),
+    ("teleur|stellen", "stel", "stelde", "stelden", "gesteld"),
+    "schoon|maken", "vast|stellen", "vast|leggen", "weg|halen",
+    "grillen", "roeren", "mengen", "drogen", "slagen", "haten",
+    "ergeren", "schamen", "straffen", "ge|tuigen",
+    "regenen", "sneeuwen", "roddelen", "schetsen",
+    "spijbelen", "botsen", ("logeren", "logeer"),
+    ("baseren", "baseer"), ("consumeren", "consumeer"),
+    ("fuseren", "fuseer"), ("programmeren", "programmeer"),
+    ("installeren", "installeer"), ("vaccineren", "vaccineer"),
+    ("arresteren", "arresteer"), ("doceren", "doceer"),
+    ("promoveren", "promoveer"), ("arriveren", "arriveer"),
+    ("parkeren", "parkeer"), ("discussiëren", "discussieer"),
+    ("be|studeren", "studeer"), ("uit|proberen", "probeer"),
+    ("halveren", "halveer"), ("blokkeren", "blokkeer"),
+    ("corrigeren", "corrigeer"), ("communiceren", "communiceer"),
+    ("selecteren", "selecteer"), ("evalueren", "evalueer"),
+    ("motiveren", "motiveer"), ("activeren", "activeer"),
+    ("renoveren", "renoveer"), ("frustreren", "frustreer"),
+    ("attenderen", "attendeer"),
 ]
 
 # -- nouns: (marked_sg, plural_surface, gender) ---------------------------
@@ -927,6 +1130,149 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("fout", "fouten", "de"), ("regel", "regels", "de"),
     ("voorbeeld", "voorbeelden", "het"), ("uitleg", None, "de"),
     ("les|geld", None, "het"), ("college|geld", "collegegelden", "het"),
+    # ---- round-5 breadth batch: body, food, objects, house ----
+    ("lichaam", "lichamen", "het"), ("hoofd", "hoofden", "het"),
+    ("hand", "handen", "de"), ("voet", "voeten", "de"),
+    ("oog", "ogen", "het"), ("oor", "oren", "het"),
+    ("neus", "neuzen", "de"), ("mond", "monden", "de"),
+    ("tand", "tanden", "de"), ("been", "benen", "het"),
+    ("rug", "ruggen", "de"), ("buik", "buiken", "de"),
+    ("knie", "knieën", "de"), ("schouder", "schouders", "de"),
+    ("vinger", "vingers", "de"), ("huid", "huiden", "de"),
+    ("hart", "harten", "het"), ("bloed", None, "het"),
+    ("appel", "appels", "de"), ("peer", "peren", "de"),
+    ("banaan", "bananen", "de"), ("aardappel", "aardappels", "de"),
+    ("groente", "groenten", "de"), ("fruit", None, "het"),
+    ("vlees", None, "het"), ("kip", "kippen", "de"),
+    ("ei", "eieren", "het"), ("suiker", None, "de"),
+    ("peper", None, "de"), ("boter", None, "de"),
+    ("rijst", None, "de"), ("soep", "soepen", "de"),
+    ("salade", "salades", "de"), ("taart", "taarten", "de"),
+    ("koek", "koeken", "de"), ("snoep", None, "het"),
+    ("chocolade", None, "de"),
+    ("tas", "tassen", "de"), ("doos", "dozen", "de"),
+    ("zak", "zakken", "de"), ("pen", "pennen", "de"),
+    ("potlood", "potloden", "het"), ("papier", None, "het"),
+    ("schaar", "scharen", "de"), ("bril", "brillen", "de"),
+    ("horloge", "horloges", "het"), ("ketting", "kettingen", "de"),
+    ("ring", "ringen", "de"), ("jas", "jassen", "de"),
+    ("broek", "broeken", "de"), ("schoen", "schoenen", "de"),
+    ("trui", "truien", "de"), ("hemd", "hemden", "het"),
+    ("rok", "rokken", "de"), ("jurk", "jurken", "de"),
+    ("pet", "petten", "de"), ("muts", "mutsen", "de"),
+    ("handschoen", "handschoenen", "de"), ("sok", "sokken", "de"),
+    ("keuken", "keukens", "de"), ("bad|kamer", "badkamers", "de"),
+    ("toilet", "toiletten", "het"), ("spiegel", "spiegels", "de"),
+    ("kraan", "kranen", "de"), ("oven", "ovens", "de"),
+    ("koelkast", "koelkasten", "de"), ("wasmachine", "wasmachines", "de"),
+    ("bank", "banken", "de"), ("deken", "dekens", "de"),
+    ("plank", "planken", "de"),
+    # ---- nature & animals ----
+    ("rivier", "rivieren", "de"), ("meer", "meren", "het"),
+    ("heuvel", "heuvels", "de"), ("dal", "dalen", "het"),
+    ("veld", "velden", "het"), ("akker", "akkers", "de"),
+    ("blad", "bladeren", "het"), ("tak", "takken", "de"),
+    ("wortel", "wortels", "de"), ("zand", None, "het"),
+    ("steen", "stenen", "de"), ("rots", "rotsen", "de"),
+    ("wolk", "wolken", "de"), ("mist", None, "de"),
+    ("ijs", None, "het"), ("hitte", None, "de"), ("kou", None, "de"),
+    ("koe", "koeien", "de"), ("varken", "varkens", "het"),
+    ("schaap", "schapen", "het"), ("geit", "geiten", "de"),
+    ("eend", "eenden", "de"), ("duif", "duiven", "de"),
+    ("muis", "muizen", "de"), ("rat", "ratten", "de"),
+    ("konijn", "konijnen", "het"), ("vos", "vossen", "de"),
+    ("hert", "herten", "het"), ("beer", "beren", "de"),
+    ("wolf", "wolven", "de"), ("leeuw", "leeuwen", "de"),
+    ("olifant", "olifanten", "de"), ("aap", "apen", "de"),
+    ("slang", "slangen", "de"), ("insect", "insecten", "het"),
+    ("bij", "bijen", "de"), ("mug", "muggen", "de"),
+    ("vlinder", "vlinders", "de"), ("spin", "spinnen", "de"),
+    # ---- transport ----
+    ("trein", "treinen", "de"), ("tram", "trams", "de"),
+    ("metro", "metro's", "de"), ("taxi", "taxi's", "de"),
+    ("vrachtwagen", "vrachtwagens", "de"), ("motor", "motoren", "de"),
+    ("scooter", "scooters", "de"), ("schip", "schepen", "het"),
+    ("veerboot", "veerboten", "de"), ("helikopter", "helikopters", "de"),
+    ("raket", "raketten", "de"), ("wagen", "wagens", "de"),
+    ("rij|bewijs", "rijbewijzen", "het"), ("halte", "haltes", "de"),
+    ("perron", "perrons", "het"), ("spoor", "sporen", "het"),
+    # ---- work & economy ----
+    ("fabriek", "fabrieken", "de"), ("magazijn", "magazijnen", "het"),
+    ("markt", "markten", "de"), ("beurs", "beurzen", "de"),
+    ("aandeel", "aandelen", "het"), ("belegging", "beleggingen", "de"),
+    ("hypotheek", "hypotheken", "de"), ("verzekering", "verzekeringen", "de"),
+    ("klant", "klanten", "de"), ("leverancier", "leveranciers", "de"),
+    ("voorraad", "voorraden", "de"), ("bestelling", "bestellingen", "de"),
+    ("levering", "leveringen", "de"), ("factuur", "facturen", "de"),
+    ("betaling", "betalingen", "de"), ("prijs", "prijzen", "de"),
+    ("investering", "investeringen", "de"),
+    ("aandeelhouder", "aandeelhouders", "de"), ("directie", "directies", "de"),
+    ("afdeling", "afdelingen", "de"), ("vergadering", "vergaderingen", "de"),
+    ("agenda", "agenda's", "de"), ("verslag", "verslagen", "het"),
+    ("overeenkomst", "overeenkomsten", "de"), ("personeel", None, "het"),
+    ("vacature", "vacatures", "de"),
+    # ---- society, politics, justice ----
+    ("koning", "koningen", "de"), ("koningin", "koninginnen", "de"),
+    ("prins", "prinsen", "de"), ("prinses", "prinsessen", "de"),
+    ("president", "presidenten", "de"), ("premier", "premiers", "de"),
+    ("kamer|lid", "kamerleden", "het"), ("parlement", "parlementen", "het"),
+    ("wet", "wetten", "de"), ("wets|voorstel", "wetsvoorstellen", "het"),
+    ("rechtbank", "rechtbanken", "de"), ("rechts|zaak", "rechtszaken", "de"),
+    ("vonnis", "vonnissen", "het"), ("getuige", "getuigen", "de"),
+    ("verdachte", "verdachten", "de"), ("misdaad", "misdaden", "de"),
+    ("diefstal", "diefstallen", "de"), ("moord", "moorden", "de"),
+    ("aanslag", "aanslagen", "de"), ("slachtoffer", "slachtoffers", "het"),
+    ("dader", "daders", "de"), ("agent", "agenten", "de"),
+    ("gevangenis", "gevangenissen", "de"),
+    ("campagne", "campagnes", "de"), ("zetel", "zetels", "de"),
+    ("coalitie", "coalities", "de"), ("oppositie", None, "de"),
+    ("fractie", "fracties", "de"), ("motie", "moties", "de"),
+    ("ambassade", "ambassades", "de"), ("soldaat", "soldaten", "de"),
+    ("wapen", "wapens", "het"), ("vijand", "vijanden", "de"),
+    ("aanval", "aanvallen", "de"), ("verdediging", None, "de"),
+    ("vluchteling", "vluchtelingen", "de"), ("asiel", None, "het"),
+    ("migratie", None, "de"),
+    # ---- media, culture, science ----
+    ("tijdschrift", "tijdschriften", "het"), ("artikel", "artikelen", "het"),
+    ("interview", "interviews", "het"), ("uitzending", "uitzendingen", "de"),
+    ("programma", "programma's", "het"), ("zender", "zenders", "de"),
+    ("omroep", "omroepen", "de"), ("documentaire", "documentaires", "de"),
+    ("serie", "series", "de"), ("aflevering", "afleveringen", "de"),
+    ("regisseur", "regisseurs", "de"), ("schilderij", "schilderijen", "het"),
+    ("tentoonstelling", "tentoonstellingen", "de"),
+    ("verhaal", "verhalen", "het"), ("hoofd|persoon", "hoofdpersonen", "de"),
+    ("uitgever", "uitgevers", "de"), ("uitgeverij", "uitgeverijen", "de"),
+    ("wetenschapper", "wetenschappers", "de"), ("studie", "studies", "de"),
+    ("theorie", "theorieën", "de"), ("methode", "methodes", "de"),
+    ("experiment", "experimenten", "het"), ("resultaat", "resultaten", "het"),
+    ("meting", "metingen", "de"), ("analyse", "analyses", "de"),
+    ("conclusie", "conclusies", "de"), ("ontdekking", "ontdekkingen", "de"),
+    ("uitvinding", "uitvindingen", "de"), ("apparaat", "apparaten", "het"),
+    ("machine", "machines", "de"), ("robot", "robots", "de"),
+    ("software", None, "de"), ("toepassing", "toepassingen", "de"),
+    ("systeem", "systemen", "het"), ("scherm", "schermen", "het"),
+    ("toetsenbord", "toetsenborden", "het"), ("bestand", "bestanden", "het"),
+    ("gebruiker", "gebruikers", "de"), ("wachtwoord", "wachtwoorden", "het"),
+    ("verbinding", "verbindingen", "de"), ("storing", "storingen", "de"),
+    ("server", "servers", "de"),
+    # ---- time & abstract ----
+    ("moment", "momenten", "het"), ("eeuw", "eeuwen", "de"),
+    ("gelegenheid", "gelegenheden", "de"), ("situatie", "situaties", "de"),
+    ("toestand", "toestanden", "de"), ("verandering", "veranderingen", "de"),
+    ("ontwikkeling", "ontwikkelingen", "de"),
+    ("verbetering", "verbeteringen", "de"), ("toename", None, "de"),
+    ("afname", None, "de"), ("vergelijking", "vergelijkingen", "de"),
+    ("verschil", "verschillen", "het"), ("voordeel", "voordelen", "het"),
+    ("nadeel", "nadelen", "het"), ("doelstelling", "doelstellingen", "de"),
+    ("plan", "plannen", "het"), ("voorstel", "voorstellen", "het"),
+    ("aanpak", None, "de"), ("maatregel", "maatregelen", "de"),
+    ("oorzaak", "oorzaken", "de"), ("uitzondering", "uitzonderingen", "de"),
+    ("voorwaarde", "voorwaarden", "de"), ("eis", "eisen", "de"),
+    ("wens", "wensen", "de"), ("belofte", "beloftes", "de"),
+    ("belang", "belangen", "het"), ("waarde", "waarden", "de"),
+    ("kwaliteit", "kwaliteiten", "de"), ("hoeveelheid", "hoeveelheden", "de"),
+    ("aantal", "aantallen", "het"), ("percentage", "percentages", "het"),
+    ("gemiddelde", "gemiddelden", "het"), ("helft", "helften", "de"),
 ]
 
 # -- prepositions (VZ(init)) ----------------------------------------------
@@ -971,6 +1317,15 @@ ADVERBS: list[str] = [
     "opnieuw", "eindelijk", "plotseling", "langzaamaan", "nauwelijks",
     "meestal", "intussen", "inmiddels", "tenminste", "overal",
     "nergens", "ergens", "buiten", "binnen", "thuis", "terug", "al",
+    # ---- round-5 breadth batch ----
+    "altijd", "vaak", "soms", "nooit", "zelden", "weer", "alweer",
+    "nogmaals", "opeens", "ineens", "immers", "desondanks",
+    "daardoor", "daarmee", "daarbij", "hierdoor", "hiermee",
+    "hierbij", "blijkbaar", "zojuist", "spoedig", "voortaan",
+    "destijds", "daarentegen", "bijvoorbeeld", "overigens",
+    "uiteraard", "helaas", "graag", "liever", "liefst", "wellicht",
+    "amper", "vrijwel", "steeds", "telkens", "daarnaast", "tevens",
+    "eveneens", "gisteravond", "overmorgen", "eergisteren", "elders",
 ]
 
 # -- cardinal numerals (closed class, TW) ---------------------------------
@@ -1029,6 +1384,36 @@ ADJECTIVES: list[str] = [
     "vorig", "huidig", "komend", "afgelopen", "dubbel", "enkel",
     "kapot", "verkeerd", "juist", "links", "rechts", "voorzichtig",
     "ver|standig", "on|verstandig", "aardig", "leerzaam",
+    # ---- round-5 breadth batch ----
+    "aanwezig", "afwezig", "actueel", "eventueel", "individueel",
+    "visueel", "bekwaam", "bereid", "beschaafd", "besmettelijk",
+    "bescheiden", "betrokken", "bewust", "blond", "dapper", "defect",
+    "degelijk", "deskundig", "dringend", "duurzaam", "eenvoudig",
+    "effectief", "eindeloos", "enthousiast", "erg", "exact",
+    "extreem", "fel", "flink", "formeel", "fris", "geduldig",
+    "geheim", "gemiddeld", "gering", "geschikt", "gewond", "gierig",
+    "grondig", "gunstig", "haastig", "heftig", "heilig", "hevig",
+    "ingewikkeld", "intelligent", "intensief", "jarig", "kaal",
+    "kalm", "keurig", "klassiek", "kostbaar", "krachtig", "kritisch",
+    "kwaad", "langdurig", "lief", "logisch", "loyaal", "mager",
+    "massaal", "maximaal", "minimaal", "mild", "moedig", "mondeling",
+    "nauwkeurig", "neutraal", "nerveus", "nieuwsgierig",
+    "noodzakelijk", "nuchter", "onafhankelijk", "onbekend",
+    "oneerlijk", "onmiddellijk", "onmogelijk", "onnodig", "onrustig",
+    "onschuldig", "ontevreden", "openbaar", "oprecht",
+    "optimistisch", "overbodig", "pessimistisch", "pijnlijk",
+    "redelijk", "riskant", "schadelijk", "scheef", "schuldig",
+    "slap", "slordig", "soepel", "specifiek", "spontaan", "stabiel",
+    "stevig", "stout", "streng", "strikt", "sympathiek",
+    "systematisch", "talentvol", "telefonisch", "terecht", "tijdig",
+    "toegankelijk", "toevallig", "transparant", "typisch", "uniek",
+    "universeel", "vaag", "verantwoordelijk", "verlegen", "vermoeid",
+    "verrassend", "vertrouwd", "vervelend", "vet", "vloeibaar",
+    "vochtig", "volwassen", "vreemd", "vruchtbaar", "waardevol",
+    "wakker", "wanhopig", "welvarend", "wereldwijd", "werkloos",
+    "wettelijk", "wijd", "woedend", "zakelijk", "zelfstandig",
+    "zenuwachtig", "zinvol", "zorgvuldig", "zuinig", "zuiver",
+    "zwanger",
 ]
 
 
