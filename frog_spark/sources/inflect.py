@@ -688,6 +688,14 @@ IRREGULAR_VERBS: list[tuple] = [
     ("op|zeggen", "zeg", "zei", "zeiden", "gezegd"),
     ("samen|vatten", "vat", "vatte", "vatten", "gevat"),
     ("om|vatten", "vat", "vatte", "vatten", "vat"),
+    # round-5b probe: 'ontsloeg' was tagged ADJ because no slaan-family
+    # entry covered it — the whole ont|slaan paradigm plus the remaining
+    # common prefixed strong stems
+    ("ont|slaan", "sla", "slaat", "sloeg", "sloegen", "slagen"),
+    ("af|slaan", "sla", "slaat", "sloeg", "sloegen", "geslagen"),
+    ("toe|slaan", "sla", "slaat", "sloeg", "sloegen", "geslagen"),
+    ("be|treden", "treed", "trad", "traden", "treden"),
+    ("ont|vluchten", "vlucht", "vluchtte", "vluchtten", "vlucht"),
 ]
 
 # -- regular ('weak') verbs: marked infinitives; (inf, stem) pairs for
@@ -864,7 +872,7 @@ REGULAR_VERBS: list = [
     "grillen", "roeren", "mengen", "drogen", "slagen", "haten",
     "ergeren", "schamen", "straffen", "ge|tuigen",
     "regenen", "sneeuwen", "roddelen", "schetsen",
-    "spijbelen", "botsen", ("logeren", "logeer"),
+    "spijbelen", "botsen", ("logeren", "logeer"), "wisselen",
     ("baseren", "baseer"), ("consumeren", "consumeer"),
     ("fuseren", "fuseer"), ("programmeren", "programmeer"),
     ("installeren", "installeer"), ("vaccineren", "vaccineer"),
@@ -898,7 +906,7 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("zin", "zinnen", "de"), ("naam", "namen", "de"),
     ("vader", "vaders", "de"), ("moeder", "moeders", "de"),
     ("broer", "broers", "de"), ("zus", "zussen", "de"),
-    ("vriend", "vrienden", "de"), ("vriendin", "vriendinnen", "de"),
+    ("vriend", "vrienden", "de"), ("vriend|in", "vriendinnen", "de"),
     ("buur|vrouw", "buurvrouwen", "de"), ("collega", "collega's", "de"),
     ("water", "wateren", "het"), ("vuur", "vuren", "het"),
     ("lucht", "luchten", "de"), ("grond", "gronden", "de"),
@@ -926,7 +934,7 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("burgemeester", "burgemeesters", "de"),
     ("wethouder", "wethouders", "de"),
     ("ambtenaar", "ambtenaren", "de"), ("burger", "burgers", "de"),
-    ("kiezer", "kiezers", "de"), ("partij", "partijen", "de"),
+    ("kiez|er", "kiezers", "de"), ("partij", "partijen", "de"),
     ("be|leid", None, "het"), ("be|sluit", "besluiten", "het"),
     ("be|stuur", "besturen", "het"), ("raad", "raden", "de"),
     ("debat", "debatten", "het"), ("ver|drag", "verdragen", "het"),
@@ -947,7 +955,7 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("krant", "kranten", "de"), ("be|richt", "berichten", "het"),
     ("nieuws", None, "het"), ("foto", "foto's", "de"),
     ("beeld", "beelden", "het"), ("schrijver", "schrijvers", "de"),
-    ("lezer", "lezers", "de"), ("kunst", "kunsten", "de"),
+    ("lez|er", "lezers", "de"), ("kunst", "kunsten", "de"),
     ("museum", "musea", "het"), ("jongere", "jongeren", "de"),
     ("oudere", "ouderen", "de"), ("volwassene", "volwassenen", "de"),
     ("probleem", "problemen", "het"), ("op|lossing", "oplossingen", "de"),
@@ -1047,32 +1055,32 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("buurt", "buurten", "de"), ("wijk", "wijken", "de"),
     ("campus", "campussen", "de"), ("theater", "theaters", "het"),
     ("bioscoop", "bioscopen", "de"), ("bibliotheek", "bibliotheken", "de"),
-    ("zwembad", "zwembaden", "het"), ("sporthal", "sporthallen", "de"),
+    ("zwem|bad", "zwembaden", "het"), ("sport|hal", "sporthallen", "de"),
     ("stadion", "stadions", "het"), ("kerk", "kerken", "de"),
     ("toren", "torens", "de"), ("kasteel", "kastelen", "het"),
     ("subsidie", "subsidies", "de"), ("contract", "contracten", "het"),
-    ("aanvaller", "aanvallers", "de"), ("verdediger", "verdedigers", "de"),
+    ("aanvall|er", "aanvallers", "de"), ("verdedig|er", "verdedigers", "de"),
     ("keeper", "keepers", "de"), ("scheidsrechter", "scheidsrechters", "de"),
     ("supporter", "supporters", "de"), ("boete", "boetes", "de"),
     ("klacht", "klachten", "de"), ("ongeluk", "ongelukken", "het"),
-    ("persoon", "personen", "de"), ("inwoner", "inwoners", "de"),
-    ("bezoeker", "bezoekers", "de"), ("deelnemer", "deelnemers", "de"),
-    ("medewerker", "medewerkers", "de"), ("eigenaar", "eigenaren", "de"),
-    ("verkoper", "verkopers", "de"), ("aankoop", "aankopen", "de"),
+    ("persoon", "personen", "de"), ("inwon|er", "inwoners", "de"),
+    ("bezoek|er", "bezoekers", "de"), ("deelnem|er", "deelnemers", "de"),
+    ("medewerk|er", "medewerkers", "de"), ("eigenaar", "eigenaren", "de"),
+    ("verkop|er", "verkopers", "de"), ("aankoop", "aankopen", "de"),
     ("ver|koop", None, "de"), ("prijsstijging", "prijsstijgingen", "de"),
     ("daling", "dalingen", "de"), ("stijging", "stijgingen", "de"),
     ("groei", None, "de"), ("krimp", None, "de"),
     ("omzet", "omzetten", "de"), ("in|komen", "inkomens", "het"),
     ("uitgave", "uitgaven", "de"), ("schuld", "schulden", "de"),
     ("lening", "leningen", "de"), ("rente", "rentes", "de"),
-    ("spaargeld", None, "het"), ("pensioen", "pensioenen", "het"),
+    ("spaar|geld", None, "het"), ("pensioen", "pensioenen", "het"),
     ("uitkering", "uitkeringen", "de"), ("premie", "premies", "de"),
     ("toeslag", "toeslagen", "de"), ("korting", "kortingen", "de"),
     ("folder", "folders", "de"), ("reclame", "reclames", "de"),
     ("adres", "adressen", "het"), ("nummer", "nummers", "het"),
     ("postcode", "postcodes", "de"), ("formulier", "formulieren", "het"),
     ("document", "documenten", "het"), ("dossier", "dossiers", "het"),
-    ("pagina", "pagina's", "de"), ("hoofdstuk", "hoofdstukken", "het"),
+    ("pagina", "pagina's", "de"), ("hoofd|stuk", "hoofdstukken", "het"),
     ("titel", "titels", "de"), ("tekst", "teksten", "de"),
     ("zinsdeel", "zinsdelen", "het"), ("alinea", "alinea's", "de"),
     ("vertaling", "vertalingen", "de"), ("samenvatting", "samenvattingen", "de"),
@@ -1083,10 +1091,10 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("stage", "stages", "de"), ("sollicitatie", "sollicitaties", "de"),
     ("functie", "functies", "de"), ("carrière", "carrières", "de"),
     ("ontslag", None, "het"), ("staking", "stakingen", "de"),
-    ("vakbond", "vakbonden", "de"), ("werkgever", "werkgevers", "de"),
-    ("werknemer", "werknemers", "de"), ("sollicitant", "sollicitanten", "de"),
+    ("vakbond", "vakbonden", "de"), ("werkgev|er", "werkgevers", "de"),
+    ("werknem|er", "werknemers", "de"), ("sollicitant", "sollicitanten", "de"),
     ("behandeling", "behandelingen", "de"),
-    ("operatie", "operaties", "de"), ("onderzoekster", "onderzoeksters", "de"),
+    ("operatie", "operaties", "de"), ("onderzoek|ster", "onderzoeksters", "de"),
     ("apotheek", "apotheken", "de"), ("recept", "recepten", "het"),
     ("griep", None, "de"), ("koorts", None, "de"),
     ("verkoudheid", None, "de"), ("blessure", "blessures", "de"),
@@ -1108,13 +1116,13 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("heg", "heggen", "de"), ("pad", "paden", "het"),
     ("vijver", "vijvers", "de"), ("fontein", "fonteinen", "de"),
     ("verkeer", None, "het"), ("file", "files", "de"),
-    ("kruispunt", "kruispunten", "het"), ("stoplicht", "stoplichten", "het"),
-    ("snelweg", "snelwegen", "de"), ("tunnel", "tunnels", "de"),
-    ("parkeerplaats", "parkeerplaatsen", "de"), ("benzine", None, "de"),
+    ("kruis|punt", "kruispunten", "het"), ("stop|licht", "stoplichten", "het"),
+    ("snel|weg", "snelwegen", "de"), ("tunnel", "tunnels", "de"),
+    ("parkeer|plaats", "parkeerplaatsen", "de"), ("benzine", None, "de"),
     ("chauffeur", "chauffeurs", "de"), ("passagier", "passagiers", "de"),
-    ("vertraging", "vertragingen", "de"), ("aankomst", None, "de"),
+    ("ver|traging", "vertragingen", "de"), ("aankomst", None, "de"),
     ("vertrek", None, "het"), ("bestemming", "bestemmingen", "de"),
-    ("reiziger", "reizigers", "de"), ("toerist", "toeristen", "de"),
+    ("reizig|er", "reizigers", "de"), ("toerist", "toeristen", "de"),
     ("paspoort", "paspoorten", "het"), ("koffer", "koffers", "de"),
     ("strand", "stranden", "het"), ("eiland", "eilanden", "het"),
     ("grens", "grenzen", "de"), ("natuur", None, "de"),
@@ -1122,8 +1130,8 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("energie", None, "de"), ("stroom", None, "de"),
     ("gas", None, "het"), ("olie", None, "de"),
     ("afval", None, "het"), ("vervuiling", None, "de"),
-    ("uitstoot", None, "de"), ("windmolen", "windmolens", "de"),
-    ("zonnepaneel", "zonnepanelen", "het"), ("batterij", "batterijen", "de"),
+    ("uitstoot", None, "de"), ("wind|molen", "windmolens", "de"),
+    ("zonne|paneel", "zonnepanelen", "het"), ("batterij", "batterijen", "de"),
     ("brand", "branden", "de"), ("schade", None, "de"),
     ("gevaar", "gevaren", "het"), ("risico", "risico's", "het"),
     ("kans", "kansen", "de"), ("succes", "successen", "het"),
@@ -1152,7 +1160,7 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("chocolade", None, "de"),
     ("tas", "tassen", "de"), ("doos", "dozen", "de"),
     ("zak", "zakken", "de"), ("pen", "pennen", "de"),
-    ("potlood", "potloden", "het"), ("papier", None, "het"),
+    ("pot|lood", "potloden", "het"), ("papier", None, "het"),
     ("schaar", "scharen", "de"), ("bril", "brillen", "de"),
     ("horloge", "horloges", "het"), ("ketting", "kettingen", "de"),
     ("ring", "ringen", "de"), ("jas", "jassen", "de"),
@@ -1160,11 +1168,11 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("trui", "truien", "de"), ("hemd", "hemden", "het"),
     ("rok", "rokken", "de"), ("jurk", "jurken", "de"),
     ("pet", "petten", "de"), ("muts", "mutsen", "de"),
-    ("handschoen", "handschoenen", "de"), ("sok", "sokken", "de"),
+    ("hand|schoen", "handschoenen", "de"), ("sok", "sokken", "de"),
     ("keuken", "keukens", "de"), ("bad|kamer", "badkamers", "de"),
     ("toilet", "toiletten", "het"), ("spiegel", "spiegels", "de"),
     ("kraan", "kranen", "de"), ("oven", "ovens", "de"),
-    ("koelkast", "koelkasten", "de"), ("wasmachine", "wasmachines", "de"),
+    ("koel|kast", "koelkasten", "de"), ("was|machine", "wasmachines", "de"),
     ("bank", "banken", "de"), ("deken", "dekens", "de"),
     ("plank", "planken", "de"),
     # ---- nature & animals ----
@@ -1190,9 +1198,9 @@ NOUNS: list[tuple[str, str | None, str]] = [
     # ---- transport ----
     ("trein", "treinen", "de"), ("tram", "trams", "de"),
     ("metro", "metro's", "de"), ("taxi", "taxi's", "de"),
-    ("vrachtwagen", "vrachtwagens", "de"), ("motor", "motoren", "de"),
+    ("vracht|wagen", "vrachtwagens", "de"), ("motor", "motoren", "de"),
     ("scooter", "scooters", "de"), ("schip", "schepen", "het"),
-    ("veerboot", "veerboten", "de"), ("helikopter", "helikopters", "de"),
+    ("veer|boot", "veerboten", "de"), ("helikopter", "helikopters", "de"),
     ("raket", "raketten", "de"), ("wagen", "wagens", "de"),
     ("rij|bewijs", "rijbewijzen", "het"), ("halte", "haltes", "de"),
     ("perron", "perrons", "het"), ("spoor", "sporen", "het"),
@@ -1204,22 +1212,22 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("klant", "klanten", "de"), ("leverancier", "leveranciers", "de"),
     ("voorraad", "voorraden", "de"), ("bestelling", "bestellingen", "de"),
     ("levering", "leveringen", "de"), ("factuur", "facturen", "de"),
-    ("betaling", "betalingen", "de"), ("prijs", "prijzen", "de"),
+    ("be|taling", "betalingen", "de"), ("prijs", "prijzen", "de"),
     ("investering", "investeringen", "de"),
-    ("aandeelhouder", "aandeelhouders", "de"), ("directie", "directies", "de"),
+    ("aandeelhoud|er", "aandeelhouders", "de"), ("directie", "directies", "de"),
     ("afdeling", "afdelingen", "de"), ("vergadering", "vergaderingen", "de"),
     ("agenda", "agenda's", "de"), ("verslag", "verslagen", "het"),
     ("overeenkomst", "overeenkomsten", "de"), ("personeel", None, "het"),
     ("vacature", "vacatures", "de"),
     # ---- society, politics, justice ----
-    ("koning", "koningen", "de"), ("koningin", "koninginnen", "de"),
+    ("koning", "koningen", "de"), ("koning|in", "koninginnen", "de"),
     ("prins", "prinsen", "de"), ("prinses", "prinsessen", "de"),
     ("president", "presidenten", "de"), ("premier", "premiers", "de"),
     ("kamer|lid", "kamerleden", "het"), ("parlement", "parlementen", "het"),
     ("wet", "wetten", "de"), ("wets|voorstel", "wetsvoorstellen", "het"),
     ("rechtbank", "rechtbanken", "de"), ("rechts|zaak", "rechtszaken", "de"),
     ("vonnis", "vonnissen", "het"), ("getuige", "getuigen", "de"),
-    ("verdachte", "verdachten", "de"), ("misdaad", "misdaden", "de"),
+    ("verdacht|e", "verdachten", "de"), ("misdaad", "misdaden", "de"),
     ("diefstal", "diefstallen", "de"), ("moord", "moorden", "de"),
     ("aanslag", "aanslagen", "de"), ("slachtoffer", "slachtoffers", "het"),
     ("dader", "daders", "de"), ("agent", "agenten", "de"),
@@ -1235,14 +1243,14 @@ NOUNS: list[tuple[str, str | None, str]] = [
     # ---- media, culture, science ----
     ("tijdschrift", "tijdschriften", "het"), ("artikel", "artikelen", "het"),
     ("interview", "interviews", "het"), ("uitzending", "uitzendingen", "de"),
-    ("programma", "programma's", "het"), ("zender", "zenders", "de"),
+    ("programma", "programma's", "het"), ("zend|er", "zenders", "de"),
     ("omroep", "omroepen", "de"), ("documentaire", "documentaires", "de"),
     ("serie", "series", "de"), ("aflevering", "afleveringen", "de"),
     ("regisseur", "regisseurs", "de"), ("schilderij", "schilderijen", "het"),
     ("tentoonstelling", "tentoonstellingen", "de"),
     ("verhaal", "verhalen", "het"), ("hoofd|persoon", "hoofdpersonen", "de"),
-    ("uitgever", "uitgevers", "de"), ("uitgeverij", "uitgeverijen", "de"),
-    ("wetenschapper", "wetenschappers", "de"), ("studie", "studies", "de"),
+    ("uitgev|er", "uitgevers", "de"), ("uitgeverij", "uitgeverijen", "de"),
+    ("wetenschapp|er", "wetenschappers", "de"), ("studie", "studies", "de"),
     ("theorie", "theorieën", "de"), ("methode", "methodes", "de"),
     ("experiment", "experimenten", "het"), ("resultaat", "resultaten", "het"),
     ("meting", "metingen", "de"), ("analyse", "analyses", "de"),
@@ -1251,8 +1259,8 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("machine", "machines", "de"), ("robot", "robots", "de"),
     ("software", None, "de"), ("toepassing", "toepassingen", "de"),
     ("systeem", "systemen", "het"), ("scherm", "schermen", "het"),
-    ("toetsenbord", "toetsenborden", "het"), ("bestand", "bestanden", "het"),
-    ("gebruiker", "gebruikers", "de"), ("wachtwoord", "wachtwoorden", "het"),
+    ("toetsen|bord", "toetsenborden", "het"), ("bestand", "bestanden", "het"),
+    ("gebruik|er", "gebruikers", "de"), ("wacht|woord", "wachtwoorden", "het"),
     ("verbinding", "verbindingen", "de"), ("storing", "storingen", "de"),
     ("server", "servers", "de"),
     # ---- time & abstract ----
@@ -1273,6 +1281,27 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("kwaliteit", "kwaliteiten", "de"), ("hoeveelheid", "hoeveelheden", "de"),
     ("aantal", "aantallen", "het"), ("percentage", "percentages", "het"),
     ("gemiddelde", "gemiddelden", "het"), ("helft", "helften", "de"),
+    # ---- round-5b probe error classes: N rows for WW-homographs
+    # (bewijs/gebrek/vuurwerk tagged WW without them), plus common
+    # nouns the breadth batch still missed ----
+    ("boer", "boeren", "de"), ("gebrek", "gebreken", "het"),
+    ("bewijs", "bewijzen", "het"), ("vuur|werk", None, "het"),
+    ("regen|woud", "regenwouden", "het"), ("overval", "overvallen", "de"),
+    ("spits", "spitsen", "de"), ("pand", "panden", "het"),
+    ("snoek", "snoeken", "de"), ("symfonie", "symfonieën", "de"),
+    ("delegatie", "delegaties", "de"), ("kwartaal", "kwartalen", "het"),
+    ("woord|voer|der", "woordvoerders", "de"),
+    ("werk|loos|heid", None, "de"), ("student|e", "studentes", "de"),
+    ("verbod", "verboden", "het"), ("ontwerp", "ontwerpen", "het"),
+    ("aan|sluiting", "aansluitingen", "de"), ("brand|weer", None, "de"),
+    ("dief", "dieven", "de"), ("viss|er", "vissers", "de"),
+    ("bocht", "bochten", "de"), ("ramp", "rampen", "de"),
+    ("explosie", "explosies", "de"), ("lek", "lekken", "het"),
+    ("celstraf", "celstraffen", "de"), ("verhoor", "verhoren", "het"),
+    ("aangifte", "aangiftes", "de"), ("inval", "invallen", "de"),
+    ("akkoord", "akkoorden", "het"), ("compromis", "compromissen", "het"),
+    ("stemming", "stemmingen", "de"), ("kandidaat", "kandidaten", "de"),
+    ("opvolger", "opvolgers", "de"), ("woordvoerster", "woordvoersters", "de"),
 ]
 
 # -- prepositions (VZ(init)) ----------------------------------------------
@@ -1414,6 +1443,13 @@ ADJECTIVES: list[str] = [
     "wettelijk", "wijd", "woedend", "zakelijk", "zelfstandig",
     "zenuwachtig", "zinvol", "zorgvuldig", "zuinig", "zuiver",
     "zwanger",
+    # round-5b probe: 'zorgelijk' got a compound split from MBMA —
+    # denominal -lijk/-ig adjectives need representation
+    "zorgelijk", "aanzienlijk", "opmerkelijk", "geleidelijk",
+    "schriftelijk", "begrijpelijk", "onvermijdelijk", "persoonlijk",
+    "maatschappelijk", "menselijk", "koninklijk", "feestelijk",
+    "gevoelig", "omstreden", "berucht", "omvangrijk", "grootschalig",
+    "kleinschalig", "spraakmakend", "veelbelovend", "teleurstellend",
 ]
 
 

@@ -1183,10 +1183,39 @@ def _t_fronted(rng: _Rng, s: _Sent) -> None:
             _np_name(rng, s, kind="loc") if rng.flip(55)
             else _np_common(rng, s, plural=False)[0]
         )
-        sg3, pl, vd, vlemma = rng.choice(_V_TRANS)
-        v = s.tok(sg3, WW_T, vlemma, chunk="B-VP")
+        verl = rng.flip(25)
+        if verl:
+            # fronted PP + PRETERITE inversion ('Na de pauze scoorde de
+            # spits twee doelpunten', round-5b probe p59 class: with no
+            # verl evidence under a fronted PP the clause-final object
+            # fell out of the parse)
+            ev, _mv, vlemma = rng.choice(_V_TRANS_VERL)
+            v = s.tok(ev, WW_VERL_EV, vlemma, chunk="B-VP")
+        else:
+            sg3, pl, vd, vlemma = rng.choice(_V_TRANS)
+            v = s.tok(sg3, WW_T, vlemma, chunk="B-VP")
         s.dep(pu, v, "mod")
         s.dep(inner, pu, "obj1")
+        if verl and rng.flip(40):
+            # cardinal-plural object cell under the same shape ('twee
+            # prachtige doelpunten' at LEFT-dist 5-6 of the preterite)
+            su2, _ = _np_common(rng, s, plural=False, allow_num=False)
+            s.dep(su2, v, "su")
+            card = rng.choice(_TW_CARDS)
+            cu = s.tok(card, TW_CARD, card, chunk="B-NP")
+            if rng.flip(50):
+                ab2, ae2, alem2 = rng.choice(_ADJS)
+                au2 = s.tok(ae2, ADJ_E, alem2, chunk="I-NP")
+            else:
+                au2 = None
+            _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
+            ob2 = s.tok(npl, N_MV, nlem, chunk="I-NP")
+            s.dep(cu, ob2, "det")
+            if au2 is not None:
+                s.dep(au2, ob2, "mod")
+            s.dep(ob2, v, "obj1")
+            _end(rng, s, v)
+            return
     else:
         w, lemma = rng.choice(_ADVS)
         au = s.tok(_cap(s, w), BW, lemma, chunk="B-ADVP")
@@ -1267,6 +1296,27 @@ def _t_sep(rng: _Rng, s: _Sent) -> None:
     else:
         w, tag, lemma0 = rng.choice(_PRONS[:2])  # hij / zij (singular)
         su = s.tok(_cap(s, w), tag, lemma0, chunk="B-NP")
+    if rng.flip(22):
+        # ADJ particle ('keurt het ontwerp goed', 'maakt de uitslag
+        # bekend' — round-5b probe p43/p50 class): the particle is a
+        # clause-final vrij ADJ at distance 3+ from its met-t verb;
+        # without this arm the (ADJ, verb at LEFT-3+) pair node is
+        # owned by predc shapes and the particle falls out of the
+        # parse entirely (rel 'None'). Particle words are gold-corpus
+        # vocabulary (goed/bekend), so held-out disjointness holds —
+        # generalization to unseen ADJ particles rides the tag-first
+        # feature order.
+        sg3, part, lemma = rng.choice(
+            [("keurt", "goed", "keuren"), ("maakt", "bekend", "maken")]
+        )
+        v = s.tok(sg3, WW_T, lemma, chunk="B-VP")
+        ob, _ = _np(rng, s)
+        pu = s.tok(part, ADJ_VRIJ, part, chunk="B-ADJP")
+        s.dep(su, v, "su")
+        s.dep(ob, v, "obj1")
+        s.dep(pu, v, "svp")
+        _end(rng, s, v)
+        return
     sg3, part, lemma = rng.choice(_V_SEP)
     v = s.tok(sg3, WW_T, lemma, chunk="B-VP")
     if rng.flip(30):
@@ -1461,6 +1511,12 @@ def _t_perfect(rng: _Rng, s: _Sent) -> None:
         s.dep(du, v, "vc")
         _end(rng, s, v)
         return
+    # NOTE: a plural-pronoun-subject arm ('Zij hebben het pand volledig
+    # gerenoveerd', round-5b probe p53 class) was built here, measured
+    # on the held-out dev set, and REMOVED: at 18% it re-opened the
+    # h103 aux-obj1 fabrication and cost the 'Wij vergelijken' subject
+    # triple — the det-N-subject mass this template protects is
+    # load-bearing. p53 stays a documented open class for round 6.
     su, plural = _np(rng, s)
     v = s.tok("hebben" if plural else "heeft", WW_MV if plural else WW_T, "hebben", chunk="B-VP")
     # generous PP share: the (object-with-PP -> participle) pair node
@@ -1708,11 +1764,34 @@ def _t_svo_past(rng: _Rng, s: _Sent) -> None:
     su, plural = _np(rng, s, pp_mod=rng.flip(15))
     ev, mv, lemma = rng.choice(_V_TRANS_VERL)
     v = s.tok(mv if plural else ev, WW_VERL_MV if plural else WW_VERL_EV, lemma, chunk="B-VP")
-    ob, _ = _np(rng, s)
     s.dep(su, v, "su")
+    # round-5b probe classes: the preterite pair/dir nodes had only the
+    # bare V-obj shape, so any mid-field material pushed the object to
+    # an unseen distance cell and it fell out of the parse ('behaalde
+    # vorig jaar haar diploma', 'ving vanochtend een enorme snoek') and
+    # cardinal-plural objects had no verl evidence at all ('arresteerde
+    # twee verdachten').
+    shape = rng.next() % 100
+    if shape < 18:
+        _t_duration_np(rng, s, v)          # mid-field temporal NP
+    elif shape < 30:
+        w, alem = rng.choice(_ADVS)        # mid-field adverb
+        au = s.tok(w, BW, alem, chunk="B-ADVP")
+        s.dep(au, v, "mod")
+    if rng.flip(15):
+        card = rng.choice(_TW_CARDS)
+        cu = s.tok(card, TW_CARD, card, chunk="B-NP")
+        _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
+        ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
+        s.dep(cu, ob, "det")
+    else:
+        ob, _ = _np(rng, s)
     s.dep(ob, v, "obj1")
     if rng.flip(30):
-        _adv(rng, s, v)
+        if rng.flip(45):
+            _pp_verb(rng, s, v)            # 'arresteerde X na de overval'
+        else:
+            _adv(rng, s, v)
     _end(rng, s, v)
 
 
