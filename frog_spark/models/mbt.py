@@ -102,6 +102,19 @@ class MBTagger:
         # transition prior used ONLY to break ties among an ambiguous
         # ext-lexicon word's tags
         self.bigram = bigram or {}
+        # corpus tag-unigram counts (derived from the bigram so pickled
+        # models stay compatible): the LAST evidence tier when both the
+        # suffix distribution and the transition prior are silent on
+        # every candidate tag. Without it the final max() tie-break fell
+        # through to the tag STRING, i.e. reverse-alphabetical — which
+        # systematically preferred WW(...) over N(...) for noun/preterite
+        # homographs the inflection lexicon introduced ('week' wijken,
+        # 'bewijs' bewijzen). MBT proper resolves exactly this with
+        # lexical frequency; corpus tag frequency is the closest prior
+        # available to a frequency-less synthetic lexicon.
+        self.tag_freq: dict[str, int] = {}
+        for (_p, _t), _v in self.bigram.items():
+            self.tag_freq[_t] = self.tag_freq.get(_t, 0) + _v
 
     #: a word joins the unknown-word case base only if its training
     #: frequency is at most this. MBT builds the unknown base from RARE
@@ -298,11 +311,19 @@ class MBTagger:
         dist = self.unknown_tree.distribution(
             _unknown_feats(prev_tag, word, next_ambi)
         )
+        # the corpus tag-frequency prior applies only when the candidates
+        # span DIFFERENT coarse categories (N vs WW: the noun/preterite
+        # homograph class); within one category the fine-subtag frequency
+        # is corpus composition, not word evidence — it flipped
+        # 'is verplaatst' (vd) to pv,tgw,met-t purely because 3sg-present
+        # dominates the training corpus (held-out h72, measured).
+        cross = len({t.split("(", 1)[0] for t in tags}) > 1
         tag = max(
             tags,
             key=lambda t: (
                 dist.get(t, 0.0),
                 self.bigram.get((prev_tag, t), 0),
+                self.tag_freq.get(t, 0) if cross else 0,
                 t,
             ),
         )
