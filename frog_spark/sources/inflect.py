@@ -337,19 +337,17 @@ def adj_forms(entry: str) -> list[tuple[str, str, str, str]]:
     base = prefix + core
     lemma = base
     e_core = _adj_e(core)
-    # morph stem for the inflected forms: the UNDERLYING stem for the
-    # vowel-undoubling class ([groot][e], [heel][e] — the corpus
-    # convention for these), the surface stem otherwise ([dikk][e],
-    # [boz][e])
-    _pre, _vg, _cons = _vowel_tail(core)
-    if (
-        e_core != core + "e"
-        and len(_vg) == 2 and _vg[0] == _vg[1] and len(_cons) == 1
-        and len(e_core) >= 2 and e_core[-2] == core[-1]  # no devoicing
-    ):
-        m_stem = core  # pure undoubling: [groot][e], [heel][e]
-    else:
-        m_stem = e_core[:-1] if e_core.endswith("e") else core
+    # morph stem for the inflected forms: always the SURFACE stem —
+    # segments concatenate back to the written word ([grot][e],
+    # [hog][er], [boz][e]), the convention of the hand-annotated gold
+    # corpus (gold s42 grote=[grot][e], heldout h96 hoger=[hog][er]).
+    # An earlier revision used the underlying stem for the
+    # vowel-undoubling class ([groot][e]); that disagreed with the gold
+    # rows and leaked underlying-stem segmentations into model output
+    # on unseen shortening adjectives (round-5c probe: lage →
+    # [laag][e]). scripts/lint_corpus.py now enforces the concat
+    # invariant corpus-wide.
+    m_stem = e_core[:-1] if e_core.endswith("e") else core
     if core in _ADJ_SUPPLETIVE:
         comp_core, sup_core = _ADJ_SUPPLETIVE[core]
         comp_m = _segs(pref, comp_core)

@@ -63,6 +63,20 @@ def lint(path: str) -> int:
                 print(f"{s.sent_id}: NOTE new tag {t.pos!r} ({t.word})")
             if not re.fullmatch(r"(\[[^][]+\])+", t.morph):
                 report(s.sent_id, f"bad morph {t.morph!r} ({t.word})")
+            else:
+                # surface convention: segments concatenate back to the
+                # written word ([grot][e], [resultat][en]); the ONE
+                # sanctioned exception is suppletion carrying the bare
+                # lemma as a single segment (is -> [zijn])
+                segs = re.findall(r"\[([^\]]*)\]", t.morph)
+                joined = "".join(segs)
+                suppletive = len(segs) == 1 and segs[0] == t.lemma
+                if joined.lower() != t.word.lower() and not suppletive:
+                    report(
+                        s.sent_id,
+                        f"morph segments {t.morph!r} do not concatenate "
+                        f"to surface {t.word!r}",
+                    )
         # BIO chains
         for col in ("ner", "chunk"):
             prev = "O"
