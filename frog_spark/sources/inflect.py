@@ -693,7 +693,14 @@ IRREGULAR_VERBS: list[tuple] = [
     ("af|slaan", "sla", "slaat", "sloeg", "sloegen", "geslagen"),
     ("toe|slaan", "sla", "slaat", "sloeg", "sloegen", "geslagen"),
     ("be|treden", "treed", "trad", "traden", "treden"),
-    ("ont|vluchten", "vlucht", "vluchtte", "vluchtten", "vlucht"),
+    ("ont|vluchten", "vlucht", "vluchtte", "vluchtten", "vlucht"),    # ---- round-5c breadth batch (common-vocabulary sweep) ----
+    ('waar|nemen', 'neem', 'nam', 'namen', 'genomen'),
+    ('over|drijven', 'drijf', 'dreef', 'dreven', 'dreven'),
+    ('ver|zwijgen', 'zwijg', 'zweeg', 'zwegen', 'zwegen'),
+    ('zouten', 'zout', 'zoutte', 'zoutten', 'gezouten'),
+    ('kluiven', 'kluif', 'kloof', 'kloven', 'gekloven'),
+    ('be|hangen', 'hang', 'hing', 'hingen', 'hangen'),
+    ('braden', 'braad', 'braadde', 'braadden', 'gebraden'),
 ]
 
 # -- regular ('weak') verbs: marked infinitives; (inf, stem) pairs for
@@ -883,7 +890,43 @@ REGULAR_VERBS: list = [
     ("selecteren", "selecteer"), ("evalueren", "evalueer"),
     ("motiveren", "motiveer"), ("activeren", "activeer"),
     ("renoveren", "renoveer"), ("frustreren", "frustreer"),
-    ("attenderen", "attendeer"),
+    ("attenderen", "attendeer"),    # ---- round-5c breadth batch (common-vocabulary sweep) ----
+    'klagen', 'mopperen', 'zeuren', 'jammeren', 'rouwen', 'sussen',
+    'boeien', 'gissen', 'piekeren', 'peinzen', 'mijmeren', 'aarzelen',
+    'weifelen', 'dubben', 'niezen', 'hoesten', 'gapen', 'blozen',
+    'rillen', 'trillen', 'krabben', 'prikken', 'hakken', 'schaven',
+    'vijlen', 'piepen', 'kraken', 'ritselen', 'suizen', 'galmen',
+    'bonzen', 'joggen', 'sprinten', 'slippen', 'toeteren', 'pendelen',
+    'gidsen', 'loodsen', 'ankeren', 'dobberen', 'golven', 'bruisen',
+    'pruttelen', 'sudderen', 'stoven', 'smoren', 'kruiden', 'peperen',
+    'zoeten', 'nippen', 'slurpen', 'smikkelen', 'snoepen', 'knabbelen',
+    'gniffelen', 'grijnzen', 'glimlachen', 'schateren', 'snikken',
+    'huilen', 'janken', 'rangschikken', 'ordenen', 'schikken',
+    'polijsten', 'knielen', 'kneden', 'slikken', 'kauwen', 'metselen',
+    'lassen', 'slopen', 'schroeven', 'druppelen', 'spatten', 'sproeien',
+    'proosten', 'toasten', 'frituren', 'openbaren', 'opperen',
+    'be|mesten', 'be|kennen', 'er|kennen', 'be|togen', 'ver|hullen',
+    'ver|doezelen', 'ver|klappen', 'op|biechten', 'aan|moedigen',
+    'be|moedigen', 'aan|stippen', 'af|leiden', 'uit|stallen',
+    'tentoon|stellen', 'op|dienen', 'over|nachten', 'onder|strepen',
+    'ver|kennen', 'ver|dwalen', 'gerust|stellen', 'ont|waren',
+    'be|speuren', ('kamperen', 'kampeer'), ('claxonneren', 'claxonneer'),
+    ('marineren', 'marineer'), ('paneren', 'paneer'),
+    ('garneren', 'garneer'), ('kalmeren', 'kalmeer'),
+    ('amuseren', 'amuseer'), ('inspireren', 'inspireer'),
+    ('suggereren', 'suggereer'), ('insinueren', 'insinueer'),
+    ('impliceren', 'impliceer'), ('memoreren', 'memoreer'),
+    ('parafraseren', 'parafraseer'), ('concluderen', 'concludeer'),
+    ('deduceren', 'deduceer'), ('speculeren', 'speculeer'),
+    ('fantaseren', 'fantaseer'), ('innoveren', 'innoveer'),
+    ('experimenteren', 'experimenteer'), ('valideren', 'valideer'),
+    ('inspecteren', 'inspecteer'), ('observeren', 'observeer'),
+    ('detecteren', 'detecteer'), ('archiveren', 'archiveer'),
+    ('catalogiseren', 'catalogiseer'), ('indexeren', 'indexeer'),
+    ('rubriceren', 'rubriceer'), ('sorteren', 'sorteer'),
+    ('etaleren', 'etaleer'), ('exposeren', 'exposeer'),
+    ('nuanceren', 'nuanceer'), ('relativeren', 'relativeer'),
+    ('bagatelliseren', 'bagatelliseer'), ('boetseren', 'boetseer'),
 ]
 
 # -- nouns: (marked_sg, plural_surface, gender) ---------------------------
@@ -1299,7 +1342,102 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("aangifte", "aangiftes", "de"), ("inval", "invallen", "de"),
     ("akkoord", "akkoorden", "het"), ("compromis", "compromissen", "het"),
     ("stemming", "stemmingen", "de"), ("kandidaat", "kandidaten", "de"),
-    ("opvolger", "opvolgers", "de"), ("woordvoerster", "woordvoersters", "de"),
+    ("opvolger", "opvolgers", "de"), ("woordvoerster", "woordvoersters", "de"),    # ---- round-5c breadth batch (common-vocabulary sweep) ----
+    ('drogist', 'drogisten', 'de'), ('apothek|er', 'apothekers', 'de'),
+    ('slag|er', 'slagers', 'de'), ('bakk|er', 'bakkers', 'de'),
+    ('kapp|er', 'kappers', 'de'), ('kleer|mak|er', 'kleermakers', 'de'),
+    ('schoen|mak|er', 'schoenmakers', 'de'),
+    ('lood|giet|er', 'loodgieters', 'de'),
+    ('elektricien', 'elektriciens', 'de'),
+    ('timmer|man', 'timmermannen', 'de'),
+    ('metsel|aar', 'metselaars', 'de'), ('stukadoor', 'stukadoors', 'de'),
+    ('dak|dekk|er', 'dakdekkers', 'de'), ('hovenier', 'hoveniers', 'de'),
+    ('tuind|er', 'tuinders', 'de'), ('imk|er', 'imkers', 'de'),
+    ('jag|er', 'jagers', 'de'), ('bos|wacht|er', 'boswachters', 'de'),
+    ('vee|houd|er', 'veehouders', 'de'),
+    ('akker|bouw|er', 'akkerbouwers', 'de'), ('kwek|er', 'kwekers', 'de'),
+    ('fokk|er', 'fokkers', 'de'), ('ruit|er', 'ruiters', 'de'),
+    ('grens|recht|er', 'grensrechters', 'de'),
+    ('doel|man', 'doelmannen', 'de'),
+    ('midden|veld|er', 'middenvelders', 'de'), ('coach', 'coaches', 'de'),
+    ('makel|aar', 'makelaars', 'de'), ('notaris', 'notarissen', 'de'),
+    ('officier', 'officieren', 'de'), ('aan|klag|er', 'aanklagers', 'de'),
+    ('gevangene', 'gevangenen', 'de'), ('bewak|er', 'bewakers', 'de'),
+    ('cipier', 'cipiers', 'de'), ('rechercheur', 'rechercheurs', 'de'),
+    ('commissaris', 'commissarissen', 'de'),
+    ('brandweer|man', 'brandweermannen', 'de'),
+    ('chirurg', 'chirurgen', 'de'), ('tand|arts', 'tandartsen', 'de'),
+    ('opticien', 'opticiens', 'de'),
+    ('fysiotherapeut', 'fysiotherapeuten', 'de'),
+    ('psycholoog', 'psychologen', 'de'),
+    ('psychiater', 'psychiaters', 'de'), ('kapitein', 'kapiteins', 'de'),
+    ('monteur', 'monteurs', 'de'), ('kleuter', 'kleuters', 'de'),
+    ('fiets|er', 'fietsers', 'de'), ('wandel|aar', 'wandelaars', 'de'),
+    ('ingenieur', 'ingenieurs', 'de'), ('kok', 'koks', 'de'),
+    ('piloot', 'piloten', 'de'), ('drogisterij', 'drogisterijen', 'de'),
+    ('slagerij', 'slagerijen', 'de'), ('kapsalon', 'kapsalons', 'de'),
+    ('werk|plaats', 'werkplaatsen', 'de'),
+    ('smederij', 'smederijen', 'de'), ('drukkerij', 'drukkerijen', 'de'),
+    ('redactie', 'redacties', 'de'), ('galerie', 'galeries', 'de'),
+    ('kazerne', 'kazernes', 'de'), ('katern', 'katernen', 'het'),
+    ('rubriek', 'rubrieken', 'de'), ('column', 'columns', 'de'),
+    ('recensie', 'recensies', 'de'), ('reportage', 'reportages', 'de'),
+    ('voet|noot', 'voetnoten', 'de'), ('bijlage', 'bijlagen', 'de'),
+    ('paragraaf', 'paragrafen', 'de'),
+    ('in|leid|ing', 'inleidingen', 'de'),
+    ('stel|ling', 'stellingen', 'de'), ('be|wer|ing', 'beweringen', 'de'),
+    ('argument', 'argumenten', 'het'),
+    ('aan|wijz|ing', 'aanwijzingen', 'de'),
+    ('getuigenis', 'getuigenissen', 'de'),
+    ('uit|spraak', 'uitspraken', 'de'), ('proces', 'processen', 'het'),
+    ('sluis', 'sluizen', 'de'), ('dijk', 'dijken', 'de'),
+    ('polder', 'polders', 'de'), ('gemaal', 'gemalen', 'het'),
+    ('molen', 'molens', 'de'), ('dam', 'dammen', 'de'),
+    ('kade', 'kaden', 'de'), ('pier', 'pieren', 'de'),
+    ('steiger', 'steigers', 'de'), ('haven', 'havens', 'de'),
+    ('boei', 'boeien', 'de'), ('vuur|toren', 'vuurtorens', 'de'),
+    ('beek', 'beken', 'de'), ('water|val', 'watervallen', 'de'),
+    ('plas', 'plassen', 'de'), ('poel', 'poelen', 'de'),
+    ('moeras', 'moerassen', 'het'), ('oever', 'oevers', 'de'),
+    ('mond|ing', 'mondingen', 'de'), ('eb', None, 'de'),
+    ('vloed', None, 'de'), ('getij', 'getijden', 'het'),
+    ('brand|ing', None, 'de'), ('schuim', None, 'het'),
+    ('zee|wier', None, 'het'), ('kwal', 'kwallen', 'de'),
+    ('zee|ster', 'zeesterren', 'de'), ('krab', 'krabben', 'de'),
+    ('kreeft', 'kreeften', 'de'), ('garnaal', 'garnalen', 'de'),
+    ('mossel', 'mosselen', 'de'), ('oester', 'oesters', 'de'),
+    ('struik', 'struiken', 'de'), ('haag', 'hagen', 'de'),
+    ('heester', 'heesters', 'de'), ('mos', 'mossen', 'het'),
+    ('klimop', None, 'de'), ('lavendel', None, 'de'),
+    ('beuk', 'beuken', 'de'), ('eik', 'eiken', 'de'),
+    ('wilg', 'wilgen', 'de'), ('populier', 'populieren', 'de'),
+    ('berk', 'berken', 'de'), ('esdoorn', 'esdoorns', 'de'),
+    ('kastanje', 'kastanjes', 'de'), ('linde', 'linden', 'de'),
+    ('plataan', 'platanen', 'de'), ('spar', 'sparren', 'de'),
+    ('den', 'dennen', 'de'), ('saus', 'sauzen', 'de'),
+    ('jus', None, 'de'), ('bouillon', 'bouillons', 'de'),
+    ('deeg', None, 'het'), ('gist', None, 'de'), ('kaneel', None, 'de'),
+    ('peterselie', None, 'de'), ('bieslook', None, 'het'),
+    ('tijm', None, 'de'), ('basilicum', None, 'de'),
+    ('kwik', None, 'het'), ('barometer', 'barometers', 'de'),
+    ('thermometer', 'thermometers', 'de'),
+    ('arm|band', 'armbanden', 'de'), ('oor|bel', 'oorbellen', 'de'),
+    ('zak|doek', 'zakdoeken', 'de'),
+    ('portemonnee', 'portemonnees', 'de'),
+    ('zonne|bril', 'zonnebrillen', 'de'), ('paraplu', "paraplu's", 'de'),
+    ('parasol', 'parasols', 'de'), ('wandel|stok', 'wandelstokken', 'de'),
+    ('akte|tas', 'aktetassen', 'de'), ('rug|zak', 'rugzakken', 'de'),
+    ('etui', 'etuis', 'het'), ('expositie', 'exposities', 'de'),
+    ('biografie', 'biografieën', 'de'),
+    ('melk|prijs', 'melkprijzen', 'de'), ('deal', 'deals', 'de'),
+    ('tante', 'tantes', 'de'), ('oom', 'ooms', 'de'),
+    ('kanaal', 'kanalen', 'het'), ('meteoroloog', 'meteorologen', 'de'),
+    ('bloed|druk', None, 'de'), ('koor', 'koren', 'het'),
+    ('kapel', 'kapellen', 'de'), ('concert|zaal', 'concertzalen', 'de'),
+    ('ver|warm|ing', 'verwarmingen', 'de'),
+    ('onder|handel|ing', 'onderhandelingen', 'de'),
+    ('aan|vraag', 'aanvragen', 'de'), ('zand|taart', 'zandtaarten', 'de'),
+    ('uit|zicht', None, 'het'),
 ]
 
 # -- prepositions (VZ(init)) ----------------------------------------------
@@ -1447,7 +1585,22 @@ ADJECTIVES: list[str] = [
     "schriftelijk", "begrijpelijk", "onvermijdelijk", "persoonlijk",
     "maatschappelijk", "menselijk", "koninklijk", "feestelijk",
     "gevoelig", "omstreden", "berucht", "omvangrijk", "grootschalig",
-    "kleinschalig", "spraakmakend", "veelbelovend", "teleurstellend",
+    "kleinschalig", "spraakmakend", "veelbelovend", "teleurstellend",    # ---- round-5c breadth batch (common-vocabulary sweep) ----
+    'vernuftig', 'pittig', 'taai', 'gluten|vrij', 'biologisch', 'fors',
+    'vrijgevig', 'arrogant', 'on|beleefd', 'grof', 'subtiel', 'stroef',
+    'stug', 'elastisch', 'broos', 'breek|baar', 'labiel', 'evenwichtig',
+    'duizelig', 'misselijk', 'koortsig', 'rillerig', 'verkouden', 'schor',
+    'uitgeput', 'energiek', 'levendig', 'sloom', 'traag', 'vlot', 'lenig',
+    'stijf', 'atletisch', 'gespierd', 'slank', 'tenger', 'mollig', 'plat',
+    'bol', 'hol', 'vierkant', 'rechthoekig', 'driehoekig', 'ovaal',
+    'stomp', 'puntig', 'wrang', 'romig', 'knapperig', 'krokant', 'mals',
+    'gaar', 'rauw', 'bedorven', 'houd|baar', 'voedzaam', 'vettig',
+    'waterig', 'geurig', 'muf', 'kil', 'guur', 'zwoel', 'benauwd',
+    'mistig', 'nevelig', 'bewolkt', 'zonnig', 'regenachtig',
+    'stormachtig', 'winderig', 'ijzig', 'bevroren', 'glibberig',
+    'modderig', 'drassig', 'dor', 'weelderig', 'on|vruchtbaar', 'schraal',
+    'glooiend', 'heuvelachtig', 'bergachtig', 'afgelegen', 'verlaten',
+    'dichtbevolkt', 'luidruchtig',
 ]
 
 
