@@ -273,7 +273,12 @@ def train_igtree_distributed(
         # the subtree IS the depth-d node (dist included in the pickle)
         by_prefix[key] = pickle.loads(bytes(r["subtree"]))
 
-    # attach children bottom-up with IGTree's compression rule
+    # attach children bottom-up with IGTree's compression rule; pruned
+    # values at LOW-SUPPORT parents are recorded in ``seen`` exactly as
+    # the driver trainer does (IGTree._build), so classify's
+    # partial-match backtrack behaves identically on both trees
+    k_min = IGTree.SEEN_RECORD_SUPPORT
+    pruned_at: dict[tuple, set] = {}
     for j in range(d, 0, -1):
         for key, node in list(by_prefix.items()):
             if len(key) != j:
@@ -281,6 +286,10 @@ def train_igtree_distributed(
             parent = by_prefix[key[:-1]]
             if node.children or node.label != parent.label:
                 parent.children[key[-1]] = node
+            elif sum(parent.dist.values()) < k_min:
+                pruned_at.setdefault(key[:-1], set()).add(key[-1])
+    for key, vals in pruned_at.items():
+        by_prefix[key].seen = frozenset(vals)
     return IGTree(feature_order, root)
 
 

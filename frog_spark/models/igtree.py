@@ -32,6 +32,13 @@ class _Node:
     dist: dict[str, int]
     children: dict[str, "_Node"] = field(default_factory=dict)
     norm_dist: dict[str, float] | None = None  # lazy normalized cache
+    #: at LOW-SUPPORT nodes only (< IGTree.MIN_PARTIAL_SUPPORT): feature
+    #: values training saw here but pruned away (child agreed with the
+    #: majority) or never split (unambiguous leaf). classify trusts the
+    #: node for these values (exact training reproduction) and backtracks
+    #: for genuinely unseen ones. None elsewhere — bounded memory: a
+    #: low-support node has at most MIN_PARTIAL_SUPPORT-1 values.
+    seen: frozenset | None = None
 
 
 def _entropy(counts: Iterable[int]) -> float:
@@ -110,12 +117,22 @@ class IGTree:
         # majority with deterministic tie-break (count desc, then label asc)
         label = min(dist.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         node = _Node(label, dist)
+        small = sum(dist.values()) < cls.SEEN_RECORD_SUPPORT
         if depth >= len(order) or len(dist) == 1:
-            return node  # unambiguous or out of features -> leaf (pruned)
+            # unambiguous or out of features -> leaf (pruned). A SMALL
+            # unambiguous leaf still records which next-feature values
+            # training actually saw, so classify can tell a trained
+            # instance stopping here (exact reproduction) from an
+            # unseen-value mismatch (backtrack candidate).
+            if small and depth < len(order):
+                f = order[depth]
+                node.seen = frozenset(inst[f] for inst in instances)
+            return node
         f = order[depth]
         by_val: dict[str, list[int]] = defaultdict(list)
         for i, inst in enumerate(instances):
             by_val[inst[f]].append(i)
+        seen: set[str] = set()
         for v, idxs in by_val.items():
             sub_inst = [instances[i] for i in idxs]
             sub_cls = [classes[i] for i in idxs]
@@ -124,17 +141,85 @@ class IGTree:
             # parent prediction and have no descendants of their own.
             if child.children or child.label != label:
                 node.children[v] = child
+            elif small:
+                seen.add(v)
+        if seen:
+            node.seen = frozenset(seen)
         return node
 
     # -- classification ----------------------------------------------------
 
-    def classify(self, features: Sequence[str]) -> tuple[str, float]:
+    #: on a PARTIAL match (the walk stopped at an unseen feature value
+    #: that training never saw at that node), distributions carried by
+    #: fewer than this many training instances are not trusted: the
+    #: walk backs up to the nearest ancestor at or above the threshold.
+    #: A 1-instance word-feature leaf ('kosten' next to 'vergelijken',
+    #: trained once as __) otherwise overrides a 140-instance
+    #: tag-context distribution — the round-5c failure class on
+    #: never-seen text. Trained instances always stop at values in the
+    #: node's ``seen`` set (or full leaves), so exact training
+    #: reproduction is preserved at any threshold.
+    #:
+    #: Class default 1 = OFF (plain IGTree semantics): the
+    #: character-window trees (MBLEM, MBMA, MBT-unknown) *rely* on
+    #: low-support suffix nodes for generalization. The dependency
+    #: parser opts in per tree (operators/parser.py) where the tail
+    #: features are word identities and a low-support partial match is
+    #: noise, not signal. Must not exceed SEEN_RECORD_SUPPORT.
+    MIN_PARTIAL_SUPPORT = 1
+
+    #: ``seen`` sets are recorded at train time for nodes below this
+    #: support regardless of the runtime threshold, so a pickled tree
+    #: supports any MIN_PARTIAL_SUPPORT <= this without retraining.
+    SEEN_RECORD_SUPPORT = 4
+
+    #: optional label filter for the backtrack: when set (a frozenset),
+    #: only stops whose node label is IN the set are distrusted. The
+    #: pairs tree uses {'__'}: a low-support 'no relation' default
+    #: suppressing a real edge is the measured failure mode, while
+    #: low-support REAL-relation nodes are usually right.
+    BACKTRACK_LABELS: frozenset | None = None
+
+    #: opt-in (parser pairs tree): on a genuine-mismatch stop at a node
+    #: whose label survived the backtrack filter, scale the returned
+    #: confidence by support/(support+1). A 1-instance real-label leaf
+    #: then scores 0.5 instead of 1.0, so a competing well-supported
+    #: edge wins the CKY ('jongeren' -> 'van' obj1 at 0.91 beats the
+    #: fabricated 'jongeren' -> once-seen-verb edge), while an
+    #: uncontested low-support edge still stands (h14-class recall).
+    PARTIAL_SHRINK = False
+
+    def _walk_ex(self, features: Sequence[str]) -> tuple["_Node", bool]:
         node = self.root
+        path: list[_Node] = []
+        mismatch = False
         for f in self.feature_order:
-            nxt = node.children.get(features[f])
+            v = features[f]
+            nxt = node.children.get(v)
             if nxt is None:
+                # stop. Trust the node when training itself stopped
+                # here for this value: a high-support node, or a
+                # low-support node whose ``seen`` set contains the
+                # value (pruned-agreeing child / unambiguous leaf) —
+                # exact training reproduction. Otherwise the value is
+                # genuinely unseen at a low-support node: backtrack.
+                mismatch = node.seen is None or v not in node.seen
                 break
+            path.append(node)
             node = nxt
+        if mismatch and (
+            self.BACKTRACK_LABELS is None or node.label in self.BACKTRACK_LABELS
+        ):
+            k = self.MIN_PARTIAL_SUPPORT
+            while path and sum(node.dist.values()) < k:
+                node = path.pop()
+        return node, mismatch
+
+    def _walk(self, features: Sequence[str]) -> "_Node":
+        return self._walk_ex(features)[0]
+
+    def classify(self, features: Sequence[str]) -> tuple[str, float]:
+        node, mismatch = self._walk_ex(features)
         nd = node.norm_dist
         if nd is None:
             # cached per node (shared with distribution()): the hot parser
@@ -142,15 +227,14 @@ class IGTree:
             # dominated the walk itself
             total = sum(node.dist.values()) or 1
             nd = node.norm_dist = {k: v / total for k, v in node.dist.items()}
-        return node.label, nd.get(node.label, 0.0)
+        conf = nd.get(node.label, 0.0)
+        if mismatch and self.PARTIAL_SHRINK:
+            sup = sum(node.dist.values())
+            conf *= sup / (sup + 1.0)
+        return node.label, conf
 
     def distribution(self, features: Sequence[str]) -> dict[str, float]:
-        node = self.root
-        for f in self.feature_order:
-            nxt = node.children.get(features[f])
-            if nxt is None:
-                break
-            node = nxt
+        node = self._walk(features)
         cached = node.norm_dist
         if cached is None:
             total = sum(node.dist.values()) or 1
@@ -163,12 +247,7 @@ class IGTree:
         """classify() + distribution() in ONE walk: both stop at the same
         node, so callers needing the label and the full normalized dist
         (the parser's rels batch) pay a single trie descent."""
-        node = self.root
-        for f in self.feature_order:
-            nxt = node.children.get(features[f])
-            if nxt is None:
-                break
-            node = nxt
+        node = self._walk(features)
         cached = node.norm_dist
         if cached is None:
             total = sum(node.dist.values()) or 1

@@ -216,15 +216,30 @@ class Mblem:
         # on the lowercase tail either way); the default path lowercased
         # ``word`` above, so behavior there is unchanged
         decode_base = word if self.keep_case else word.lower()
-        decoded: list[str] = []
+        # cost = edit-script length (chars deleted + inserted + prefix
+        # stripped): the primary sort key below. When two lemma
+        # candidates survive the tag filter ('plant' WW -> planten via
+        # +Ien vs plannen via +Dt+Innen), the minimal edit is the
+        # systematically better prior — homograph surfaces are almost
+        # always closer to their own paradigm's lemma than to the
+        # competing one (round-5c probe p69 class).
+        decoded: dict[str, int] = {}
         for cand in cls_str.split("|"):
             applied = self._apply(decode_base, cand)
             if applied is None:
                 continue
             tag, lemma = applied
             if self._tag_matches(tag, cgn_tag):
-                decoded.append(lemma)
+                cost = sum(len(op) - 1 for op in cand.split("+")[1:])
+                if lemma not in decoded or cost < decoded[lemma]:
+                    decoded[lemma] = cost
         if not decoded:
             return [word]
-        # L5 dedup: sort by lemma, unique (makeUnique, mblem_mod.cxx:362-380)
-        return sorted(set(decoded))
+        # L5 dedup + unique (makeUnique, mblem_mod.cxx:362-380); sorted
+        # by (identity-last, edit cost, lemma): among real analyses the
+        # minimal edit wins, but a zero-edit identity class never beats
+        # a non-identity alternative ('Hangende' -> hangen, not
+        # hangende — gold s23)
+        return sorted(
+            decoded, key=lambda lem: (decoded[lem] == 0, decoded[lem], lem)
+        )

@@ -232,6 +232,36 @@ def rel_instances(
 
 _DIST_STR = tuple(str(i) for i in range(MAX_DEP_SPAN + 2))
 
+#: the pairs tree's partial-match backtrack setting (DepParser sets it
+#: on the tree; the fused fast path reads the tree's own attributes).
+#: The threshold must stay <= IGTree.SEEN_RECORD_SUPPORT so every value
+#: training saw at a distrusted node is covered by a recorded ``seen``
+#: set.
+#: measured sweep (scratch/ab7.txt, probe-r5c + held-out, 18k-sentence
+#: treebank): k=4 with the '__' label filter dominates — probe heads
+#: .965 / R .929, held-out heads .986 / R 1.0. Unfiltered k=4 (any
+#: label) traded triple precision for heads; rels/dirs backtrack only
+#: hurt. Must stay <= IGTree.SEEN_RECORD_SUPPORT.
+_MIN_PARTIAL_SUPPORT = 4
+_PAIRS_BACKTRACK_LABELS = frozenset({"__"})
+
+
+def _backtrack_partial(node, path, failed_value, k, labels):
+    """IGTree._walk_ex's partial-match rule applied to a pre-walked
+    (node, ancestors) pair: trust the node when training saw
+    ``failed_value`` here (low-support ``seen`` set), else retreat while
+    support is below ``k`` — byte-identical to IGTree._walk_ex's stop
+    handling. Returns (node, mismatch)."""
+    if node.seen is not None and failed_value in node.seen:
+        return node, False
+    if labels is not None and node.label not in labels:
+        return node, True
+    i = len(path)
+    while i and sum(node.dist.values()) < k:
+        i -= 1
+        node = path[i]
+    return node, True
+
 # kill switch for the fused pairs walk (same results either way; the
 # slow path is the reference shape used by training and the n==1 case)
 _USE_FAST_PAIRS = True
@@ -239,69 +269,37 @@ _USE_FAST_PAIRS = True
 
 def _pairs_walk_tail(
     node, t0th0, t0, th0, tm1, t1, thm1, th1, mhead, mdep,
-    wh0, w0, wm1, w1, whm1, wh1,
+    wh0, w0, wm1, w1, whm1, wh1, prefix_path=(),
+    k=_MIN_PARTIAL_SUPPORT, labels=_PAIRS_BACKTRACK_LABELS,
 ):
     """The PAIRS_ORDER walk below the hoisted (dir, dist) prefix:
     features 12,7,10,6,8,9,11,15,4,1,0,2,3,5 in order. The mods^mods
-    conjunction (f15) is concatenated only if the walk reaches it."""
-    while True:
-        nxt = node.children.get(t0th0)
+    conjunction (f15) is concatenated only if the walk reaches it.
+    Mirrors IGTree._walk's partial-match backtrack (MIN_PARTIAL_SUPPORT)
+    so the fast path stays byte-identical to IGTree.classify;
+    ``prefix_path`` carries the hoisted (dir, dist) ancestors so a
+    backtrack can retreat through the prefix too."""
+    path = list(prefix_path)
+    mismatch = False
+    for v in (t0th0, t0, th0, tm1, t1, thm1, th1):
+        nxt = node.children.get(v)
         if nxt is None:
+            mismatch = node.seen is None or v not in node.seen
             break
+        path.append(node)
         node = nxt
-        nxt = node.children.get(t0)
-        if nxt is None:
-            break
-        node = nxt
-        nxt = node.children.get(th0)
-        if nxt is None:
-            break
-        node = nxt
-        nxt = node.children.get(tm1)
-        if nxt is None:
-            break
-        node = nxt
-        nxt = node.children.get(t1)
-        if nxt is None:
-            break
-        node = nxt
-        nxt = node.children.get(thm1)
-        if nxt is None:
-            break
-        node = nxt
-        nxt = node.children.get(th1)
-        if nxt is None:
-            break
-        node = nxt
-        nxt = node.children.get(mhead + "^" + mdep)
-        if nxt is None:
-            break
-        node = nxt
-        nxt = node.children.get(wh0)
-        if nxt is None:
-            break
-        node = nxt
-        nxt = node.children.get(w0)
-        if nxt is None:
-            break
-        node = nxt
-        nxt = node.children.get(wm1)
-        if nxt is None:
-            break
-        node = nxt
-        nxt = node.children.get(w1)
-        if nxt is None:
-            break
-        node = nxt
-        nxt = node.children.get(whm1)
-        if nxt is None:
-            break
-        node = nxt
-        nxt = node.children.get(wh1)
-        if nxt is not None:
+    else:
+        for v in (mhead + "^" + mdep, wh0, w0, wm1, w1, whm1, wh1):
+            nxt = node.children.get(v)
+            if nxt is None:
+                mismatch = node.seen is None or v not in node.seen
+                break
+            path.append(node)
             node = nxt
-        break
-    return node
+    if mismatch and (labels is None or node.label in labels):
+        while path and sum(node.dist.values()) < k:
+            node = path.pop()
+    return node, mismatch
 
 
 def _pairs_classify_fast(tree, words, heads, mods):
@@ -321,46 +319,69 @@ def _pairs_classify_fast(tree, words, heads, mods):
     # f13 (direction) / f14 (distance) prefix nodes are a STATIC
     # property of the trie — cache them on the tree across sentences
     # (lazily rebuilt per process after unpickling/broadcast).
+    k = getattr(tree, "MIN_PARTIAL_SUPPORT", 1)
+    labels = getattr(tree, "BACKTRACK_LABELS", None)
     pref = getattr(tree, "_pair_prefix", None)
-    if pref is None:
+    if pref is None or pref[0] != (k, labels):
+        # incomplete prefixes resolve their partial-match backtrack HERE
+        # (the failed value — direction or distance — is known at cache
+        # build time), so the per-candidate path below never re-checks;
+        # the cache is keyed on the backtrack settings
         left, right = [None] * (MAX_DEP_SPAN + 2), [None] * (MAX_DEP_SPAN + 2)
         for direction, arr in (("LEFT", left), ("RIGHT", right)):
             dnode = root.children.get(direction)
             for dist in range(1, MAX_DEP_SPAN + 2):
-                node, complete = root, False
-                if dnode is not None:
-                    node = dnode
-                    nxt = dnode.children.get(_DIST_STR[dist])
-                    if nxt is not None:
-                        node, complete = nxt, True
-                arr[dist] = (node, complete)
-        rnode, rcomplete = root, False
+                if dnode is None:
+                    bnode, bmis = _backtrack_partial(root, (), direction,
+                                                     k, labels)
+                    arr[dist] = (bnode, False, (), bmis)
+                    continue
+                nxt = dnode.children.get(_DIST_STR[dist])
+                if nxt is not None:
+                    arr[dist] = (nxt, True, (root, dnode), False)
+                else:
+                    bnode, bmis = _backtrack_partial(
+                        dnode, (root,), _DIST_STR[dist], k, labels)
+                    arr[dist] = (bnode, False, (), bmis)
         dnode = root.children.get("ROOT")
-        if dnode is not None:
-            rnode = dnode
+        if dnode is None:
+            bnode, bmis = _backtrack_partial(root, (), "ROOT", k, labels)
+            rnode, rcomplete, rpath, rmis = bnode, False, (), bmis
+        else:
             nxt = dnode.children.get("ROOT")
             if nxt is not None:
-                rnode, rcomplete = nxt, True
-        pref = tree._pair_prefix = (left, right, rnode, rcomplete)
-    lpref, rpref, rnode, rcomplete = pref
+                rnode, rcomplete, rpath, rmis = nxt, True, (root, dnode), False
+            else:
+                bnode, bmis = _backtrack_partial(dnode, (root,), "ROOT",
+                                                 k, labels)
+                rnode, rcomplete, rpath, rmis = bnode, False, (), bmis
+        pref = tree._pair_prefix = ((k, labels), left, right, rnode,
+                                    rcomplete, rpath, rmis)
+    _settings, lpref, rpref, rnode, rcomplete, rpath, rmis = pref
+    shrink = getattr(tree, "PARTIAL_SHRINK", False)
 
     # ROOT candidates (dep i, head None), reference order first
     for i in range(n):
         if rcomplete:
             t0 = tp[i + 1]
-            node = _pairs_walk_tail(
+            node, mis = _pairs_walk_tail(
                 rnode, t0 + "^ROOT", t0, "ROOT", tp[i], tp[i + 2],
                 "ROOT", "ROOT", "ROOT", mods[i],
                 "ROOT", wp[i + 1], wp[i], wp[i + 2], "ROOT", "ROOT",
+                rpath, k, labels,
             )
         else:
-            node = rnode
+            node, mis = rnode, rmis
         nd = node.norm_dist
         if nd is None:
             total = sum(node.dist.values()) or 1
             nd = node.norm_dist = {k: v / total for k, v in node.dist.items()}
         label = node.label
-        out.append((i, None, label, nd.get(label, 0.0)))
+        conf = nd.get(label, 0.0)
+        if mis and shrink:
+            sup = sum(node.dist.values())
+            conf *= sup / (sup + 1.0)
+        out.append((i, None, label, conf))
     # (dep, head) candidates within MAX_DEP_SPAN, dep outer / head inner
     for wpos in range(n):
         w_1, w0, w1 = wp[wpos], wp[wpos + 1], wp[wpos + 2]
@@ -373,23 +394,28 @@ def _pairs_classify_fast(tree, words, heads, mods):
             if pos == wpos:
                 continue
             if wpos > pos:
-                pnode, pcomplete = lpref[wpos - pos]
+                pnode, pcomplete, ppath, pmis = lpref[wpos - pos]
             else:
-                pnode, pcomplete = rpref[pos - wpos]
+                pnode, pcomplete, ppath, pmis = rpref[pos - wpos]
             if pcomplete:
-                node = _pairs_walk_tail(
+                node, mis = _pairs_walk_tail(
                     pnode, t0c + tp[pos + 1], t0, tp[pos + 1], t_1, t1,
                     tp[pos], tp[pos + 2], mods[pos], m0,
                     wp[pos + 1], w0, w_1, w1, wp[pos], wp[pos + 2],
+                    ppath, k, labels,
                 )
             else:
-                node = pnode
+                node, mis = pnode, pmis
             nd = node.norm_dist
             if nd is None:
                 total = sum(node.dist.values()) or 1
                 nd = node.norm_dist = {k: v / total for k, v in node.dist.items()}
             label = node.label
-            out.append((wpos, pos, label, nd.get(label, 0.0)))
+            conf = nd.get(label, 0.0)
+            if mis and shrink:
+                sup = sum(node.dist.values())
+                conf *= sup / (sup + 1.0)
+            out.append((wpos, pos, label, conf))
     return out
 
 
@@ -432,6 +458,20 @@ class DepParser:
         self.pairs = pairs
         self.dirs = dirs
         self.rels = rels
+        # opt in to the partial-match backtrack (IGTree._walk) on the
+        # PAIRS tree only, and only for '__'-labeled stops: a
+        # low-support 'no relation' default suppressing a real edge is
+        # the measured failure mode ('kosten' next to once-seen
+        # 'vergelijken' killed the obj1 edge), while low-support REAL
+        # labels — and everything in the rels/dirs trees — measured
+        # worse with the backtrack (triples P on the held-out corpus)
+        pairs.MIN_PARTIAL_SUPPORT = _MIN_PARTIAL_SUPPORT
+        pairs.BACKTRACK_LABELS = _PAIRS_BACKTRACK_LABELS
+        # real-label partial matches are not popped but SHRUNK
+        # (support/(support+1)) so a fabricated 1-instance edge loses
+        # the CKY to any well-supported competitor while an uncontested
+        # low-support edge still stands (IGTree.PARTIAL_SHRINK)
+        pairs.PARTIAL_SHRINK = True
 
     # -- training -------------------------------------------------------------
 

@@ -85,9 +85,14 @@ class PipelineConfig:
     # 0.77->0.93 in round 4; 12000 (round 5) stabilizes the rarer
     # template combinations (MWU-fronted ordinal objects, duration
     # NPs) whose pairs-tree branches were sampling-noise-thin at 8000.
+    # 18000 (round 5d): the round-5d template arms (possessive 'zijn',
+    # preterite pc/separable verbs, temporal PPs, fronted 'volgens')
+    # re-divided the same sample and marginal cells flipped retrain to
+    # retrain; at 18000 the same template set measures held-out triple
+    # R 1.0 / heads 0.986 and probe-r5c heads 0.965 (scratch/ab7.txt).
     # Gold-corpus parity stays intact (goldens + tst.ok byte-identical).
     # 0 disables (pure gold training, the round-3 behavior).
-    treebank_sentences: int = 12000
+    treebank_sentences: int = 18000
     # systematic Dutch inflection lexicon (sources/inflect.py) folded
     # into MBLEM/MBMA training — the stand-in for e-Lex / CELEX
     # (advanced.rst:121-191). Surfaces already present in the gold +

@@ -147,6 +147,18 @@ def _segs(parts: list[str], *tail: str) -> str:
     return "".join(f"[{p}]" for p in [*parts, *tail] if p)
 
 
+def _fuse_first(morph: str, k: int) -> str:
+    """Merge the first k+1 segments into one: ('[ge][niet][en]', 1) ->
+    '[geniet][en]'.  Used for FUSED prefixes (marked '+' in an entry):
+    the prefix drives the spelling rules (no extra participial ge-,
+    lemma includes it) but is lexicalized, so the corpus convention
+    keeps it inside the stem segment ('gebruik' -> [gebruik], gold;
+    'geniet' -> [geniet], probe-r5c convention note)."""
+    segs = morph[1:-1].split("][")
+    head = "".join(segs[: k + 1])
+    return "[" + "][".join([head, *segs[k + 1 :]]) + "]"
+
+
 def verb_forms(entry) -> list[tuple[str, str, str, str]]:
     """(word, tag, lemma, morph) rows for one verb.
 
@@ -167,6 +179,8 @@ def verb_forms(entry) -> list[tuple[str, str, str, str]]:
             entry, stem, past_ev, past_mv, vd = entry
         else:
             entry, stem, sg3, past_ev, past_mv, vd = entry
+    fused = entry.count("+")
+    entry = entry.replace("+", "|")
     pref, core = _split_marked(entry)
     prefix = "".join(pref)
     separable = bool(pref) and prefix not in _UNSTRESSED_PREFIXES
@@ -238,6 +252,8 @@ def verb_forms(entry) -> list[tuple[str, str, str, str]]:
         else:
             m = _segs(all_parts, inner)  # ge-had, ge-bracht
         add(word, _T_VD, m)
+    if fused:
+        rows = [(w, t, lem, _fuse_first(m, fused)) for w, t, lem, m in rows]
     return rows
 
 
@@ -245,6 +261,8 @@ def noun_forms(entry: str, pl: str | None, gender: str) -> list[tuple[str, str, 
     """(word, tag, lemma, morph) for a noun.  ``entry`` may carry
     compound/suffix marks ('zieken|huis', 'snel|heid'); ``pl`` is the
     explicit plural SURFACE (unmarked) or None for no plural row."""
+    fused = entry.count("+")
+    entry = entry.replace("+", "|")
     pref, core = _split_marked(entry)
     sg = "".join(pref) + core
     lemma = sg
@@ -273,6 +291,8 @@ def noun_forms(entry: str, pl: str | None, gender: str) -> list[tuple[str, str, 
         else:
             m = _segs(pref, body)
         rows.append((pl, pl_tag, lemma, m))
+    if fused:
+        rows = [(w, t, lem, _fuse_first(m, fused)) for w, t, lem, m in rows]
     return rows
 
 
@@ -332,7 +352,15 @@ def adj_forms(entry: str) -> list[tuple[str, str, str, str]]:
     comparative (+e), superlative (+e). Suppletive pairs come from
     _ADJ_SUPPLETIVE; their morphs are whole-form ([beter], not
     [goed][er])."""
+    fused = entry.count("+")
+    entry = entry.replace("+", "|")
     pref, core = _split_marked(entry)
+    if not pref and not fused and core.endswith("isch") and len(core) >= 7:
+        # -isch is a productive derivational suffix and the corpus
+        # convention splits it (gold s09 'algoritmische' ->
+        # [algoritm][isch][e]): segment every -isch adjective as
+        # [stem][isch] without requiring an entry mark
+        pref, core = [core[:-4]], "isch"
     prefix = "".join(pref)
     base = prefix + core
     lemma = base
@@ -388,6 +416,8 @@ def adj_forms(entry: str) -> list[tuple[str, str, str, str]]:
     if e_core != core:
         rows.insert(2, (prefix + e_core, _T_ADJ_E, lemma,
                         _segs(pref, m_stem, "e")))
+    if fused:
+        rows = [(w, t, lem, _fuse_first(m, fused)) for w, t, lem, m in rows]
     return rows
 
 
@@ -483,7 +513,7 @@ IRREGULAR_VERBS: list[tuple] = [
     ("bieden", "bied", "bood", "boden", "geboden"),
     ("ver|bieden", "bied", "bood", "boden", "boden"),
     ("gieten", "giet", "goot", "goten", "gegoten"),
-    ("ge|nieten", "niet", "noot", "noten", "noten"),
+    ("ge+nieten", "niet", "noot", "noten", "noten"),
     ("schieten", "schiet", "schoot", "schoten", "geschoten"),
     ("ver|liezen", "lies", "loor", "loren", "loren"),
     ("kiezen", "kies", "koos", "kozen", "gekozen"),
@@ -575,7 +605,7 @@ IRREGULAR_VERBS: list[tuple] = [
     ("meten", "meet", "mat", "maten", "gemeten"),
     ("stelen", "steel", "stal", "stalen", "gestolen"),
     ("be|velen", "veel", "val", "valen", "volen"),
-    ("ge|nezen", "nees", "nas", "nazen", "nezen"),
+    ("ge+nezen", "nees", "nas", "nazen", "nezen"),
     ("graven", "graaf", "groef", "groeven", "gegraven"),
     ("jagen", "jaag", "joeg", "joegen", "gejaagd"),
     ("ver|jagen", "jaag", "joeg", "joegen", "jaagd"),
@@ -740,7 +770,7 @@ REGULAR_VERBS: list = [
     "hoeden", "ver|goeden", "groeten", "be|groeten", "ont|moeten",
     "kleuren", "ver|kleuren", "be|sturen", "ver|sturen", "keuren",
     "af|keuren", "goed|keuren", "scheuren", "ver|scheuren", "treuren",
-    "be|treuren", "ge|beuren", "ver|oorzaken", "ver|talen",
+    "be|treuren", "ge+beuren", "ver|oorzaken", "ver|talen",
     "ver|nieuwen", "ver|bouwen", "be|bouwen", "op|bouwen",
     "ver|trouwen", "be|schouwen", "ver|warmen", "be|schermen",
     "ver|armen", "waarschuwen", "schuwen", "duwen", "stuwen",
@@ -843,7 +873,7 @@ REGULAR_VERBS: list = [
     ("voor|bereiden", "bereid", "bereidde", "bereidden", "bereid"),
     ("af|gelasten", "gelast", "gelastte", "gelastten", "gelast"),
     # ---- round-5 breadth batch: more weak verbs ----
-    "ge|bruiken", "ver|bruiken", "her|halen", "ver|wijderen",
+    "ge+bruiken", "ver|bruiken", "her|halen", "ver|wijderen",
     "ver|groten", "ver|lagen", "ver|hogen", "ver|snellen",
     "ver|tragen", "ver|dubbelen", "ver|zwakken", "ver|zachten",
     "ver|scherpen", "ver|breden", "ver|diepen", "ver|lengen",
@@ -1153,7 +1183,7 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("vloer", "vloeren", "de"), ("trap", "trappen", "de"),
     ("venster", "vensters", "het"), ("gordijn", "gordijnen", "het"),
     ("sleutel", "sleutels", "de"), ("slot", "sloten", "het"),
-    ("tuinman", "tuinmannen", "de"), ("gras", None, "het"),
+    ("tuin|man", "tuinmannen", "de"), ("gras", None, "het"),
     ("heg", "heggen", "de"), ("pad", "paden", "het"),
     ("vijver", "vijvers", "de"), ("fontein", "fonteinen", "de"),
     ("verkeer", None, "het"), ("file", "files", "de"),
@@ -1516,7 +1546,7 @@ ADJECTIVES: list[str] = [
     "eerlijk", "moeilijk", "makkelijk", "ge|makkelijk", "mogelijk",
     "waarschijnlijk", "duidelijk", "eigenlijk", "vriendelijk",
     "gevaarlijk", "heerlijk", "vrolijk", "dagelijks", "be|langrijk",
-    "be|kend", "beroemd", "be|leefd", "spannend", "boeiend",
+    "be+kend", "beroemd", "be|leefd", "spannend", "boei|end",
     "interessant", "modern", "ouderwets", "heel", "half", "echt",
     "vals", "waar", "zeker", "on|zeker", "veilig", "on|veilig",
     "ge|lukkig", "on|gelukkig", "tevreden", "trots", "jaloers",
@@ -1538,15 +1568,15 @@ ADJECTIVES: list[str] = [
     "technisch", "medisch", "wetenschappelijk", "cultureel",
     "historisch", "traditioneel", "origineel", "creatief",
     "praktisch", "theoretisch", "automatisch", "elektrisch",
-    "elektronisch", "muzikaal", "sportief", "populair", "succesvol",
+    "elektronisch", "muzikaal", "sportief", "populair", "succes|vol",
     "beschikbaar", "bruikbaar", "betaalbaar", "haalbaar", "zichtbaar",
     "hoorbaar", "leesbaar", "denkbaar", "dankbaar", "kwetsbaar",
     "betrouw|baar", "onbetrouwbaar", "aangenaam", "onaangenaam",
     "opvallend", "uitzonderlijk", "gewoon", "ongewoon", "gebruikelijk",
     "ongebruikelijk", "algemeen", "bijzonder", "apart", "identiek",
     "gelijk", "ongelijk", "verschillend", "divers", "talrijk",
-    "schaars", "overvloedig", "zeldzaam", "frequent", "volgend",
-    "vorig", "huidig", "komend", "afgelopen", "dubbel", "enkel",
+    "schaars", "overvloedig", "zeldzaam", "frequent", "volg|end",
+    "vorig", "huidig", "kom|end", "afgelopen", "dubbel", "enkel",
     "kapot", "verkeerd", "juist", "links", "rechts", "voorzichtig",
     "ver|standig", "on|verstandig", "aardig", "leerzaam",
     # ---- round-5 breadth batch ----
@@ -1574,7 +1604,7 @@ ADJECTIVES: list[str] = [
     "toegankelijk", "toevallig", "transparant", "typisch", "uniek",
     "universeel", "vaag", "verantwoordelijk", "verlegen", "vermoeid",
     "verrassend", "vertrouwd", "vervelend", "vet", "vloeibaar",
-    "vochtig", "volwassen", "vreemd", "vruchtbaar", "waardevol",
+    "vochtig", "volwassen", "vreemd", "vruchtbaar", "waarde|vol",
     "wakker", "wanhopig", "welvarend", "wereldwijd", "werkloos",
     "wettelijk", "wijd", "woedend", "zakelijk", "zelfstandig",
     "zenuwachtig", "zinvol", "zorgvuldig", "zuinig", "zuiver",
