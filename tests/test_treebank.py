@@ -53,6 +53,7 @@ PROBE = os.path.join(os.path.dirname(HELDOUT), "probe_corpus.tsv")
 PROBE_R5 = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5.tsv")
 PROBE_R5B = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5b.tsv")
 PROBE_R5C = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5c.tsv")
+PROBE_R5D = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5d.tsv")
 
 
 def test_treebank_heldout_disjoint():
@@ -62,7 +63,7 @@ def test_treebank_heldout_disjoint():
     exempt: they were never held out.) Covers BOTH evaluation corpora:
     the 103-sentence held-out set and the frozen-models probe set."""
     gold_words = {t.word.lower() for s in load_gold_corpus() for t in s.tokens}
-    for path in (HELDOUT, PROBE, PROBE_R5, PROBE_R5B, PROBE_R5C):
+    for path in (HELDOUT, PROBE, PROBE_R5, PROBE_R5B, PROBE_R5C, PROBE_R5D):
         eval_content = {
             t.word.lower()
             for s in load_gold_corpus(path)
