@@ -286,6 +286,19 @@ class MBTagger:
                     ext = self.ext_lexicon.get(wkey) or self.ext_lexicon.get(
                         word.lower()
                     )
+                # NOTE (round 5e): a "soft restriction" was tried here —
+                # fall back to the UNRESTRICTED unknown distribution
+                # when its mass on the lexicon's tags is tiny (the
+                # round-5d probe's 'naar de loods' read WW because only
+                # the verb 'loodsen' was listed). Measured WORSE at
+                # every threshold (0.10/0.15/0.25: held-out triple P
+                # 0.987 -> 0.946): the unknown tree is trained on rare
+                # open-class words, so its distribution is diffuse
+                # exactly where lexical lookup is right, and the
+                # fallback overrode correct lookups corpus-wide. The
+                # correct fix is lexicon breadth — noun readings for
+                # verb/noun homograph surfaces (loods, lunch, veer) ride
+                # in sources/inflect.py like every e-Lex entry would.
                 if ext is not None and len(ext) == 1:
                     # lexical lookup: unambiguous in the external lexicon
                     tag, conf = ext[0], 1.0

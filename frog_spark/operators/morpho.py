@@ -239,6 +239,7 @@ class Mbma:
         # is a recorded metric) and executors start cold
         state = dict(self.__dict__)
         state.pop("_memo", None)
+        state.pop("_cvocab", None)
         return state
 
     def analyze(
@@ -293,6 +294,7 @@ class Mbma:
             return hit
         base = w if w in self.memory else w.lower()
         char_classes = self.memory.get(base)
+        trained = char_classes is not None
         if char_classes is None:
             base = w.lower()
             if not base:
@@ -300,4 +302,94 @@ class Mbma:
             char_classes, _ = self.tree.classify_batch(_instances(base))
         feats_str = cgn_tag.split("(", 1)[1].rstrip(")") if "(" in cgn_tag else ""
         feats = [f for f in feats_str.split(",") if f]
-        return self._run_engine(base, char_classes, head, feats, next_tag)
+        morph, compound = self._run_engine(base, char_classes, head, feats, next_tag)
+        if trained:
+            # never rewrite a TRAINED word's analysis (gold parity):
+            # the compound fallback exists for words MBMA never saw
+            return morph, compound
+        if (
+            morph == f"[{base}]"
+            and head in ("N", "ADJ")
+            and len(base) >= 6
+            and base.isalpha()
+        ):
+            # compound fallback (the reference's MBMA learns compound
+            # boundaries from CELEX's 3.2M analyses; the char-window
+            # tree alone cannot segment a compound of two KNOWN words
+            # it never saw concatenated — 'kaasboer', round-5d probe).
+            # Split only when both halves are independently attested in
+            # the training vocabulary; the right (head) half contributes
+            # its own segmentation ('tuinmannen' -> [tuin][mann][en]),
+            # linking -s/-en stays in the left segment ([rechts][zaak],
+            # [zieken][huis] conventions).
+            split = self._compound_split(base)
+            if split is not None:
+                return split, ("NN" if head == "N" else "NA")
+        elif head in ("N", "ADJ") and morph.startswith("[") and "][" in morph:
+            # the engine may segment a SUFFIX off an unanalyzed compound
+            # stem ('touwslager' -> [touwslag][er]): try the compound
+            # split on the FIRST segment, with the right half required
+            # as a whole vocabulary word
+            seg_end = morph.index("][")
+            seg0 = morph[1:seg_end]
+            if len(seg0) >= 6 and seg0.isalpha():
+                vocab = self._compound_vocab()
+                for i in range(len(seg0) - 3, 2, -1):
+                    left, right = seg0[:i], seg0[i:]
+                    if right in vocab and (
+                        left in vocab
+                        or (left.endswith("s") and left[:-1] in vocab)
+                        or (left.endswith("en") and left[:-2] in vocab)
+                    ):
+                        morph = f"[{left}][{right}]" + morph[seg_end + 1 :]
+                        compound = "NN" if head == "N" else "NA"
+                        break
+        return morph, compound
+
+    def _compound_vocab(self) -> dict:
+        """surface -> morph for open-class training vocabulary (gold
+        corpus first — the convention anchor — then the inflection
+        lexicon). Built lazily per process and excluded from pickling
+        (__getstate__), so the broadcast stays small; the build is a
+        deterministic pure function of committed resources."""
+        vocab = getattr(self, "_cvocab", None)
+        if vocab is None:
+            from frog_spark.sources.inflect import inflection_morph_rows
+            from frog_spark.sources.resources import load_gold_corpus
+
+            vocab = {}
+            for s in load_gold_corpus():
+                for t in s.tokens:
+                    w = t.word.lower()
+                    if (
+                        t.pos.startswith(("N(", "ADJ(", "WW("))
+                        and w.isalpha()
+                        and len(w) >= 3
+                    ):
+                        vocab.setdefault(w, t.morph)
+            for w, tag, m in inflection_morph_rows():
+                if (
+                    tag.startswith(("N(", "ADJ(", "WW("))
+                    and w.isalpha()
+                    and len(w) >= 3
+                ):
+                    vocab.setdefault(w.lower(), m)
+            self._cvocab = vocab
+        return vocab
+
+    def _compound_split(self, base: str) -> str | None:
+        vocab = self._compound_vocab()
+        n = len(base)
+        for i in range(n - 3, 2, -1):  # longest LEFT first
+            right = base[i:]
+            rm = vocab.get(right)
+            if rm is None:
+                continue
+            left = base[:i]
+            if (
+                left in vocab
+                or (left.endswith("s") and left[:-1] in vocab)
+                or (left.endswith("en") and left[:-2] in vocab)
+            ):
+                return f"[{left}]" + rm
+        return None

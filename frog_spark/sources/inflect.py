@@ -928,6 +928,7 @@ REGULAR_VERBS: list = [
     'vijlen', 'piepen', 'kraken', 'ritselen', 'suizen', 'galmen',
     'bonzen', 'joggen', 'sprinten', 'slippen', 'toeteren', 'pendelen',
     'gidsen', 'loodsen', 'ankeren', 'dobberen', 'golven', 'bruisen',
+    'smeden', 'pieken', 'smullen', 'peilen', 'hameren', 'gokken',
     'pruttelen', 'sudderen', 'stoven', 'smoren', 'kruiden', 'peperen',
     'zoeten', 'nippen', 'slurpen', 'smikkelen', 'snoepen', 'knabbelen',
     'gniffelen', 'grijnzen', 'glimlachen', 'schateren', 'snikken',
@@ -1468,6 +1469,42 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ('onder|handel|ing', 'onderhandelingen', 'de'),
     ('aan|vraag', 'aanvragen', 'de'), ('zand|taart', 'zandtaarten', 'de'),
     ('uit|zicht', None, 'het'),
+    # round-5e breadth batch (common vocabulary; motivated by the
+    # round-5d probe decomposition — recorded AFTER its one-shot
+    # evaluation, disclosed in BENCH/BASELINE.md): materials, trades,
+    # household objects; the CVC doubling-plural class (klep/kleppen)
+    # and loan nouns with -s plurals (etage/etages), both of which the
+    # MBLEM suffix tree had too few instances of to generalize; and
+    # noun readings of verb/noun homographs the lexicon previously
+    # listed only as verbs (loods, lunch, veer).
+    ('peil', 'peilen', 'het'), ('ijzer', None, 'het'),
+    ('hoef', 'hoeven', 'de'), ('tuig', None, 'het'),
+    ('meester', 'meesters', 'de'), ('knecht', 'knechten', 'de'),
+    ('schol', 'schollen', 'de'), ('klep', 'kleppen', 'de'),
+    ('vlaai', 'vlaaien', 'de'), ('korf', 'korven', 'de'),
+    ('smid', 'smeden', 'de'), ('gang', 'gangen', 'de'),
+    ('meel', None, 'het'), ('honing', None, 'de'),
+    ('vracht', 'vrachten', 'de'), ('lad|ing', 'ladingen', 'de'),
+    ('stor|ing', 'storingen', 'de'), ('notaris', 'notarissen', 'de'),
+    ('kabel', 'kabels', 'de'), ('klei', None, 'de'),
+    ('etage', 'etages', 'de'), ('douche', 'douches', 'de'),
+    ('affiche', 'affiches', 'de'),
+    ('bagage', None, 'de'), ('lunch', 'lunches', 'de'),
+    ('loods', 'loodsen', 'de'), ('veer', 'veren', 'de'),
+    ('pil', 'pillen', 'de'), ('kar', 'karren', 'de'),
+    ('bon', 'bonnen', 'de'), ('mus', 'mussen', 'de'),
+    ('vlag', 'vlaggen', 'de'), ('dop', 'doppen', 'de'),
+    ('map', 'mappen', 'de'), ('pan', 'pannen', 'de'),
+    ('pot', 'potten', 'de'), ('bal', 'ballen', 'de'),
+    ('lat', 'latten', 'de'), ('nek', 'nekken', 'de'),
+    ('rib', 'ribben', 'de'), ('riet', None, 'het'),
+    ('touw', 'touwen', 'het'), ('wiel', 'wielen', 'het'),
+    ('mast', 'masten', 'de'),
+    ('help|er', 'helpers', 'de'), ('wacht|er', 'wachters', 'de'),
+    ('dekk|er', 'dekkers', 'de'), ('drukk|er', 'drukkers', 'de'),
+    ('imker', 'imkers', 'de'), ('molen|aar', 'molenaars', 'de'),
+    ('rij', 'rijen', 'de'), ('slag', 'slagen', 'de'),
+    ('water|peil', None, 'het'),
 ]
 
 # -- prepositions (VZ(init)) ----------------------------------------------

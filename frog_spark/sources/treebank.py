@@ -213,6 +213,11 @@ _V_PC_VERL = [
     ("vocht", "vochten", "vechten", "tegen"),
     ("droomde", "droomden", "dromen", "van"),
     ("profiteerde", "profiteerden", "profiteren", "van"),
+    # more verl+op mass ('hoopte op nieuwe passagiers', probe-r5d p83:
+    # 'hoopte' itself is probe vocabulary, so the op-pc preterite cell
+    # is fed by other verbs and generalizes by tag)
+    ("mikte", "mikten", "mikken", "op"),
+    ("gokte", "gokten", "gokken", "op"),
 ]
 
 # separable verbs: (3sg, particle, lemma)
@@ -936,10 +941,12 @@ def _t_svo(rng: _Rng, s: _Sent) -> None:
         # object attached into the PP instead (h100-class triple loss)
         if rng.flip(40):
             _adv(rng, s, v)
-        elif rng.flip(25):
+        elif rng.flip(35):
             # mid-field temporal PP before the object ('verkoopt sinds
-            # kort biologisch vlees', p65) — optionally with a det-less
-            # zonder-ADJ + het-noun object right after it
+            # kort biologisch vlees' p65 / 'sinds kort gele kazen'
+            # p89) — optionally with a det-less object right after it;
+            # raised to 35% when the plural-object variant split the
+            # branch's mass and both cells went sampling-thin
             emit_detless_obj = rng.flip(50)
             if emit_detless_obj and rng.flip(50):
                 # pair the two rare shapes: prep+bare-ADJ ('sinds
@@ -955,10 +962,19 @@ def _t_svo(rng: _Rng, s: _Sent) -> None:
                 _pp_temporal(rng, s, v)
             if emit_detless_obj:
                 ab, ae, alem = rng.choice(_ADJS)
-                au = s.tok(ab, "ADJ(prenom,basis,zonder)", alem, chunk="B-NP")
-                _sg2, _pl2, _g2, nlem2 = rng.choice(
-                    [n for n in _NOUNS if n[2] == "het"])
-                ob = s.tok(_sg2, N_HET, nlem2, chunk="I-NP")
+                if rng.flip(45):
+                    # e-ADJ + bare PLURAL after the temporal PP
+                    # ('verkoopt sinds kort gele kazen', probe-r5d p89)
+                    au = s.tok(ae, ADJ_E, alem, chunk="B-NP")
+                    _sg2, npl2, _g2, nlem2 = rng.choice(
+                        [n for n in _NOUNS if n[1]])
+                    ob = s.tok(npl2, N_MV, nlem2, chunk="I-NP")
+                else:
+                    au = s.tok(ab, "ADJ(prenom,basis,zonder)", alem,
+                               chunk="B-NP")
+                    _sg2, _pl2, _g2, nlem2 = rng.choice(
+                        [n for n in _NOUNS if n[2] == "het"])
+                    ob = s.tok(_sg2, N_HET, nlem2, chunk="I-NP")
                 s.dep(au, ob, "mod")
                 s.dep(su, v, "su")
                 s.dep(ob, v, "obj1")
