@@ -54,6 +54,7 @@ PROBE_R5 = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5.tsv")
 PROBE_R5B = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5b.tsv")
 PROBE_R5C = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5c.tsv")
 PROBE_R5D = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5d.tsv")
+PROBE_R5E = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5e.tsv")
 
 
 def test_treebank_heldout_disjoint():
@@ -63,7 +64,8 @@ def test_treebank_heldout_disjoint():
     exempt: they were never held out.) Covers BOTH evaluation corpora:
     the 103-sentence held-out set and the frozen-models probe set."""
     gold_words = {t.word.lower() for s in load_gold_corpus() for t in s.tokens}
-    for path in (HELDOUT, PROBE, PROBE_R5, PROBE_R5B, PROBE_R5C, PROBE_R5D):
+    for path in (HELDOUT, PROBE, PROBE_R5, PROBE_R5B, PROBE_R5C, PROBE_R5D,
+                 PROBE_R5E):
         eval_content = {
             t.word.lower()
             for s in load_gold_corpus(path)
