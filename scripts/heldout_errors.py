@@ -26,6 +26,8 @@ def main() -> None:
     ap.add_argument("--treebank", type=int, default=None,
                     help="override config.treebank_sentences")
     ap.add_argument("--only-bad", action="store_true")
+    ap.add_argument("--corpus", default=HELDOUT,
+                    help="evaluation corpus TSV (default: held-out 103)")
     args = ap.parse_args()
 
     kwargs = {}
@@ -35,7 +37,7 @@ def main() -> None:
         kwargs["config"] = PipelineConfig(treebank_sentences=args.treebank)
     pipe = FrogPipeline.build(**kwargs)
     lex = load_mwu_lexicon()
-    test = load_gold_corpus(HELDOUT)
+    test = load_gold_corpus(args.corpus)
     tot_h = ok_h = 0
     for s in test:
         sents = split_sentences(tokenize_text(s.text))
