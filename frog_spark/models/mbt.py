@@ -264,17 +264,35 @@ class MBTagger:
                     ext = self.ext_lexicon.get(wkey) or self.ext_lexicon.get(
                         word.lower()
                     )
+
                     # VERBAL entries only: the measured failure class is
                     # rare -en verbs corpus-locked to one finiteness
                     # reading. Re-deciding rare ADJECTIVES was measured
                     # to break gold parity ('waarschijnlijk' s81: the
                     # corpus prenom reading is right and the context
-                    # vote prefers vrij).
-                    if ext is not None and any(t.startswith("WW(") for t in ext):
+                    # vote prefers vrij). KNOWN-CONTEXT guard: when
+                    # training saw THIS word with THIS left tag, the
+                    # known tree's answer is corpus evidence in context,
+                    # not a frequency accident, and it keeps authority —
+                    # the tree walks word first, then prev, so the guard
+                    # is one trie probe. (A treebank resample dropped
+                    # 'maken' to corpus count 1 and the context vote
+                    # overrode the known tree's correct 'te kunnen
+                    # maken' infinitive, gold s86, measured. The
+                    # 'concurreren' class stays re-decided: its one
+                    # corpus context is 'te concurreren', so a plural
+                    # subject's prev tag misses the guard.)
+                    _wnode = self.known_tree.root.children.get(known_key)
+                    if (
+                        ext is not None
+                        and (_wnode is None or prev_tag not in _wnode.children)
+                        and any(t.startswith("WW(") for t in ext)
+                    ):
                         union = sorted(set(self.lexicon[known_key]) | set(ext))
                         if len(union) > 1:
                             tag, conf = self._constrained_tag(
-                                prev_tag, word, next_ambi, union
+                                prev_tag, word, next_ambi, union,
+                                next_tags=self._next_tagset(words, i),
                             )
             else:
                 # a capitalized word MID-sentence is name evidence the
@@ -303,7 +321,10 @@ class MBTagger:
                     # lexical lookup: unambiguous in the external lexicon
                     tag, conf = ext[0], 1.0
                 elif ext is not None:
-                    tag, conf = self._constrained_tag(prev_tag, word, next_ambi, ext)
+                    tag, conf = self._constrained_tag(
+                        prev_tag, word, next_ambi, ext,
+                        next_tags=self._next_tagset(words, i),
+                    )
                 else:
                     tag, conf = self.unknown_tree.classify(
                         _unknown_feats(prev_tag, word, next_ambi)
@@ -312,8 +333,39 @@ class MBTagger:
             prev2_tag, prev_tag = prev_tag, tag
         return out
 
+    def _next_tagset(self, words: Sequence[str], i: int) -> set[str] | None:
+        """Tag set of the word AFTER position i, from the corpus lexicon
+        first, else the external lexicon; None when neither knows it and
+        the empty set at the sentence boundary."""
+        if i + 1 >= len(words):
+            return set()
+        nk = _word_key(words[i + 1])
+        if nk in self.lexicon:
+            return set(self.lexicon[nk])
+        e = self.ext_lexicon.get(nk) or self.ext_lexicon.get(words[i + 1].lower())
+        return set(e) if e else None
+
+    @staticmethod
+    def _next_nominal(next_tags: set[str] | None) -> bool | None:
+        """Positional evidence for CGN's prenom/vrij ADJ split, which is
+        positional BY DEFINITION: a prenominal adjective stands before
+        nominal material. True = the next word is unambiguously a noun
+        (every known reading N(...)); False = the next word has no
+        nominal reading at all (punctuation, finite-verb-only, VZ, BW —
+        or the sentence ends); None = unknown or mixed, no evidence.
+        TW is deliberately NOT treated as nominal for the True case:
+        'ruim dertig graden' has a vrij/adverbial ADJ before a cardinal."""
+        if next_tags is None:
+            return None
+        if not any(t.startswith(("N(", "ADJ(", "TW(", "SPEC")) for t in next_tags):
+            return False
+        if next_tags and all(t.startswith("N(") for t in next_tags):
+            return True
+        return None
+
     def _constrained_tag(
-        self, prev_tag: str, word: str, next_ambi: str, tags: Sequence[str]
+        self, prev_tag: str, word: str, next_ambi: str, tags: Sequence[str],
+        next_tags: set[str] | None = None,
     ) -> tuple[str, float]:
         """Lexicon-constrained classification (MBT's known-word ambitag
         semantics): the unknown-word tree's context/suffix distribution
@@ -321,6 +373,18 @@ class MBTagger:
         P(tag | prev_tag) breaks ties the suffix distribution cannot see
         (a smoothed PRODUCT of the two was measured worse: the prior
         overrode correct suffix evidence on clause-final infinitives)."""
+        pos = self._next_nominal(next_tags)
+        if pos is True:
+            kept = [t for t in tags if not t.startswith("ADJ(vrij")]
+        elif pos is False:
+            kept = [t for t in tags if not t.startswith("ADJ(prenom")]
+        else:
+            kept = list(tags)
+        if kept and len(kept) < len(tags):
+            # positional prenom/vrij filter (see _next_nominal): 'een
+            # bekend lied' keeps only prenom, 'in het ruim .' drops the
+            # impossible prenom reading; never empties the candidates
+            tags = kept
         dist = self.unknown_tree.distribution(
             _unknown_feats(prev_tag, word, next_ambi)
         )

@@ -44,12 +44,18 @@ DEFAULT_EDGE = -0.5  # ckyparser.cxx:169 (bestEdge default)
 # 0.78 at byte-identical gold-corpus output.) Feature index maps:
 # pairs (16): w-1 w0 w1 wh-1 wh0 wh1 t-1 t0 t1 th-1 th0 th1 t^th
 #             dir dist mods^mods  (Parser.cxx:328-475)
-# Within the word block, the HEAD word (f4) before the DEP word (f1):
-# candidate heads are verbs, prepositions, and auxiliaries — far more
-# often in-vocabulary than the open-class dependent — so an unseen dep
-# word must not end the walk before the head word is read (same
-# truncation argument as RELS_ORDER's left-context-first word block).
-PAIRS_ORDER = [13, 14, 12, 7, 10, 6, 8, 9, 11, 15, 4, 1, 0, 2, 3, 5]
+# Within the word block, the DEP word (f1) before the HEAD word (f4):
+# the dependents whose attachment is genuinely word-sensitive are
+# closed-class PREPOSITIONS (noun-attaching 'van/over' vs
+# verb-attaching 'langs/bij/tijdens' share every tag feature), and a
+# prep dep is always in-vocabulary while the candidate head is an
+# unseen open-class word — under head-word-first the walk stopped at
+# wh0 and the prep identity was never read, so post-object locative
+# PPs re-attached to the object noun off the generic tag-node majority
+# (round-5e probe p101/p103/p105/p108/p112/p113 class; swept both
+# orders on the held-out corpus at equal triple scores before the
+# treebank's _t_svo_final_pp mass made the dep-word cells decisive).
+PAIRS_ORDER = [13, 14, 12, 7, 10, 6, 8, 9, 11, 15, 1, 4, 0, 2, 3, 5]
 # dir (20): w-2..w+2 (0-4), t-2..t+2 (5-9), w^t-2..w^t+2 (10-14),
 #           t-1^t0 (15), t0^t+1 (16), m-1 m0 m+1 (17-19)
 DIR_ORDER = [7, 15, 16, 5, 6, 8, 9, 17, 18, 19, 12, 10, 11, 13, 14, 0, 1, 2, 3, 4]
@@ -273,7 +279,7 @@ def _pairs_walk_tail(
     k=_MIN_PARTIAL_SUPPORT, labels=_PAIRS_BACKTRACK_LABELS,
 ):
     """The PAIRS_ORDER walk below the hoisted (dir, dist) prefix:
-    features 12,7,10,6,8,9,11,15,4,1,0,2,3,5 in order. The mods^mods
+    features 12,7,10,6,8,9,11,15,1,4,0,2,3,5 in order. The mods^mods
     conjunction (f15) is concatenated only if the walk reaches it.
     Mirrors IGTree._walk's partial-match backtrack (MIN_PARTIAL_SUPPORT)
     so the fast path stays byte-identical to IGTree.classify;
@@ -289,7 +295,7 @@ def _pairs_walk_tail(
         path.append(node)
         node = nxt
     else:
-        for v in (mhead + "^" + mdep, wh0, w0, wm1, w1, whm1, wh1):
+        for v in (mhead + "^" + mdep, w0, wh0, wm1, w1, whm1, wh1):
             nxt = node.children.get(v)
             if nxt is None:
                 mismatch = node.seen is None or v not in node.seen

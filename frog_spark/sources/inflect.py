@@ -731,6 +731,15 @@ IRREGULAR_VERBS: list[tuple] = [
     ('kluiven', 'kluif', 'kloof', 'kloven', 'gekloven'),
     ('be|hangen', 'hang', 'hing', 'hingen', 'hangen'),
     ('braden', 'braad', 'braadde', 'braadden', 'gebraden'),
+    # ---- round-5f breadth batch: crafts-domain strong/mixed verbs ----
+    ('slijpen', 'slijp', 'sleep', 'slepen', 'geslepen'),
+    ('spinnen', 'spin', 'spon', 'sponnen', 'gesponnen'),
+    ('wringen', 'wring', 'wrong', 'wrongen', 'gewrongen'),
+    ('melken', 'melk', 'molk', 'molken', 'gemolken'),
+    ('scheren', 'scheer', 'schoor', 'schoren', 'geschoren'),
+    # mixed paradigms: weak preterite, strong participle
+    ('weven', 'weef', 'weefde', 'weefden', 'geweven'),
+    ('brouwen', 'brouw', 'brouwde', 'brouwden', 'gebrouwen'),
 ]
 
 # -- regular ('weak') verbs: marked infinitives; (inf, stem) pairs for
@@ -809,6 +818,11 @@ REGULAR_VERBS: list = [
     "klikken", "typen", "printen", "scannen", "filmen", "sporten",
     "zagen", "boren", "timmeren", "schilderen", "be|schilderen",
     "poetsen", "dweilen", "vegen",
+    # ---- round-5f breadth batch: crafts/household weak verbs ----
+    "lappen", "boenen", "rijpen", "glinsteren", "dorsen", "maaien",
+    "breien", "gisten", "kneden", "mengen", "roeren", "tappen",
+    "schuren", "wetten", "drogen", "strooien", "spitten", "metselen",
+    "smeden", "schaven", "schrobben", "stikken", "zomen", "bottelen",
     ("studeren", "studeer"), ("publiceren", "publiceer"),
     ("organiseren", "organiseer"), ("adviseren", "adviseer"),
     ("regeren", "regeer"), ("proberen", "probeer"),
@@ -1505,6 +1519,46 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ('imker', 'imkers', 'de'), ('molen|aar', 'molenaars', 'de'),
     ('rij', 'rijen', 'de'), ('slag', 'slagen', 'de'),
     ('water|peil', None, 'het'),
+    # ---- round-5f breadth batch: crafts/household/workshop domain ----
+    # (the round-5e probe's unseen-noun classes: long-vowel-restoration
+    # plurals, f/v alternation, diminutive plurals, noun readings for
+    # verb-homograph surfaces like 'pers'/'schoof', and -er/-ier
+    # profession derivations)
+    ('zool', 'zolen', 'de'), ('klomp', 'klompen', 'de'),
+    ('ruit', 'ruiten', 'de'), ('mes|je', 'mesjes', 'het'),
+    ('schoof', 'schoven', 'de'), ('pers', 'persen', 'de'),
+    ('laken', 'lakens', 'het'), ('haag', 'hagen', 'de'),
+    ('tuin|pad', 'tuinpaden', 'het'), ('sponning', 'sponningen', 'de'),
+    ('wet|steen', 'wetstenen', 'de'), ('hagel|bui', 'hagelbuien', 'de'),
+    ('bui', 'buien', 'de'), ('vlegel', 'vlegels', 'de'),
+    ('cider', None, 'de'), ('linnen', None, 'het'),
+    ('katoen', None, 'het'), ('wol', None, 'de'), ('leer', None, 'het'),
+    ('vorst', 'vorsten', 'de'), ('dooi', None, 'de'),
+    ('schoen|mak|er', 'schoenmakers', 'de'),
+    ('was|vrouw', 'wasvrouwen', 'de'),
+    ('glas|zett|er', 'glaszetters', 'de'),
+    ('stuwadoor', 'stuwadoors', 'de'), ('dors|er', 'dorsers', 'de'),
+    ('scharen|slijp|er', 'scharenslijpers', 'de'),
+    ('hovenier', 'hoveniers', 'de'), ('bottelier', 'botteliers', 'de'),
+    ('wev|er', 'wevers', 'de'), ('ruim', None, 'het'),
+    ('kist', 'kisten', 'de'), ('pakket', 'pakketten', 'het'),
+    ('werk|plaats', 'werkplaatsen', 'de'),
+    ('ge+reedschap', 'gereedschappen', 'het'),
+    ('hamer', 'hamers', 'de'), ('zaag', 'zagen', 'de'),
+    ('beitel', 'beitels', 'de'), ('schaaf', 'schaven', 'de'),
+    ('spijker', 'spijkers', 'de'), ('schroef', 'schroeven', 'de'),
+    ('emmer', 'emmers', 'de'), ('borstel', 'borstels', 'de'),
+    ('zeep', None, 'de'), ('doek', 'doeken', 'de'),
+    ('naald', 'naalden', 'de'), ('draad', 'draden', 'de'),
+    ('stof', 'stoffen', 'de'), ('garen', 'garens', 'het'),
+    ('zadel', 'zadels', 'het'), ('goot', 'goten', 'de'),
+    ('gevel', 'gevels', 'de'), ('plafond', 'plafonds', 'het'),
+    ('deeg', None, 'het'), ('meel', None, 'het'),
+    ('graan', 'granen', 'het'), ('oogst', 'oogsten', 'de'),
+    ('zeis', 'zeisen', 'de'), ('schop', 'schoppen', 'de'),
+    ('vat', 'vaten', 'het'), ('ton', 'tonnen', 'de'),
+    ('kurk', 'kurken', 'de'), ('buis', 'buizen', 'de'),
+    ('leiding', 'leidingen', 'de'),
 ]
 
 # -- prepositions (VZ(init)) ----------------------------------------------
@@ -1591,6 +1645,7 @@ ADJECTIVES: list[str] = [
     "slim", "knap", "handig", "nuttig", "nodig", "klaar", "vers",
     "zoet", "zuur", "bitter", "zout", "lekker", "vies", "scherp",
     "glad", "ruw", "steil", "vlak", "rond", "recht", "krom", "los",
+    "bot", "stomp",
     "vast", "strak", "ruim", "eng", "wild", "tam", "trouw", "eenzaam",
     "ge|zellig", "actief", "passief", "positief", "negatief",
     "officieel", "speciaal", "normaal", "centraal", "lokaal",
