@@ -55,6 +55,7 @@ PROBE_R5B = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5b.tsv")
 PROBE_R5C = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5c.tsv")
 PROBE_R5D = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5d.tsv")
 PROBE_R5E = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5e.tsv")
+PROBE_R5F = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5f.tsv")
 
 
 def test_treebank_heldout_disjoint():
@@ -65,7 +66,7 @@ def test_treebank_heldout_disjoint():
     the 103-sentence held-out set and the frozen-models probe set."""
     gold_words = {t.word.lower() for s in load_gold_corpus() for t in s.tokens}
     for path in (HELDOUT, PROBE, PROBE_R5, PROBE_R5B, PROBE_R5C, PROBE_R5D,
-                 PROBE_R5E):
+                 PROBE_R5E, PROBE_R5F):
         eval_content = {
             t.word.lower()
             for s in load_gold_corpus(path)
