@@ -315,8 +315,15 @@ def mblem_instances(lexicon: DataFrame) -> DataFrame:
     def char_window(word: pd.Series) -> pd.Series:
         return pd.Series([_instance(w) for w in word], dtype=object)
 
+    # classification lowercases (Mblem.train does the same): surfaces
+    # are lowered BEFORE edit-class derivation and windowing so the
+    # memory shortcut and the exact-match leaf stay reachable for
+    # capitalized training rows
+    lowered = lexicon.select(
+        F.lower(F.col("word")).alias("word"), F.col("tag"), F.col("lemma")
+    )
     per_word = (
-        lexicon.select(
+        lowered.select(
             F.col("word"), edit_class("word", "tag", "lemma").alias("ec")
         )
         .groupBy("word")

@@ -95,10 +95,24 @@ class Mblem:
         (/root/reference/docs/source/advanced.rst:121-136)."""
         by_word: dict[str, list[str]] = defaultdict(list)
         for word, tag, lemma in triples:
+            # classification lowercases (mblem_mod.cxx:404-479, the
+            # default !keep_case path), so training must too: a
+            # capitalized training surface ('Hangende', gold s23) would
+            # otherwise key the memory shortcut and the char-window
+            # instance on a form the classify path never presents — the
+            # exact-match leaf is then unreachable and the walk falls
+            # into whatever the neighbouring suffix cells hold (the
+            # round-5g present-participle lexicon rows flipped exactly
+            # that cell, measured).
+            word = word.lower()
             ec = _edit_class(word, tag, lemma)
             if ec not in by_word[word]:
                 by_word[word].append(ec)
-        memory = {w: "|".join(alts) for w, alts in by_word.items()}
+        # sorted alternatives: identical to train_mblem_distributed's
+        # array_sort(collect_set(...)) so driver- and Spark-trained
+        # models carry byte-identical class strings (first-seen order
+        # does not exist in a distributed input)
+        memory = {w: "|".join(sorted(alts)) for w, alts in by_word.items()}
         instances = [_instance(w) for w in by_word]
         classes = [memory[w] for w in by_word]
         # right-aligned window: the final characters carry the signal, so

@@ -252,6 +252,20 @@ def verb_forms(entry) -> list[tuple[str, str, str, str]]:
         else:
             m = _segs(all_parts, inner)  # ge-had, ge-bracht
         add(word, _T_VD, m)
+    if core.endswith("en"):
+        # present participle (infinitive + d), usable adjectivally —
+        # 'dampende soep', 'stijgende kosten'. e-Lex lists these for
+        # every verb; without the rows an unseen -ende prenominal walks
+        # the unknown tree's ordinal-heavy (LID, -d, -e) cells and
+        # reads TW(rang) (round-5f probe p120 'dampende', measured).
+        # Convention per the committed gold rows ('volgende' ->
+        # [volg][end][e], lemma 'volgend'): lemma is the -d form,
+        # morphs split the -end suffix.
+        od = inf + "d"
+        od_m = _segs(pref, x_raw, "end")
+        rows.append((od, _T_ADJ_VRIJ, od, od_m))
+        rows.append((od, "ADJ(prenom,basis,zonder)", od, od_m))
+        rows.append((od + "e", _T_ADJ_E, od, _segs(pref, x_raw, "end", "e")))
     if fused:
         rows = [(w, t, lem, _fuse_first(m, fused)) for w, t, lem, m in rows]
     return rows
@@ -731,6 +745,8 @@ IRREGULAR_VERBS: list[tuple] = [
     ('kluiven', 'kluif', 'kloof', 'kloven', 'gekloven'),
     ('be|hangen', 'hang', 'hing', 'hingen', 'hangen'),
     ('braden', 'braad', 'braadde', 'braadden', 'gebraden'),
+    # mixed paradigm (weak preterite, strong participle)
+    ('malen', 'maal', 'maalde', 'maalden', 'gemalen'),
     # ---- round-5f breadth batch: crafts-domain strong/mixed verbs ----
     ('slijpen', 'slijp', 'sleep', 'slepen', 'geslepen'),
     ('spinnen', 'spin', 'spon', 'sponnen', 'gesponnen'),
@@ -823,6 +839,10 @@ REGULAR_VERBS: list = [
     "breien", "gisten", "kneden", "mengen", "roeren", "tappen",
     "schuren", "wetten", "drogen", "strooien", "spitten", "metselen",
     "smeden", "schaven", "schrobben", "stikken", "zomen", "bottelen",
+    # ---- round-5g breadth batch: restaurant/harbor/music/festival ----
+    "dampen", "roeien", "morsen", "stoken", "vieren", "dansen",
+    "zwieren", "stallen", "plonzen",
+    "ver|langen", "ver|sieren", "be|dienen",
     ("studeren", "studeer"), ("publiceren", "publiceer"),
     ("organiseren", "organiseer"), ("adviseren", "adviseer"),
     ("regeren", "regeer"), ("proberen", "probeer"),
@@ -1524,6 +1544,19 @@ NOUNS: list[tuple[str, str | None, str]] = [
     # plurals, f/v alternation, diminutive plurals, noun readings for
     # verb-homograph surfaces like 'pers'/'schoof', and -er/-ier
     # profession derivations)
+    # ---- round-5g breadth batch: restaurant/harbor/music/festival ----
+    ('terras', 'terrassen', 'het'), ('kelner', 'kelners', 'de'),
+    ('ober', 'obers', 'de'), ('kruik', 'kruiken', 'de'),
+    ('kraam', 'kramen', 'de'), ('dirigent', 'dirigenten', 'de'),
+    ('voor|man', 'voormannen', 'de'), ('vallei', 'valleien', 'de'),
+    ('trompet', 'trompetten', 'de'), ('viool', 'violen', 'de'),
+    ('snaar', 'snaren', 'de'), ('glaas|je', 'glaasjes', 'het'),
+    ('gewelf', 'gewelven', 'het'), ('vangst', 'vangsten', 'de'),
+    ('be|diening', None, 'de'), ('dienst', 'diensten', 'de'),
+    ('lampion', 'lampionnen', 'de'), ('fakkel', 'fakkels', 'de'),
+    ('slinger', 'slingers', 'de'), ('dans|er', 'dansers', 'de'),
+    ('kachel', 'kachels', 'de'), ('orgel', 'orgels', 'het'),
+    ('bord|je', 'bordjes', 'het'),
     ('zool', 'zolen', 'de'), ('klomp', 'klompen', 'de'),
     ('ruit', 'ruiten', 'de'), ('mes|je', 'mesjes', 'het'),
     ('schoof', 'schoven', 'de'), ('pers', 'persen', 'de'),
@@ -1645,7 +1678,7 @@ ADJECTIVES: list[str] = [
     "slim", "knap", "handig", "nuttig", "nodig", "klaar", "vers",
     "zoet", "zuur", "bitter", "zout", "lekker", "vies", "scherp",
     "glad", "ruw", "steil", "vlak", "rond", "recht", "krom", "los",
-    "bot", "stomp",
+    "bot", "stomp", "troebel", "vals",
     "vast", "strak", "ruim", "eng", "wild", "tam", "trouw", "eenzaam",
     "ge|zellig", "actief", "passief", "positief", "negatief",
     "officieel", "speciaal", "normaal", "centraal", "lokaal",

@@ -1538,6 +1538,15 @@ def _t_copula_adj(rng: _Rng, s: _Sent) -> None:
         # only live candidate is the noun (the copula edge is RIGHT-
         # direction and word-killed at 'is'), so mixed mass at the
         # (prep -> noun, LEFT 1) cell still resolves both correctly.
+        # A 45 -> 65 raise was tried when the round-5f inversion arms
+        # fed the same per-prep-per-gender cells with '__' and the zijd
+        # 'in' cell tipped to '__' 14:8 ('De wijn in de kruik is zuur'
+        # lost its PP, probe p133 / h43 class) — and REVERTED: the
+        # extra noun-mod mass flipped post-object 'op'/'aan' PPs off
+        # their verb edges (p120/p134, measured) without recovering
+        # p133. The pre-verbal-vs-post-object split is invisible to the
+        # 16-feature window; the cell stays with the post-object
+        # majority and the p133/h43 class is a documented residual.
         su, plural = _np_common(rng, s, plural=False)
         prep = rng.choice(["in", "aan", "op", "bij"])
         pu = s.tok(prep, VZ, prep, chunk="B-PP")
@@ -2007,6 +2016,21 @@ def _t_sep(rng: _Rng, s: _Sent) -> None:
         # particle re-attached into the following PP's NP
         ev, part, lemma = rng.choice(_V_SEP_VERL)
         v = s.tok(ev, WW_VERL_EV, lemma, chunk="B-VP")
+        if rng.flip(30):
+            # OBJECTLESS preterite with adverb and/or PP between the
+            # verb and its particle ('legde gisteren bij de kade aan',
+            # round-5f probe p131): with only object-bearing shapes
+            # those mid-field cells had no svp mass at all — the
+            # particle lost its edge entirely and the PP's noun read
+            # obj1 of the verb, a fabricated triple
+            if rng.flip(60):
+                _adv(rng, s, v)
+            _pp_verb(rng, s, v)
+            pu = s.tok(part, VZ_FIN, part, chunk="B-PP")
+            s.dep(su, v, "su")
+            s.dep(pu, v, "svp")
+            _end(rng, s, v)
+            return
         ob, _ = _np(rng, s)
         pu = s.tok(part, VZ_FIN, part, chunk="B-PP")
         s.dep(su, v, "su")
