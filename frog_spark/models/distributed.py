@@ -508,34 +508,45 @@ def mbma_word_rows(lexicon: DataFrame) -> DataFrame:
     classes array — engine classes for mem, [morph] for exc)."""
     from frog_spark.operators.morpho import Mbma
 
-    one_per_word = (
-        lexicon.groupBy("word")
-        .agg(F.min(F.struct("tag", "morph")).alias("tm"))
-        .select("word", F.col("tm.tag").alias("tag"), F.col("tm.morph").alias("morph"))
-    )
+    # input order is the convention-dominance signal (corpus rows and
+    # the lexicon's per-surface primary reading come first): pin it to
+    # an explicit column BEFORE any shuffle so the per-key resolution
+    # can replay the driver's first-seen rule
+    with_ord = lexicon.withColumn("ord", F.monotonically_increasing_id())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            kinds, keys, payloads = [], [], []
-            seen: set[str] = set()  # per-batch; global dedup done above
-            for word, tag, morph in zip(b["word"], b["tag"], b["morph"]):
-                row = Mbma.train_word_row(word, tag, morph, seen)
+            ords, kinds, keys, tags, morphs, payloads = [], [], [], [], [], []
+            for word, tag, morph, o in zip(
+                b["word"], b["tag"], b["morph"], b["ord"]
+            ):
+                row = Mbma.train_word_row(word, tag, morph, set())
                 if row is None:
                     continue
                 kind, key, payload = row
+                ords.append(o)
                 kinds.append(kind)
                 keys.append(key)
+                tags.append(tag)
+                morphs.append(morph)
                 payloads.append(payload if kind == "mem" else [payload])
             yield pd.DataFrame(
                 {
+                    "ord": pd.Series(ords, dtype="int64"),
                     "kind": pd.Series(kinds, dtype=object),
                     "key": pd.Series(keys, dtype=object),
+                    "tag": pd.Series(tags, dtype=object),
+                    "morph": pd.Series(morphs, dtype=object),
                     "classes": pd.Series(payloads, dtype=object),
                 }
             )
 
-    return one_per_word.mapInPandas(
-        run, schema="kind string, key string, classes array<string>"
+    return with_ord.mapInPandas(
+        run,
+        schema=(
+            "ord long, kind string, key string, tag string, "
+            "morph string, classes array<string>"
+        ),
     )
 
 
@@ -550,28 +561,46 @@ def train_mbma_distributed(spark: SparkSession, lexicon: DataFrame):
     of input order (a distributed input has no first-seen order)."""
     from frog_spark.operators.morpho import CONTEXT, PAD, Mbma
 
-    # two raw words can normalize to the same cleaned key (unifilter +
-    # whitespace strip) across partitions — possibly with DIFFERENT kinds
-    # (one round-trips, one lands in exceptions). Resolve per KEY
-    # deterministically: exceptions win (they pin the gold morph for a
-    # surface the engine could not reproduce; the driver trainer's
-    # first-seen rule is input-order-dependent and has no distributed
-    # analogue), ties broken by minimum classes array.
-    rows = (
+    # all rows of one cleaned key meet in one group (two raw words can
+    # normalize to the same key across partitions); the shared
+    # Mbma.resolve_key_rows policy then replays the driver trainer
+    # exactly — first row (by pinned input order) wins, additional
+    # readings merge into per-char alternative classes when the
+    # homograph merge round-trips
+    grouped = (
         mbma_word_rows(lexicon)
         .groupBy("key")
         .agg(
-            F.min(
-                F.struct(
-                    (F.col("kind") == "mem").cast("int").alias("p"),
-                    F.col("kind").alias("kind"),
-                    F.col("classes").alias("classes"),
-                )
-            ).alias("r")
+            F.sort_array(
+                F.collect_list(F.struct("ord", "kind", "tag", "morph", "classes"))
+            ).alias("rs")
         )
-        .select("key", F.col("r.kind").alias("kind"), F.col("r.classes").alias("classes"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+    def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            kinds, keys, payloads = [], [], []
+            for key, rs in zip(b["key"], b["rs"]):
+                kind, payload = Mbma.resolve_key_rows(
+                    key,
+                    [(r["kind"], r["tag"], r["morph"],
+                      r["classes"] if r["kind"] == "mem" else r["classes"][0])
+                     for r in rs],
+                )
+                kinds.append(kind)
+                keys.append(key)
+                payloads.append(payload if kind == "mem" else [payload])
+            yield pd.DataFrame(
+                {
+                    "kind": pd.Series(kinds, dtype=object),
+                    "key": pd.Series(keys, dtype=object),
+                    "classes": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    rows = grouped.mapInPandas(
+        resolve, schema="kind string, key string, classes array<string>"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     mem_pdf = rows.filter(F.col("kind") == "mem").select("key", "classes").toPandas()
     memory = {k: list(v) for k, v in zip(mem_pdf["key"], mem_pdf["classes"])}
     exc_pdf = rows.filter(F.col("kind") == "exc").select("key", "classes").toPandas()

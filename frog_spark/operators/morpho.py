@@ -131,28 +131,95 @@ class Mbma:
         string exactly go to the exceptions table instead (guaranteeing
         gold parity regardless of engine corner cases).
         """
+        groups: dict[str, list[tuple[str, str, str, object]]] = {}
+        order: list[str] = []
+        for word, tag, morph in triples:
+            row = cls.train_word_row(word, tag, morph, set())
+            if row is None:
+                continue
+            kind, key, payload = row
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append((kind, tag, morph, payload))
         memory: dict[str, list[str]] = {}
         exceptions: dict[str, tuple[str, str]] = {}
         instances: list[list[str]] = []
         classes_out: list[str] = []
-        seen: set[str] = set()
-        for word, tag, morph in triples:
-            row = cls.train_word_row(word, tag, morph, seen)
-            if row is None:
-                continue
-            kind, key, payload = row
+        for key in order:
+            kind, payload = cls.resolve_key_rows(key, groups[key])
             if kind == "exc":
                 exceptions[key] = (payload, "0")
                 exceptions[key.lower()] = (payload, "0")
-            else:
-                memory[key] = payload
-                for inst, c in zip(_instances(key.lower()), payload):
-                    instances.append(inst)
-                    classes_out.append(c)
+                continue
+            memory[key] = payload
+            for inst, c in zip(_instances(key.lower()), payload):
+                instances.append(inst)
+                classes_out.append(c)
         tree = IGTree.train(
             instances, classes_out, feature_order=cls.feature_order()
         )
         return cls(tree, memory, exceptions)
+
+    @classmethod
+    def resolve_key_rows(
+        cls, key: str, rows: list[tuple[str, str, str, object]]
+    ) -> tuple[str, object]:
+        """Resolve all training rows of ONE cleaned surface — ordered
+        (kind, tag, morph, payload) tuples — to the surface's final
+        (kind, payload). The first row wins as in every prior round
+        (corpus convention anchors precede lexicon rows); additional
+        'mem' readings with other tags merge into per-char alternative
+        classes when the merge round-trips (homographs: 'zagen' is
+        zien's past plural AND zaag's plural — the head-tag filter then
+        picks the right reading per token). Shared by the driver and
+        distributed trainers so both stay byte-identical."""
+        kind0, _t0, _m0, p0 = rows[0]
+        if kind0 == "exc":
+            return ("exc", p0)
+        ents: list[tuple[str, str, list[str]]] = []
+        seen: set[tuple[str, str]] = set()
+        for kind, tag, morph, payload in rows:
+            if kind != "mem" or (tag, morph) in seen:
+                continue
+            seen.add((tag, morph))
+            ents.append((tag, morph, list(payload)))
+        if len(ents) > 1:
+            merged = cls.merge_homograph_rows(key, sorted(ents))
+            if merged is not None:
+                return ("mem", merged)
+        return ("mem", list(p0))
+
+    @classmethod
+    def merge_homograph_rows(
+        cls, base: str, entries: list[tuple[str, str, list[str]]]
+    ) -> list[str] | None:
+        """Merge 'mem' rows (tag, morph, classes) that share one cleaned
+        surface into per-char classes with '|' alternatives — the same
+        ambiguity CELEX carries and the reference resolves through
+        alternative expansion (M3, mbma_rules.execute) + the head-tag
+        filter (mbma_mod.cxx:1009-1050). Entries must arrive in a
+        deterministic order (callers sort); the merge stands only if the
+        merged payload round-trips EVERY entry's morph under its own
+        tag, else None and the caller keeps its single-row fallback."""
+        if len({len(e[2]) for e in entries}) != 1:
+            return None
+        merged = []
+        for i in range(len(entries[0][2])):
+            alts: list[str] = []
+            for _t, _m, classes in entries:
+                for a in classes[i].split("|"):
+                    if a not in alts:
+                        alts.append(a)
+            merged.append("|".join(alts))
+        for tag, morph, _classes in entries:
+            head = tag.split("(", 1)[0]
+            feats_str = tag.split("(", 1)[1].rstrip(")") if "(" in tag else ""
+            feats = [f for f in feats_str.split(",") if f]
+            got, _ = cls._run_engine(base, merged, head, feats, "")
+            if got != morph:
+                return None
+        return merged
 
     @staticmethod
     def feature_order() -> list[int]:

