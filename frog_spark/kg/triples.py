@@ -29,6 +29,20 @@ from pyspark.sql import functions as F
 SENT_KEY = ["conv_id", "turn_idx", "sent_idx"]
 OBJ_ROLES = ("obj1", "obj2", "predc")
 
+#: verbs that are AUXILIARIES whenever they govern a vc dependent: a
+#: perfect/passive/modal auxiliary takes su + vc only, never its own
+#: object — an obj/predc attached to it is a parse artifact (the gold
+#: trees hang the object on the embedded participle/infinitive, where
+#: no su joins it, so the gold lift emits NO triple for these). The
+#: constraint is conditional on the vc edge: the same lemmas as MAIN
+#: verbs ('De club heeft een stadion', 'Hij is de trainer') keep their
+#: objects. Deliberately excludes AcI verbs (laten, zien, horen),
+#: whose obj1 + vc co-occur legitimately.
+AUX_VC_LEMMAS = (
+    "hebben", "zijn", "worden", "zullen",
+    "willen", "kunnen", "moeten", "mogen",
+)
+
 
 def entity_spans(annotated: DataFrame) -> DataFrame:
     """K1: one row per entity span.
@@ -120,6 +134,16 @@ def verb_triples(annotated: DataFrame) -> DataFrame:
         F.col("repr").alias("obj"),
         F.col("ner_cat").alias("obj_cat"),
     )
+    # auxiliaries (su + vc only) drop out — same rule as verb_triples_py
+    vc_heads = (
+        u.filter(F.col("parse_role") == "vc")
+        .select(*SENT_KEY, F.col("parse_head").alias("v_idx"))
+        .distinct()
+    )
+    aux_with_vc = verbs.filter(F.col("pred").isin(*AUX_VC_LEMMAS)).join(
+        vc_heads, SENT_KEY + ["v_idx"], "left_semi"
+    )
+    verbs = verbs.join(aux_with_vc, SENT_KEY + ["v_idx"], "left_anti")
     return (
         verbs.join(subs, SENT_KEY + ["v_idx"])
         .join(objs, SENT_KEY + ["v_idx"])
@@ -149,11 +173,14 @@ def verb_triples_py(
         hit = ent_by_unit.get(u_idx)
         return hit if hit else (unit_rows[u_idx - 1][1], None)
 
+    vc_heads = {u[3] for u in unit_rows if u[4] == "vc"}
     out: list[tuple[str, str, str, str | None, str | None]] = []
     for v_idx, v_lemma, v_pos, _vh, _vr in unit_rows:
         if v_pos != "WW":
             continue
         subs = [u for u in unit_rows if u[3] == v_idx and u[4] == "su"]
+        if v_lemma in AUX_VC_LEMMAS and v_idx in vc_heads:
+            continue  # auxiliary: su + vc only (see AUX_VC_LEMMAS)
         objs = [u for u in unit_rows if u[3] == v_idx and u[4] in OBJ_ROLES]
         for su_u in subs:
             for ob_u in objs:
