@@ -224,7 +224,8 @@ class Mblem:
         if not self.keep_case:
             word = word.lower()
         cls_str = self.memory.get(word) or self.memory.get(word.lower())
-        if cls_str is None:
+        from_tree = cls_str is None
+        if from_tree:
             cls_str, _conf = self.tree.classify(_instance(word.lower()))
         # keep_case decodes on the original-case surface (the edits act
         # on the lowercase tail either way); the default path lowercased
@@ -248,6 +249,37 @@ class Mblem:
                 if lemma not in decoded or cost < decoded[lemma]:
                     decoded[lemma] = cost
         if not decoded:
+            if from_tree:
+                # Distribution backoff for UNSEEN surfaces only: the
+                # leaf's majority class carried no tag-matching reading
+                # (e.g. an unseen '-ooien' noun in a suffix neighborhood
+                # the lexicon's verbs dominate: the label is the verb
+                # reading, but the node's minority mass still holds
+                # N+Den from 'toernooien'). The reference never hits
+                # this shape because e-Lex's 595k entries blanket the
+                # suffix space (mblem_mod.cxx:404-479 just falls back to
+                # the surface); with a generated lexicon the minority
+                # mass at the same node is real evidence, so scan it by
+                # mass before giving up. Memory (trained-surface) paths
+                # never reach here — gold behavior is untouched.
+                dist = self.tree.distribution(_instance(word.lower()))
+                best: tuple[tuple, str] | None = None
+                for label, mass in dist.items():
+                    if label == cls_str:
+                        continue
+                    for cand in label.split("|"):
+                        applied = self._apply(decode_base, cand)
+                        if applied is None:
+                            continue
+                        tag, lemma = applied
+                        if not self._tag_matches(tag, cgn_tag):
+                            continue
+                        cost = sum(len(op) - 1 for op in cand.split("+")[1:])
+                        key = (-mass, cost == 0, cost, lemma)
+                        if best is None or key < best[0]:
+                            best = (key, lemma)
+                if best is not None:
+                    return [best[1]]
             return [word]
         # L5 dedup + unique (makeUnique, mblem_mod.cxx:362-380); sorted
         # by (identity-last, edit cost, lemma): among real analyses the

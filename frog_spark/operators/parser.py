@@ -55,7 +55,16 @@ DEFAULT_EDGE = -0.5  # ckyparser.cxx:169 (bestEdge default)
 # (round-5e probe p101/p103/p105/p108/p112/p113 class; swept both
 # orders on the held-out corpus at equal triple scores before the
 # treebank's _t_svo_final_pp mass made the dep-word cells decisive).
-PAIRS_ORDER = [13, 14, 12, 7, 10, 6, 8, 9, 11, 15, 1, 4, 0, 2, 3, 5]
+# ... and the dep's +1 word (f2) directly after the dep word (f1),
+# BEFORE the head word (f4): f2 is usually closed-class and seen (the
+# det opening the next NP, a particle, the verb itself), and it is the
+# only feature that separates the object-relative 'die de N V-t' from
+# the subject-relative 'die een N V-t' — the readings share every tag
+# feature (extract_tag strips LID(bep)/LID(onbep) to 'LID' and
+# neighbor mods are not in the instance), so under head-word-first the
+# walk died at the unseen embedded verb and the pooled node's majority
+# decided every unseen-verb relative clause one way (5g probe p147).
+PAIRS_ORDER = [13, 14, 12, 7, 10, 6, 8, 9, 11, 15, 1, 2, 4, 0, 3, 5]
 # dir (20): w-2..w+2 (0-4), t-2..t+2 (5-9), w^t-2..w^t+2 (10-14),
 #           t-1^t0 (15), t0^t+1 (16), m-1 m0 m+1 (17-19)
 DIR_ORDER = [7, 15, 16, 5, 6, 8, 9, 17, 18, 19, 12, 10, 11, 13, 14, 0, 1, 2, 3, 4]
@@ -279,7 +288,7 @@ def _pairs_walk_tail(
     k=_MIN_PARTIAL_SUPPORT, labels=_PAIRS_BACKTRACK_LABELS,
 ):
     """The PAIRS_ORDER walk below the hoisted (dir, dist) prefix:
-    features 12,7,10,6,8,9,11,15,1,4,0,2,3,5 in order. The mods^mods
+    features 12,7,10,6,8,9,11,15,1,2,4,0,3,5 in order. The mods^mods
     conjunction (f15) is concatenated only if the walk reaches it.
     Mirrors IGTree._walk's partial-match backtrack (MIN_PARTIAL_SUPPORT)
     so the fast path stays byte-identical to IGTree.classify;
@@ -295,7 +304,7 @@ def _pairs_walk_tail(
         path.append(node)
         node = nxt
     else:
-        for v in (mhead + "^" + mdep, w0, wh0, wm1, w1, whm1, wh1):
+        for v in (mhead + "^" + mdep, w0, w1, wh0, wm1, whm1, wh1):
             nxt = node.children.get(v)
             if nxt is None:
                 mismatch = node.seen is None or v not in node.seen

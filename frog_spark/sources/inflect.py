@@ -774,6 +774,7 @@ REGULAR_VERBS: list = [
     "stappen", "klappen", "knippen", "missen", "wissen", "passen",
     "aan|passen", "kussen", "blussen", "persen", "fietsen", "flitsen",
     "bukken", "drukken", "plukken", "danken", "be|danken", "tanken",
+    "snakken", "hunkeren", "streven", "smachten",
     "planten", "landen", "branden", "ver|branden", "stranden",
     "eindigen", "be|ëindigen", "ver|dedigen", "be|vestigen", "vestigen",
     "ont|wikkelen", "twijfelen", "wandelen", "be|handelen", "handelen",
@@ -1592,6 +1593,27 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ('vat', 'vaten', 'het'), ('ton', 'tonnen', 'de'),
     ('kurk', 'kurken', 'de'), ('buis', 'buizen', 'de'),
     ('leiding', 'leidingen', 'de'),
+    # 5h: noun readings for verb/noun homograph SURFACES — a word the
+    # lexicon lists only as a 1sg verb form gets that reading forced
+    # even after a determiner ('De gids' read WW(pv,tgw,ev) in the 5g
+    # probe, exactly the round-5d 'loods' class whose sanctioned fix
+    # is lexicon breadth, models/mbt.py tag_sentence NOTE). e-Lex
+    # lists both readings for every one of these; common nouns only.
+    ('gids', 'gidsen', 'de'), ('kam', 'kammen', 'de'),
+    ('droom', 'dromen', 'de'), ('kus', 'kussen', 'de'),
+    ('dans', 'dansen', 'de'), ('val', 'vallen', 'de'),
+    ('verf', None, 'de'), ('rem', 'remmen', 'de'),
+    ('troost', None, 'de'), ('zorg', 'zorgen', 'de'),
+    ('roep', None, 'de'), ('golf', 'golven', 'de'),
+    ('bel', 'bellen', 'de'), ('lach', None, 'de'),
+    ('zucht', 'zuchten', 'de'), ('stem', 'stemmen', 'de'),
+    ('stal', 'stallen', 'de'), ('vouw', 'vouwen', 'de'),
+    ('boor', 'boren', 'de'), ('hark', 'harken', 'de'),
+    ('dweil', 'dweilen', 'de'), ('sport', 'sporten', 'de'),
+    ('zeil', 'zeilen', 'het'), ('teken', 'tekens', 'het'),
+    ('anker', 'ankers', 'het'), ('adem', None, 'de'),
+    ('loop', None, 'de'), ('hoop', None, 'de'),
+    ('bouw', None, 'de'),
 ]
 
 # -- prepositions (VZ(init)) ----------------------------------------------

