@@ -373,7 +373,12 @@ def mbt_instances(sent_df: DataFrame, ambitag, unk_words=None) -> DataFrame:
     pickled into every task. ``unk_words``: the unknown-base word set
     (MBTagger._unknown_base_words — rare, open-class), plain or
     broadcast; None admits every word (pre-round-4 behavior)."""
-    from frog_spark.models.mbt import BOUNDARY, _unknown_feats, _word_key
+    from frog_spark.models.mbt import (
+        BOUNDARY,
+        MBTagger,
+        _unknown_feats,
+        _word_key,
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         amb = ambitag.value if hasattr(ambitag, "value") else ambitag
@@ -399,6 +404,21 @@ def mbt_instances(sent_df: DataFrame, ambitag, unk_words=None) -> DataFrame:
                         kinds.append("unk")
                         feats.append(_unknown_feats(prev_tag, word, next_ambi))
                         cls.append(tag)
+                        # rare-NEXT __UNK__ copy, mirroring the driver
+                        # trainer (MBTagger.train): builds the
+                        # unknown-neighbor branches the test-time walk
+                        # needs when the following word is out of every
+                        # lexicon
+                        if (
+                            unk is not None
+                            and i + 1 < n
+                            and _word_key(words[i + 1]) in unk
+                        ):
+                            kinds.append("unk")
+                            feats.append(
+                                _unknown_feats(prev_tag, word, MBTagger.UNK_AMBI)
+                            )
+                            cls.append(tag)
                     prev2_tag, prev_tag = prev_tag, tag
             yield pd.DataFrame(
                 {

@@ -138,8 +138,16 @@ class MBTagger:
     RARE_KNOWN_MAX = 3
 
     #: open-class tag prefixes (bare class names so plain-tag test
-    #: corpora work too; no closed-class CGN tag shares these prefixes)
-    OPEN_CLASS = ("N", "WW", "ADJ", "SPEC", "TW")
+    #: corpora work too; no closed-class CGN tag shares these prefixes).
+    #: TW is deliberately NOT here (round 5i): ordinals/cardinals are a
+    #: bounded closed set, so a test-time UNKNOWN word is essentially
+    #: never one — but rare ordinals ('derde' before a rare noun) were
+    #: in the base, and their TW(rang) mass kept flipping the pooled
+    #: [LID, c, '-e'] coin against the open-class nouns/adjectives that
+    #: unknowns actually are ('piste'/'trapeze'/'rijpe' read TW, 5h
+    #: probe). Digit-bearing numerals are handled by the D feature and
+    #: token-class overrides either way.
+    OPEN_CLASS = ("N", "WW", "ADJ", "SPEC")
 
     @classmethod
     def _unknown_base_words(cls, lexicon: dict[str, Counter]) -> set[str]:
@@ -191,8 +199,31 @@ class MBTagger:
                 # rare alphanumeric words only (see UNK_MAX_FREQ;
                 # punctuation is handled by token-class overrides)
                 if wkey in rare and any(ch.isalnum() for ch in word):
+                    # A RARE next word stands in for a test-time UNKNOWN
+                    # one: every training word has an ambitag, so without
+                    # this substitution the tree has no __UNK__ branches
+                    # at all and a test walk with an unknown neighbor
+                    # dies at the next-ambi feature — the suffix features
+                    # behind it (s2/s3) are never consulted, and ONE
+                    # pooled (prev, cap, s1) node must answer for every
+                    # unknown-followed-by-unknown pair ('de postbode
+                    # bezorgde' wants N, 'de rijpe druiven' wants ADJ,
+                    # both stop at [LID, c, 'e'] — round-5h probe p162
+                    # cascade). Emitting __UNK__ here builds those
+                    # branches from realistic rare-rare contexts so the
+                    # walk reads the deeper suffix evidence.
+                    # both instances, not a substitution: replacing the
+                    # real ambitag thinned the next-KNOWN branches (a
+                    # rare plural before 'worden' lost the agreement
+                    # evidence that separates it from the singular
+                    # pool), while the extra __UNK__ copy builds the
+                    # unknown-neighbor branch alongside.
                     unk_inst.append(_unknown_feats(prev_tag, word, next_ambi))
                     unk_cls.append(tag)
+                    if i + 1 < len(sent) and _word_key(sent[i + 1][0]) in rare:
+                        unk_inst.append(
+                            _unknown_feats(prev_tag, word, cls.UNK_AMBI))
+                        unk_cls.append(tag)
                 prev2_tag, prev_tag = prev_tag, tag
         # fixed feature order: word first (most informative), then the
         # adjacent left tag and right ambitag; prev2 LAST so it is only
@@ -218,13 +249,27 @@ class MBTagger:
             # an OUT-OF-LEXICON next word must not fall back to BOUNDARY:
             # in training that value only ever means sentence-final, so
             # the tree would walk the end-of-sentence branch mid-sentence.
-            # __UNK__ never occurs in training; the walk stops at that
-            # feature and answers from the partial-path distribution.
-            next_ambi = (
-                self.ambitag.get(_word_key(words[i + 1]), self.UNK_AMBI)
-                if i + 1 < n
-                else BOUNDARY
-            )
+            # A corpus-unseen word the EXTERNAL lexicon lists with ONE
+            # reading supplies that reading (it matches the corpus
+            # branch vocabulary — corpus ambitags are single tags for
+            # unambiguous words); ambiguous ext entries would produce
+            # joined strings no training branch carries, so they fall
+            # through to __UNK__, whose branches the trainer now builds
+            # from rare-rare contexts (see train()).
+            if i + 1 < n:
+                nk = _word_key(words[i + 1])
+                next_ambi = self.ambitag.get(nk)
+                if next_ambi is None:
+                    ne = self.ext_lexicon.get(nk) or self.ext_lexicon.get(
+                        words[i + 1].lower()
+                    )
+                    next_ambi = (
+                        ne[0]
+                        if ne is not None and len(set(ne)) == 1
+                        else self.UNK_AMBI
+                    )
+            else:
+                next_ambi = BOUNDARY
             known_key = None
             if wkey in self.lexicon:
                 known_key = wkey

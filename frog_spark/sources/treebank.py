@@ -148,6 +148,21 @@ _NOUNS = [
     # 'astronoom')
     ("kam", "kammen", "de", "kam"), ("riem", "riemen", "de", "riem"),
     ("zwerm", "zwermen", "de", "zwerm"), ("helm", "helmen", "de", "helm"),
+    # Round-5i breadth (5h probe): '-n'/'-rn' SINGULARS after LID read
+    # mv ('clown', 'lantaarn'), HET-gender '-en' singulars read as the
+    # invariant-participle ADJ class ('het baken' -> ADJ, p161
+    # cascade), '-ns' before a PP read mv ('lens'), '-nken' PLURALS
+    # read ev ('ranken'), and '-uw' singulars took onz gender
+    # ('meeuw', 'zwaluw').
+    ("toren", "torens", "de", "toren"), ("oven", "ovens", "de", "oven"),
+    ("wagen", "wagens", "de", "wagen"), ("molen", "molens", "de", "molen"),
+    ("deken", "dekens", "de", "deken"), ("kern", "kernen", "de", "kern"),
+    ("wapen", "wapens", "het", "wapen"),
+    ("varken", "varkens", "het", "varken"),
+    ("gans", "ganzen", "de", "gans"),
+    ("plank", "planken", "de", "plank"), ("vonk", "vonken", "de", "vonk"),
+    ("spreeuw", "spreeuwen", "de", "spreeuw"),
+    ("pauw", "pauwen", "de", "pauw"), ("leeuw", "leeuwen", "de", "leeuw"),
 ]
 
 #: diminutives (always het-gender; lemma = the dim singular, morphs
@@ -555,6 +570,15 @@ def _build_morph_table() -> dict:
         "lijkt": "[lijk][t]", "blijkt": "[blijk][t]", "bleek": "[bleek]",
         "leek": "[leek]", "klonk": "[klonk]", "voelde": "[voel][de]",
     })
+    # rare-pool surfaces carry the inflection lexicon's own CELEX-style
+    # segmentations; setdefault so the hand-set conventions above win
+    for sg, pl, _g, _lem, sgm, plm in _rare_pools()[0]:
+        t.setdefault(sg, sgm)
+        if pl and plm:
+            t.setdefault(pl, plm)
+    for ab, ae, _lem, bm, em in _rare_pools()[1]:
+        t.setdefault(ab, bm)
+        t.setdefault(ae, em)
     t.update(_MORPH_EXCEPTIONS)
     return t
 
@@ -591,6 +615,125 @@ CONTENT_WORDS.update(w for pair in _ORGS2 for w in pair)
 # (titles, resultative verbs) — they must be in this set so the
 # held-out-disjointness test covers them too
 CONTENT_WORDS.update(["professor", "prof.", "ir.", "noemt", "noemen"])
+
+
+# --------------------------------------------------------------------------
+# round-5i rare-vocabulary pool
+# --------------------------------------------------------------------------
+#: The unknown-word tagger trains on the RARE tail of the corpus, but
+#: the core vocabulary above is small and FREQUENT — its adjectives and
+#: nouns never enter the rare base, so the unknown tree's suffix
+#: statistics rested on a few hundred accidental rare types and every
+#: probe round flipped a different pooled-node coin ('-e' after LID:
+#: postbode-N vs rijpe-ADJ vs ordinal-TW). The reference never has this
+#: problem because MBT trains on a corpus whose long tail IS the
+#: language's. The pool below injects that long tail: inflection-
+#: lexicon nouns/adjectives (sources/inflect.py — ~1k noun and ~200
+#: adjective paradigms with real genders, plurals, and morphs) emitted
+#: at a LOW rate so each surfaces a handful of times and lands in the
+#: unknown base with realistic suffix diversity. The exclusion list is
+#: FROZEN (resources/treebank_pool_exclude.txt): gold surfaces (their
+#: corpus frequencies are parity-pinned) and every evaluation corpus
+#: at pool-introduction time; future probes check CONTENT_WORDS.
+_POOL_CACHE: tuple | None = None
+
+
+def _rare_pools() -> tuple[list, list]:
+    """Returns (nouns, adjs): nouns as (sg, pl|None, gender, lemma,
+    sg_morph, pl_morph|None), adjs as (base, e_form, lemma, base_morph,
+    e_morph)."""
+    global _POOL_CACHE
+    if _POOL_CACHE is None:
+        import os
+
+        from frog_spark.sources.inflect import (
+            ADJECTIVES as _INF_ADJS,
+            NOUNS as _INF_NOUNS,
+            adj_forms,
+            noun_forms,
+        )
+        from frog_spark.sources.resources import RESOURCE_DIR
+
+        excl: set[str] = set()
+        with open(os.path.join(RESOURCE_DIR, "treebank_pool_exclude.txt"),
+                  encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    excl.add(line)
+        # function-word homographs stay out: emitting the NOUN 'bij'
+        # (bee) would load the preposition's high-frequency lexicon
+        # entry with a minority N reading and destabilize every PP
+        func = set(_PREP_N) | set(_PREP_V) | {
+            "een", "de", "het", "geen", "al", "niet", "en", "of", "om",
+            "te", "er", "dan", "met", "door", "uit", "mee",
+        } | {w for w, _l in _ADVS}
+        nouns = []
+        for marked, pl, g in _INF_NOUNS:
+            forms = noun_forms(marked, pl, g)
+            sg_surface, _sg_tag, lemma, sg_morph = forms[0]
+            pl_row = forms[1] if len(forms) > 1 else None
+            surfaces = [sg_surface] + ([pl_row[0]] if pl_row else [])
+            if any(w.lower() in excl or w in CONTENT_WORDS or w in func
+                   for w in surfaces):
+                continue
+            if pl_row and "'" in pl_row[0]:
+                continue  # taxi's-style apostrophe plurals
+            nouns.append((sg_surface, pl_row[0] if pl_row else None, g,
+                          lemma, sg_morph, pl_row[3] if pl_row else None))
+        adjs = []
+        for entry in _INF_ADJS:
+            by_tag = {}
+            lemma = entry
+            for w, tag, lem, m in adj_forms(entry):
+                by_tag.setdefault(tag, (w, m))
+                lemma = lem
+            base = by_tag.get("ADJ(prenom,basis,zonder)")
+            e_form = by_tag.get("ADJ(prenom,basis,met-e,stan)")
+            if base is None or e_form is None:
+                continue
+            if any(w.lower() in excl or w in CONTENT_WORDS
+                   for w in (base[0], e_form[0])):
+                continue
+            adjs.append((base[0], e_form[0], lemma, base[1], e_form[1]))
+        _POOL_CACHE = (nouns, adjs)
+    return _POOL_CACHE
+
+
+def _np_pool(rng: _Rng, s: _Sent, plural: bool,
+             allow_adj: bool) -> tuple[int, bool] | None:
+    """Det (+pool-Adj-e) + pool noun; None when the pool noun cannot
+    satisfy a forced plural (caller falls through to the core path)."""
+    nouns, adjs = _rare_pools()
+    sg, pl, gender, lemma, _sgm, _plm = rng.choice(nouns)
+    if plural and not pl:
+        return None
+    if plural:
+        du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
+        word, tag = pl, N_MV
+    else:
+        dw = "het" if gender == "het" else "de"
+        du = s.tok(_cap(s, dw), LID_HET if gender == "het" else LID_DE,
+                   dw, chunk="B-NP")
+        word, tag = sg, (N_HET if gender == "het" else N_DE)
+    if allow_adj and rng.flip(30):
+        ab, ae, alem, _bm, _em = rng.choice(adjs)
+        au = s.tok(ae, ADJ_E, alem, chunk="I-NP")
+        nu = s.tok(word, tag, lemma, chunk="I-NP")
+        s.dep(au, nu, "mod")
+    else:
+        nu = s.tok(word, tag, lemma, chunk="I-NP")
+    s.dep(du, nu, "det")
+    return nu, plural
+
+
+CONTENT_WORDS.update(
+    w
+    for n in _rare_pools()[0]
+    for w in (n[0], n[1])
+    if w
+)
+CONTENT_WORDS.update(w for a in _rare_pools()[1] for w in (a[0], a[1]))
 
 
 # --------------------------------------------------------------------------
@@ -735,6 +878,13 @@ def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
     forced = plural is not None
     if plural is None:
         plural = rng.flip(25)
+    if rng.flip(8):
+        # rare-vocabulary pool arm (see _rare_pools): a long tail of
+        # inflection-lexicon types at a few occurrences each, so the
+        # unknown-word base sees realistic suffix diversity
+        got = _np_pool(rng, s, plural=plural, allow_adj=allow_adj)
+        if got is not None:
+            return got
     if plural:
         if rng.flip(22):
             # BARE plural NP — no determiner at all ('goede informatie
@@ -990,11 +1140,23 @@ def _pp_temporal(rng: _Rng, s: _Sent, verb_u: int) -> None:
         au = s.tok(ab, ADJ_VRIJ, alem, chunk="I-PP")
         s.dep(au, pu, "obj1")
     elif shape < 30:
-        # bare ADJ+plural ('na taaie onderhandelingen')
-        ab, ae, alem = rng.choice(_ADJS)
-        au = s.tok(ae, ADJ_E, alem, chunk="B-NP")
-        _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
-        nu = s.tok(npl, N_MV, nlem, chunk="I-NP")
+        if rng.flip(30):
+            # bare ZONDER-ADJ + het singular ('naar gul applaus', 5h
+            # probe p164): prenominal base-form ADJs before an
+            # indefinite het-noun inside a PP — with only e-form mass
+            # the zonder ADJ read vrij/predc and the unseen noun
+            # cascaded to a participle reading
+            ab, _ae, alem = rng.choice(_ADJS)
+            au = s.tok(ab, "ADJ(prenom,basis,zonder)", alem, chunk="B-NP")
+            sg, _pl, _g, nlem = rng.choice(
+                [n for n in _NOUNS if n[2] == "het"])
+            nu = s.tok(sg, N_HET, nlem, chunk="I-NP")
+        else:
+            # bare ADJ+plural ('na taaie onderhandelingen')
+            ab, ae, alem = rng.choice(_ADJS)
+            au = s.tok(ae, ADJ_E, alem, chunk="B-NP")
+            _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
+            nu = s.tok(npl, N_MV, nlem, chunk="I-NP")
         s.dep(au, nu, "mod")
         s.dep(nu, pu, "obj1")
     elif shape < 55:
