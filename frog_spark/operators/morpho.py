@@ -315,6 +315,7 @@ class Mbma:
         cgn_tag: str,
         token_class: str = "WORD",
         next_tag: str = "",
+        lemma: str | None = None,
     ) -> tuple[str, str]:
         """Return (morph_string, compound_string).
 
@@ -328,14 +329,14 @@ class Mbma:
         sentence-level cache in plans/pipeline.py misses on any one-token
         variant; this memo converts those misses into per-token hits —
         MBMA was ~26% of the uncached annotate profile)."""
-        key = (word, cgn_tag, token_class, next_tag)
+        key = (word, cgn_tag, token_class, next_tag, lemma)
         memo = getattr(self, "_memo", None)
         if memo is None:
             memo = self._memo = {}
         hit = memo.get(key)
         if hit is not None:
             return hit
-        out = self._analyze_uncached(word, cgn_tag, token_class, next_tag)
+        out = self._analyze_uncached(word, cgn_tag, token_class, next_tag, lemma)
         if len(memo) >= self._MEMO_MAX:
             memo.clear()
         memo[key] = out
@@ -347,6 +348,7 @@ class Mbma:
         cgn_tag: str,
         token_class: str = "WORD",
         next_tag: str = "",
+        lemma: str | None = None,
     ) -> tuple[str, str]:
         head = cgn_tag.split("(", 1)[0]
         # M8 pass-through: LET/SPEC heads & abbreviations are one morpheme
@@ -374,6 +376,10 @@ class Mbma:
             # never rewrite a TRAINED word's analysis (gold parity):
             # the compound fallback exists for words MBMA never saw
             return morph, compound
+        if morph == f"[{base}]" and base.isalpha():
+            sfx = self._suffix_fallback(base, head, feats, lemma)
+            if sfx is not None:
+                return sfx, "0"
         if (
             morph == f"[{base}]"
             and head in ("N", "ADJ")
@@ -441,13 +447,93 @@ class Mbma:
                     and len(w) >= 3
                 ):
                     vocab.setdefault(w.lower(), m)
+            # treebank generator vocabulary last (round 5j): its morph
+            # table covers surfaces neither gold nor the inflection
+            # lexicon lists ('pont', 'tocht', 'kant'), so compounds
+            # built on them ('veerpont', 'overtocht') become splittable
+            from frog_spark.sources.treebank import _morph_table
+
+            for w, m in _morph_table().items():
+                if w.isalpha() and len(w) >= 3 and w[:1].islower():
+                    vocab.setdefault(w.lower(), m)
             self._cvocab = vocab
         return vocab
+
+    #: prepositional left members of Dutch compounds ('overtocht',
+    #: 'voorstel', 'bijgebouw' — the gold corpus's own [aan][pak]
+    #: convention splits them); closed set, morph = the member itself
+    _PREP_COMPOUND_LEFT = frozenset({
+        "over", "voor", "achter", "onder", "boven", "tussen", "tegen",
+        "bij", "om", "na", "aan", "uit", "in", "op",
+    })
+
+    def _suffix_fallback(
+        self, base: str, head: str, feats: list[str], lemma: str | None
+    ) -> str | None:
+        """Tag-driven productive-suffix split for UNSEEN surfaces the
+        char-window tree left monomorphemic (round 5j: the 5i probe's
+        'wespen'/'aast'/'legen' read [wespen]/[aast]/[legen]). The CGN
+        tag names the inflection the surface must carry, so the split
+        is deterministic — the only ambiguous case is pv,tgw,met-t on
+        a stem-final -t verb ('smacht' is smacht+0, 'aast' is aas+t),
+        which the LEMMA resolves via the real stem-derivation rules
+        (inflect.verb_stem). Trained surfaces never reach this path
+        (gold parity), and a None return falls through unchanged."""
+        if head == "N" and "mv" in feats:
+            if "dim" in feats:
+                if base.endswith("jes"):
+                    return f"[{base[:-3]}][je][s]"
+                return None
+            if base.endswith("ën"):
+                return f"[{base[:-2]}][ën]"
+            if base.endswith("en") and len(base) > 4:
+                return f"[{base[:-2]}][en]"
+            if base.endswith("s") and len(base) > 3:
+                return f"[{base[:-1]}][s]"
+            return None
+        if head != "WW":
+            return None
+        if "vd" in feats and base.startswith("ge") and len(base) > 5:
+            if base.endswith("en"):
+                # strong participles keep the -en fused ([ge][sloten],
+                # the treebank/inflect convention)
+                return f"[ge][{base[2:]}]"
+            if base.endswith(("d", "t")):
+                return f"[ge][{base[2:-1]}][{base[-1]}]"
+            return None
+        if "pv" in feats and "verl" in feats:
+            if base.endswith(("den", "ten")):
+                return f"[{base[:-3]}][{base[-3:]}]"
+            if base.endswith(("de", "te")):
+                return f"[{base[:-2]}][{base[-2:]}]"
+            return None  # strong preterites stay monomorphemic
+        if ("inf" in feats or ("pv" in feats and "mv" in feats)) and \
+                base.endswith("en") and len(base) > 4:
+            return f"[{base[:-2]}][en]"
+        if "pv" in feats and "tgw" in feats and "met-t" in feats and \
+                base.endswith("t"):
+            if lemma and lemma.endswith("en"):
+                from frog_spark.sources.inflect import verb_stem
+
+                try:
+                    stem = verb_stem(lemma)
+                except Exception:
+                    stem = None
+                if stem == base:
+                    return None  # wacht-class: the -t IS the stem
+                if stem and base == stem + "t":
+                    return f"[{stem}][t]"
+            if not base.endswith(("dt", "tt")) and len(base) > 3:
+                return f"[{base[:-1]}][t]"
+        return None
 
     def _compound_split(self, base: str) -> str | None:
         vocab = self._compound_vocab()
         n = len(base)
-        for i in range(n - 3, 2, -1):  # longest LEFT first
+        # left members may be 2-char prepositions ('op', 'in'); the
+        # right-half vocabulary gate keeps short lefts from producing
+        # junk splits
+        for i in range(n - 3, 1, -1):  # longest LEFT first
             right = base[i:]
             rm = vocab.get(right)
             if rm is None:
@@ -455,6 +541,7 @@ class Mbma:
             left = base[:i]
             if (
                 left in vocab
+                or left in self._PREP_COMPOUND_LEFT
                 or (left.endswith("s") and left[:-1] in vocab)
                 or (left.endswith("en") and left[:-2] in vocab)
             ):

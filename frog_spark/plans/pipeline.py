@@ -528,7 +528,11 @@ class FrogPipeline:
                 # (cgn_tagger_mod.cxx:231-244 -> mbma_mod.cxx:446-510)
                 next_tag = tags[i + 1] if i + 1 < n else ""
                 morph, compound = self.mbma.analyze(
-                    words[i], tags[i], token_classes[i], next_tag
+                    words[i], tags[i], token_classes[i], next_tag,
+                    # the lemma disambiguates MBMA's productive-suffix
+                    # fallback for unseen stem-final-t verbs (morpho.py
+                    # _suffix_fallback); None when MBLEM is switched off
+                    lemma=rows[i].get("lemma"),
                 )
                 r["morph"], r["compound"] = morph, compound
             timers["mbma"] = timers.get("mbma", 0.0) + clock() - t0
