@@ -225,8 +225,13 @@ class Mblem:
             word = word.lower()
         cls_str = self.memory.get(word) or self.memory.get(word.lower())
         from_tree = cls_str is None
+        tree_dist: dict[str, float] | None = None
         if from_tree:
-            cls_str, _conf = self.tree.classify(_instance(word.lower()))
+            # one trie walk serves both the label and the distribution
+            # the filter-miss backoff below may need
+            cls_str, tree_dist = self.tree.classify_with_dist(
+                _instance(word.lower())
+            )
         # keep_case decodes on the original-case surface (the edits act
         # on the lowercase tail either way); the default path lowercased
         # ``word`` above, so behavior there is unchanged
@@ -249,7 +254,7 @@ class Mblem:
                 if lemma not in decoded or cost < decoded[lemma]:
                     decoded[lemma] = cost
         if not decoded:
-            if from_tree:
+            if from_tree and tree_dist is not None:
                 # Distribution backoff for UNSEEN surfaces only: the
                 # leaf's majority class carried no tag-matching reading
                 # (e.g. an unseen '-ooien' noun in a suffix neighborhood
@@ -262,9 +267,8 @@ class Mblem:
                 # mass at the same node is real evidence, so scan it by
                 # mass before giving up. Memory (trained-surface) paths
                 # never reach here — gold behavior is untouched.
-                dist = self.tree.distribution(_instance(word.lower()))
                 best: tuple[tuple, str] | None = None
-                for label, mass in dist.items():
+                for label, mass in tree_dist.items():
                     if label == cls_str:
                         continue
                     for cand in label.split("|"):

@@ -379,6 +379,20 @@ class Mbma:
         if morph == f"[{base}]" and base.isalpha():
             sfx = self._suffix_fallback(base, head, feats, lemma)
             if sfx is not None:
+                # an INFLECTED compound keeps the compound split its
+                # uninflected form would get ('overtochten' ->
+                # [over][tocht][en], the [tuin][mann][en] convention):
+                # try the compound split on the suffix split's stem
+                if head in ("N", "ADJ") and "][" in sfx:
+                    seg_end = sfx.index("][")
+                    stem0 = sfx[1:seg_end]
+                    if len(stem0) >= 6 and stem0.isalpha():
+                        cs = self._compound_split(stem0)
+                        if cs is not None:
+                            return (
+                                cs + sfx[seg_end + 1:],
+                                "NN" if head == "N" else "NA",
+                            )
                 return sfx, "0"
         if (
             morph == f"[{base}]"
@@ -449,8 +463,8 @@ class Mbma:
                     vocab.setdefault(w.lower(), m)
             # treebank generator vocabulary last (round 5j): its morph
             # table covers surfaces neither gold nor the inflection
-            # lexicon lists ('pont', 'tocht', 'kant'), so compounds
-            # built on them ('veerpont', 'overtocht') become splittable
+            # lexicon lists ('tocht', 'kant'), so compounds built on
+            # them ('overtocht', 'overkant') become splittable
             from frog_spark.sources.treebank import _morph_table
 
             for w, m in _morph_table().items():
@@ -493,7 +507,23 @@ class Mbma:
             return None
         if head != "WW":
             return None
+        stem = None
+        if lemma and lemma.endswith("en"):
+            from frog_spark.sources.inflect import verb_stem
+
+            try:
+                stem = verb_stem(lemma)
+            except Exception:
+                stem = None
         if "vd" in feats and base.startswith("ge") and len(base) > 5:
+            if (
+                stem
+                and lemma.startswith("ge")
+                and base in (stem + "d", stem + "t")
+            ):
+                # ge-INITIAL-STEM verbs (gebeuren, geloven) take no
+                # participle prefix: 'gebeurd' is gebeur+d
+                return f"[{base[:-1]}][{base[-1]}]"
             if base.endswith("en"):
                 # strong participles keep the -en fused ([ge][sloten],
                 # the treebank/inflect convention)
@@ -502,27 +532,25 @@ class Mbma:
                 return f"[ge][{base[2:-1]}][{base[-1]}]"
             return None
         if "pv" in feats and "verl" in feats:
-            if base.endswith(("den", "ten")):
+            # the LEMMA must confirm a weak preterite: '-den'/'-ten'
+            # alone cannot tell 'tuurden' (tuur+den) from the strong
+            # 'hielden', and strong preterites stay monomorphemic
+            if stem is None:
+                return None
+            if base.endswith(("den", "ten")) and base == stem + base[-3:]:
                 return f"[{base[:-3]}][{base[-3:]}]"
-            if base.endswith(("de", "te")):
+            if base.endswith(("de", "te")) and base == stem + base[-2:]:
                 return f"[{base[:-2]}][{base[-2:]}]"
-            return None  # strong preterites stay monomorphemic
+            return None
         if ("inf" in feats or ("pv" in feats and "mv" in feats)) and \
                 base.endswith("en") and len(base) > 4:
             return f"[{base[:-2]}][en]"
         if "pv" in feats and "tgw" in feats and "met-t" in feats and \
                 base.endswith("t"):
-            if lemma and lemma.endswith("en"):
-                from frog_spark.sources.inflect import verb_stem
-
-                try:
-                    stem = verb_stem(lemma)
-                except Exception:
-                    stem = None
-                if stem == base:
-                    return None  # wacht-class: the -t IS the stem
-                if stem and base == stem + "t":
-                    return f"[{stem}][t]"
+            if stem == base:
+                return None  # wacht-class: the -t IS the stem
+            if stem and base == stem + "t":
+                return f"[{stem}][t]"
             if not base.endswith(("dt", "tt")) and len(base) > 3:
                 return f"[{base[:-1]}][t]"
         return None

@@ -667,11 +667,20 @@ def _rare_pools() -> tuple[list, list]:
         func = set(_PREP_N) | set(_PREP_V) | {
             "een", "de", "het", "geen", "al", "niet", "en", "of", "om",
             "te", "er", "dan", "met", "door", "uit", "mee",
+            # determiner/conjunction homographs of adjectives
+            "waar", "enkel", "enkele", "zeker", "even", "heel",
         } | {w for w, _l in _ADVS}
         nouns = []
         for marked, pl, g in _INF_NOUNS:
             forms = noun_forms(marked, pl, g)
-            sg_surface, _sg_tag, lemma, sg_morph = forms[0]
+            sg_surface, sg_tag, lemma, sg_morph = forms[0]
+            if ",dim" in sg_tag:
+                # diminutive entries ('meisje') carry the dim subtag;
+                # _np_pool emits basis tags, so admitting them would
+                # train dim surfaces against their lexicon reading and
+                # pour basis mass into the '-je(s)' suffix cells the
+                # core _NOUNS_DIM rows feed with dim mass
+                continue
             pl_row = forms[1] if len(forms) > 1 else None
             surfaces = [sg_surface] + ([pl_row[0]] if pl_row else [])
             if any(w.lower() in excl or w in CONTENT_WORDS or w in func
@@ -692,8 +701,11 @@ def _rare_pools() -> tuple[list, list]:
             e_form = by_tag.get("ADJ(prenom,basis,met-e,stan)")
             if base is None or e_form is None:
                 continue
-            if any(w.lower() in excl or w in CONTENT_WORDS
+            if any(w.lower() in excl or w in CONTENT_WORDS or w in func
                    for w in (base[0], e_form[0])):
+                # same function-word-homograph guard as the noun pool:
+                # 'waar' (conjunction), 'enkel/enkele' (indefinite det)
+                # must not gain an ADJ-only corpus reading
                 continue
             adjs.append((base[0], e_form[0], lemma, base[1], e_form[1]))
         _POOL_CACHE = (nouns, adjs)
@@ -3028,8 +3040,11 @@ def _t_relclause_obj(rng: _Rng, s: _Sent) -> None:
     """Object relative: 'De N die wij V-den was ADJ.' — 'die' is the
     embedded obj1, the overt pronoun its su (h69 conventions)."""
     du = s.tok(_cap(s, "de"), LID_DE, "de", chunk="B-NP")
-    sg, pl, gender, lemma = rng.choice(_NOUNS)
-    hu = s.tok(sg, N_DE if gender == "de" else N_HET, lemma, chunk="I-NP")
+    # DE-gender heads only: the det is hardcoded 'de' and the relative
+    # pronoun 'die' — a het noun here would train ungrammatical
+    # determiner-gender and die/dat co-occurrences (round-5 review)
+    sg, pl, _gender, lemma = rng.choice([n for n in _NOUNS if n[2] == "de"])
+    hu = s.tok(sg, N_DE, lemma, chunk="I-NP")
     s.dep(du, hu, "det")
     die = s.tok("die", "VNW(betr,pron,stan,vol,persoon,getal)", "die", chunk="B-NP")
     if rng.flip(60):
