@@ -255,7 +255,9 @@ def train_igtree_distributed(
     # assemble the top d levels from the collected aggregates
     def node_from(counter: Counter) -> _Node:
         label = min(counter.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        return _Node(label, dict(counter))
+        node = _Node(label, dict(counter))
+        node.support = sum(counter.values())
+        return node
 
     root = node_from(Counter({r["cls"]: r["c"] for r in root_rows}))
     # prefix -> node for levels 1..d-1 (inner), d (subtrees)

@@ -32,6 +32,11 @@ class _Node:
     dist: dict[str, int]
     children: dict[str, "_Node"] = field(default_factory=dict)
     norm_dist: dict[str, float] | None = None  # lazy normalized cache
+    #: cached sum(dist.values()) — the partial-match backtrack loops
+    #: (here and in operators/parser.py) test node support once per
+    #: mismatch stop, which profiled as ~2.5M sum() calls per bench
+    #: corpus; set at build time, recomputed lazily if absent
+    support: int | None = None
     #: at LOW-SUPPORT nodes only (< IGTree.MIN_PARTIAL_SUPPORT): feature
     #: values training saw here but pruned away (child agreed with the
     #: majority) or never split (unambiguous leaf). classify trusts the
@@ -117,7 +122,8 @@ class IGTree:
         # majority with deterministic tie-break (count desc, then label asc)
         label = min(dist.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         node = _Node(label, dist)
-        small = sum(dist.values()) < cls.SEEN_RECORD_SUPPORT
+        node.support = sum(dist.values())
+        small = node.support < cls.SEEN_RECORD_SUPPORT
         if depth >= len(order) or len(dist) == 1:
             # unambiguous or out of features -> leaf (pruned). A SMALL
             # unambiguous leaf still records which next-feature values
@@ -211,7 +217,12 @@ class IGTree:
             self.BACKTRACK_LABELS is None or node.label in self.BACKTRACK_LABELS
         ):
             k = self.MIN_PARTIAL_SUPPORT
-            while path and sum(node.dist.values()) < k:
+            while path:
+                sup = node.support
+                if sup is None:
+                    sup = node.support = sum(node.dist.values())
+                if sup >= k:
+                    break
                 node = path.pop()
         return node, mismatch
 
@@ -229,7 +240,9 @@ class IGTree:
             nd = node.norm_dist = {k: v / total for k, v in node.dist.items()}
         conf = nd.get(node.label, 0.0)
         if mismatch and self.PARTIAL_SHRINK:
-            sup = sum(node.dist.values())
+            sup = node.support
+            if sup is None:
+                sup = node.support = sum(node.dist.values())
             conf *= sup / (sup + 1.0)
         return node.label, conf
 

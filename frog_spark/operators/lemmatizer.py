@@ -174,7 +174,37 @@ class Mblem:
         # is a recorded metric) and executors start cold
         state = dict(self.__dict__)
         state.pop("_memo", None)
+        state.pop("_bk_idx", None)
         return state
+
+    def _backoff_index(
+        self, tree_dist: dict[str, float]
+    ) -> dict[str, list[tuple[float, str, str]]]:
+        """Per-stop-node index for the distribution backoff: tag head ->
+        [(mass, label, candidate)] sorted by mass DESC. _tag_matches can
+        only pass when the candidate's head equals the POS tag's head
+        (exact match or the equal-heads fuzzy branch), so scanning just
+        the matching-head bucket is behavior-identical — and a shallow
+        stop node's distribution holds ~1000 labels, which the unsorted
+        full scan walked per unseen surface (profiled ~1M _apply calls
+        per bench corpus). Cached per distribution dict (one per node,
+        shared via norm_dist); the dict ref in the value keeps ids
+        stable. Dropped from pickle like _memo."""
+        cache = getattr(self, "_bk_idx", None)
+        if cache is None:
+            cache = self._bk_idx = {}
+        ent = cache.get(id(tree_dist))
+        if ent is not None and ent[0] is tree_dist:
+            return ent[1]
+        by_head: dict[str, list[tuple[float, str, str]]] = {}
+        for label, mass in tree_dist.items():
+            for cand in label.split("|"):
+                h = cand.split("+", 1)[0].split("(", 1)[0]
+                by_head.setdefault(h, []).append((mass, label, cand))
+        for lst in by_head.values():
+            lst.sort(key=lambda t: -t[0])
+        cache[id(tree_dist)] = (tree_dist, by_head)
+        return by_head
 
     def lemmatize(
         self, word: str, cgn_tag: str, token_class: str = "WORD"
@@ -268,20 +298,31 @@ class Mblem:
                 # mass before giving up. Memory (trained-surface) paths
                 # never reach here — gold behavior is untouched.
                 best: tuple[tuple, str] | None = None
-                for label, mass in tree_dist.items():
+                # only the matching-tag-head bucket can pass the filter
+                # (see _backoff_index); entries come sorted by mass
+                # DESC, and the winning key's primary term is -mass, so
+                # once any candidate decodes, no strictly-lower-mass
+                # entry can beat it (mass ties still resolve by
+                # cost/lemma exactly as before — the key tuple, not
+                # scan order, picks the winner)
+                entries = self._backoff_index(tree_dist).get(
+                    _head(cgn_tag), ()
+                )
+                for mass, label, cand in entries:
+                    if best is not None and mass < -best[0][0]:
+                        break
                     if label == cls_str:
                         continue
-                    for cand in label.split("|"):
-                        applied = self._apply(decode_base, cand)
-                        if applied is None:
-                            continue
-                        tag, lemma = applied
-                        if not self._tag_matches(tag, cgn_tag):
-                            continue
-                        cost = sum(len(op) - 1 for op in cand.split("+")[1:])
-                        key = (-mass, cost == 0, cost, lemma)
-                        if best is None or key < best[0]:
-                            best = (key, lemma)
+                    applied = self._apply(decode_base, cand)
+                    if applied is None:
+                        continue
+                    tag, lemma = applied
+                    if not self._tag_matches(tag, cgn_tag):
+                        continue
+                    cost = sum(len(op) - 1 for op in cand.split("+")[1:])
+                    key = (-mass, cost == 0, cost, lemma)
+                    if best is None or key < best[0]:
+                        best = (key, lemma)
                 if best is not None:
                     return [best[1]]
             return [word]

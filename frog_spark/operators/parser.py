@@ -272,7 +272,12 @@ def _backtrack_partial(node, path, failed_value, k, labels):
     if labels is not None and node.label not in labels:
         return node, True
     i = len(path)
-    while i and sum(node.dist.values()) < k:
+    while i:
+        sup = node.support
+        if sup is None:
+            sup = node.support = sum(node.dist.values())
+        if sup >= k:
+            break
         i -= 1
         node = path[i]
     return node, True
@@ -312,7 +317,12 @@ def _pairs_walk_tail(
             path.append(node)
             node = nxt
     if mismatch and (labels is None or node.label in labels):
-        while path and sum(node.dist.values()) < k:
+        while path:
+            sup = node.support
+            if sup is None:
+                sup = node.support = sum(node.dist.values())
+            if sup >= k:
+                break
             node = path.pop()
     return node, mismatch
 
@@ -394,7 +404,9 @@ def _pairs_classify_fast(tree, words, heads, mods):
         label = node.label
         conf = nd.get(label, 0.0)
         if mis and shrink:
-            sup = sum(node.dist.values())
+            sup = node.support
+            if sup is None:
+                sup = node.support = sum(node.dist.values())
             conf *= sup / (sup + 1.0)
         out.append((i, None, label, conf))
     # (dep, head) candidates within MAX_DEP_SPAN, dep outer / head inner
@@ -428,7 +440,9 @@ def _pairs_classify_fast(tree, words, heads, mods):
             label = node.label
             conf = nd.get(label, 0.0)
             if mis and shrink:
-                sup = sum(node.dist.values())
+                sup = node.support
+                if sup is None:
+                    sup = node.support = sum(node.dist.values())
                 conf *= sup / (sup + 1.0)
             out.append((wpos, pos, label, conf))
     return out
