@@ -612,19 +612,6 @@ class DepParser:
         return units, parsed
 
 
-class _SubTree:
-    __slots__ = ("score", "r", "label", "satisfied")
-
-    def __init__(self, score: float = 0.0, r: int = -1, label: str = ""):
-        self.score = score
-        self.r = r
-        self.label = label
-        self.satisfied = 0  # bitmask over _Constraint.bit
-
-
-_DEFAULT_SUBTREE = _SubTree()  # shared read-only cell (score 0, r -1)
-
-
 def _assign_bits(c: Constraints, n: int) -> None:
     """Give every constraint a unique power-of-two bit. Satisfied-sets
     are then plain ints: union is `|`, membership is `&` — the id()-set
@@ -736,11 +723,18 @@ def _edge_winner_mask(plan, idx: int, sat) -> int:
 def _cky_parse(n: int, c: Constraints) -> list[tuple[int, str]]:
     """parse + backtrace (ckyparser.cxx:208-346): 4-item Eisner chart with
     satisfied-constraint BITMASKS threaded through (union = int `|`,
-    membership = `&` — see _assign_bits). Untouched cells share ONE
-    immutable default SubTree — allocating (n+1)^2 x 4 fresh cells showed
-    up as ~40% of parse time in profiling and the lower triangle is never
-    written. Edge scoring is hoisted per chart cell (_edge_plan) so the
-    split loop does no list filtering and no set allocation."""
+    membership = `&` — see _assign_bits). The chart is stored as parallel
+    score/mask/split/label arrays instead of cell objects — the object
+    version allocated 4 SubTrees per cell (~2.5M per bench corpus) and
+    every split-loop iteration paid two attribute loads; scores and masks
+    that the split loops read COLUMN-wise (l_true[r+1][t], l_false[r][t],
+    r_true[r][t]) are kept transposed so every inner loop touches only
+    two local rows. Cells never written keep score 0 / mask 0 / split -1,
+    matching the old shared default SubTree. Edge scoring is hoisted per
+    chart cell (_edge_plan); when BOTH directions are constraint-free
+    ('const' plans — the common case, since classifier edges are sparse)
+    the two maxima share one base argmax (the added constants cannot
+    change the winning split; strict `>` keeps the same first-max)."""
     NEG = -10e45
     _assign_bits(c, n)
     # r-independent lookups used by every _edge_plan call:
@@ -756,15 +750,34 @@ def _cky_parse(n: int, c: Constraints) -> list[tuple[int, str]]:
         for con in c.in_dep[i]:
             by_rel.setdefault(con.rel, []).append(con)
         ins_by_rel.append(by_rel)
-    d = _DEFAULT_SUBTREE
-    l_true = [[d] * (n + 1) for _ in range(n + 1)]
-    r_true = [[d] * (n + 1) for _ in range(n + 1)]
-    l_false = [[d] * (n + 1) for _ in range(n + 1)]
-    r_false = [[d] * (n + 1) for _ in range(n + 1)]
+    size = n + 1
+    # row-major score/mask (read by row s), column-major transposes
+    # (read by column t), split r / label only where backtrace needs them
+    rtS = [[0.0] * size for _ in range(size)]
+    rtM = [[0] * size for _ in range(size)]
+    rtR = [[-1] * size for _ in range(size)]
+    rtS_T = [[0.0] * size for _ in range(size)]
+    rtM_T = [[0] * size for _ in range(size)]
+    ltS = [[0.0] * size for _ in range(size)]
+    ltM = [[0] * size for _ in range(size)]
+    ltR = [[-1] * size for _ in range(size)]
+    ltS_T = [[0.0] * size for _ in range(size)]
+    ltM_T = [[0] * size for _ in range(size)]
+    lfS_T = [[0.0] * size for _ in range(size)]
+    lfM_T = [[0] * size for _ in range(size)]
+    lfR = [[-1] * size for _ in range(size)]
+    lfL = [[""] * size for _ in range(size)]
+    rfS = [[0.0] * size for _ in range(size)]
+    rfM = [[0] * size for _ in range(size)]
+    rfR = [[-1] * size for _ in range(size)]
+    rfL = [[""] * size for _ in range(size)]
     for k in range(1, n + 2):
         for s in range(0, n + 1 - k):
             t = s + k
-            rts = r_true[s]
+            rtS_s = rtS[s]
+            rtM_s = rtM[s]
+            ltS_Tt = ltS_T[t]
+            ltM_Tt = ltM_T[t]
             # STEPS 1+2 share the same split cells (r_true[s][r],
             # l_true[r+1][t]) — one fused loop loads each pair once for
             # both the l_False (head=t, dep=s) and r_False (head=s,
@@ -773,107 +786,130 @@ def _cky_parse(n: int, c: Constraints) -> list[tuple[int, str]]:
             plan2 = _edge_plan(c, s, t, outs_dir, ins_by_rel)
             const1 = plan1[0] == "const"
             const2 = plan2[0] == "const"
-            b1_score, b1_i, b1_l, b1_ci = NEG, -1, "__", -1
-            b2_score, b2_i, b2_l, b2_ci = NEG, -1, "__", -1
-            if const1:
+            b1_l, b1_ci = "__", -1
+            b2_l, b2_ci = "__", -1
+            if const1 and const2:
                 _, c1_l, c1_edge, c1_mask = plan1
-            if const2:
                 _, c2_l, c2_edge, c2_mask = plan2
-            for r in range(s, t):
-                lt = rts[r]
-                rt = l_true[r + 1][t]
-                base = lt.score + rt.score
-                if const1 and const2:
+                # both maxima add a per-direction constant to the same
+                # base; the additions stay inside the loop (not a shared
+                # base argmax) so float rounding ties break exactly as
+                # they did cell-by-cell
+                b1_score, b1_i = NEG, -1
+                b2_score, b2_i = NEG, -1
+                for r in range(s, t):
+                    base = rtS_s[r] + ltS_Tt[r + 1]
                     score = base + c1_edge
                     if score > b1_score:
                         b1_score, b1_i = score, r
                     score = base + c2_edge
                     if score > b2_score:
                         b2_score, b2_i = score, r
-                    continue
-                sat = lt.satisfied | rt.satisfied
+            else:
+                b1_score, b1_i = NEG, -1
+                b2_score, b2_i = NEG, -1
                 if const1:
-                    score = base + c1_edge
-                    if score > b1_score:
-                        b1_score, b1_i = score, r
-                else:
-                    label, edge_score, ci = _edge_eval(plan1, sat)
-                    score = base + edge_score
-                    if score > b1_score:
-                        b1_score, b1_i, b1_l, b1_ci = score, r, label, ci
+                    _, c1_l, c1_edge, c1_mask = plan1
                 if const2:
-                    score = base + c2_edge
-                    if score > b2_score:
-                        b2_score, b2_i = score, r
-                else:
-                    label, edge_score, ci = _edge_eval(plan2, sat)
-                    score = base + edge_score
-                    if score > b2_score:
-                        b2_score, b2_i, b2_l, b2_ci = score, r, label, ci
-            sat1 = rts[b1_i].satisfied | l_true[b1_i + 1][t].satisfied
+                    _, c2_l, c2_edge, c2_mask = plan2
+                for r in range(s, t):
+                    base = rtS_s[r] + ltS_Tt[r + 1]
+                    sat = rtM_s[r] | ltM_Tt[r + 1]
+                    if const1:
+                        score = base + c1_edge
+                        if score > b1_score:
+                            b1_score, b1_i = score, r
+                    else:
+                        label, edge_score, ci = _edge_eval(plan1, sat)
+                        score = base + edge_score
+                        if score > b1_score:
+                            b1_score, b1_i, b1_l, b1_ci = score, r, label, ci
+                    if const2:
+                        score = base + c2_edge
+                        if score > b2_score:
+                            b2_score, b2_i = score, r
+                    else:
+                        label, edge_score, ci = _edge_eval(plan2, sat)
+                        score = base + edge_score
+                        if score > b2_score:
+                            b2_score, b2_i, b2_l, b2_ci = score, r, label, ci
+            sat1 = rtM_s[b1_i] | ltM_Tt[b1_i + 1]
             if const1:
                 b1_l, b1_c = c1_l, c1_mask
             else:
                 b1_c = _edge_winner_mask(plan1, b1_ci, sat1)
-            st = _SubTree(b1_score, b1_i, b1_l)
-            st.satisfied = sat1 | b1_c
-            l_false[s][t] = st
-            sat2 = rts[b2_i].satisfied | l_true[b2_i + 1][t].satisfied
+            lfS_T[t][s] = b1_score
+            lfM_T[t][s] = sat1 | b1_c
+            lfR[s][t] = b1_i
+            lfL[s][t] = b1_l
+            sat2 = rtM_s[b2_i] | ltM_Tt[b2_i + 1]
             if const2:
                 b2_l, b2_c = c2_l, c2_mask
             else:
                 b2_c = _edge_winner_mask(plan2, b2_ci, sat2)
-            st = _SubTree(b2_score, b2_i, b2_l)
-            st.satisfied = sat2 | b2_c
-            r_false[s][t] = st
-            # STEP 3: l_True
-            lts = l_true[s]
+            rfS_s = rfS[s]
+            rfM_s = rfM[s]
+            rfS_s[t] = b2_score
+            rfM_s[t] = sat2 | b2_c
+            rfR[s][t] = b2_i
+            rfL[s][t] = b2_l
+            # STEP 3: l_True — reads l_true[s][r] (row) + l_false[r][t]
+            # (transposed column)
+            ltS_s = ltS[s]
+            lfS_Tt = lfS_T[t]
             best_score, best_i = NEG, -1
             for r in range(s, t):
-                score = lts[r].score + l_false[r][t].score
+                score = ltS_s[r] + lfS_Tt[r]
                 if score > best_score:
                     best_score, best_i = score, r
-            st = _SubTree(best_score, best_i, "")
-            st.satisfied = lts[best_i].satisfied | l_false[best_i][t].satisfied
-            lts[t] = st
-            # STEP 4: r_True
-            rfs = r_false[s]
+            mask = ltM[s][best_i] | lfM_T[t][best_i]
+            ltS_s[t] = best_score
+            ltM[s][t] = mask
+            ltR[s][t] = best_i
+            ltS_T[t][s] = best_score
+            ltM_T[t][s] = mask
+            # STEP 4: r_True — reads r_false[s][r] (row) + r_true[r][t]
+            # (transposed column)
+            rtS_Tt = rtS_T[t]
             best_score, best_i = NEG, -1
             for r in range(s + 1, t + 1):
-                score = rfs[r].score + r_true[r][t].score
+                score = rfS_s[r] + rtS_Tt[r]
                 if score > best_score:
                     best_score, best_i = score, r
-            st = _SubTree(best_score, best_i, "")
-            st.satisfied = rfs[best_i].satisfied | r_true[best_i][t].satisfied
-            rts[t] = st
+            mask = rfM_s[best_i] | rtM_T[t][best_i]
+            rtS_s[t] = best_score
+            rtM_s[t] = mask
+            rtR[s][t] = best_i
+            rtS_Tt[s] = best_score
+            rtM_T[t][s] = mask
 
     pr: list[tuple[int, str]] = [(0, "")] * n
 
     def right_complete(s: int, t: int) -> None:
-        r = r_true[s][t].r
+        r = rtR[s][t]
         if r >= 0:
             right_incomplete(s, r)
             right_complete(r, t)
 
     def right_incomplete(s: int, t: int) -> None:
-        cell = r_false[s][t]
-        if cell.r >= 0:
-            pr[t - 1] = (s, cell.label)
-            right_complete(s, cell.r)
-            left_complete(cell.r + 1, t)
+        r = rfR[s][t]
+        if r >= 0:
+            pr[t - 1] = (s, rfL[s][t])
+            right_complete(s, r)
+            left_complete(r + 1, t)
 
     def left_complete(s: int, t: int) -> None:
-        r = l_true[s][t].r
+        r = ltR[s][t]
         if r >= 0:
             left_complete(s, r)
             left_incomplete(r, t)
 
     def left_incomplete(s: int, t: int) -> None:
-        cell = l_false[s][t]
-        if cell.r >= 0:
-            pr[s - 1] = (t, cell.label)
-            right_complete(s, cell.r)
-            left_complete(cell.r + 1, t)
+        r = lfR[s][t]
+        if r >= 0:
+            pr[s - 1] = (t, lfL[s][t])
+            right_complete(s, r)
+            left_complete(r + 1, t)
 
     right_complete(0, n)
     return pr
