@@ -1614,6 +1614,13 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ('anker', 'ankers', 'het'), ('adem', None, 'de'),
     ('loop', None, 'de'), ('hoop', None, 'de'),
     ('bouw', None, 'de'),
+    # 5k: noun readings for ADJ-COMPARATIVE homograph surfaces — the
+    # adjective paradigms generate 'wijzer'/'ouder' as comparatives of
+    # wijs/oud, and with only that reading in the lexicon a clock hand
+    # after a determiner was FORCED to ADJ(vrij,comp) ('De windvaan en
+    # de wijzer trillen', probe p206: the mis-tag derailed the whole
+    # coordination). e-Lex lists both readings; common nouns only.
+    ('wijzer', 'wijzers', 'de'), ('ouder', 'ouders', 'de'),
 ]
 
 # -- prepositions (VZ(init)) ----------------------------------------------

@@ -1788,7 +1788,7 @@ def _t_copula_adj(rng: _Rng, s: _Sent) -> None:
     # comma take punct on the clause root, 'aldus' is a PP mod
     quoted = rng.flip(12)
     qu = s.tok('"', LET, '"') if quoted else None
-    if not quoted and rng.flip(45):
+    if not quoted and rng.flip(60):
         # su noun with a LOCATIVE noun-PP before the copula ('Het
         # nieuwe museum in Almere is prachtig' h43, 'De schade aan de
         # fiets is groot' h18): PRE-verb, the locative prep attaches to
@@ -1808,7 +1808,13 @@ def _t_copula_adj(rng: _Rng, s: _Sent) -> None:
         # 16-feature window; the cell stays with the post-object
         # majority and the p133/h43 class is a documented residual.
         su, plural = _np_common(rng, s, plural=False)
-        prep = rng.choice(["in", "aan", "op", "bij"])
+        # weighted toward in/bij: the earlier 45 -> 65 ARM-RATE raise
+        # was reverted because it also grew op/aan noun-mod mass and
+        # flipped post-object verb PPs (see NOTE above); re-weighting
+        # WITHIN the arm pours mass into the locative in/bij cells
+        # ('De groeve bij de schacht is mul', probe p202/p210 class)
+        # while REDUCING the op/aan share the revert was about
+        prep = rng.choice(["in", "in", "bij", "bij", "aan", "op"])
         pu = s.tok(prep, VZ, prep, chunk="B-PP")
         inner = (_np_name(rng, s, kind="loc") if rng.flip(65)
                  else _np_common(rng, s, plural=False)[0])
@@ -1839,7 +1845,17 @@ def _t_copula_adj(rng: _Rng, s: _Sent) -> None:
     else:
         v = s.tok("zijn" if plural else "is", WW_MV if plural else WW_EV,
                   "zijn", chunk="B-VP")
-    ab, _ae, alem = rng.choice(_ADJS)
+    if rng.flip(22):
+        # rare-pool predicate adjective ('De groeve is mul.', probe
+        # p197 class): the core _ADJS are frequent and never enter the
+        # unknown-word base, so the (copula-pv left, LET right) unknown
+        # cell had NO vrij-ADJ mass and a clause-final unseen adjective
+        # after 'is' read as a noun — wrong POS, wrong predc, and the
+        # triple's object lemma decoded through the noun paradigm
+        # ('nors' -> 'nor')
+        ab, _e, alem, _bm, _em = rng.choice(_rare_pools()[1])
+    else:
+        ab, _ae, alem = rng.choice(_ADJS)
     au = s.tok(ab, ADJ_VRIJ, alem, chunk="B-ADJP")
     s.dep(su, v, "su")
     s.dep(au, v, "predc")
@@ -2367,6 +2383,31 @@ def _t_coord_su(rng: _Rng, s: _Sent) -> None:
     conjunct is a possessive-det NP ('Sophie en haar broer', round-5
     probe p32 class: without it the possessive and its noun both read
     su and the coordination collapsed)."""
+    if rng.flip(35):
+        # det-common conjuncts ('De windvaan en de wijzer trillen
+        # boven het meetstation', probe p206 class): with name-only
+        # conjuncts the (det-N en det-N V_mv) shape had no evidence
+        # and the whole coordination collapsed — the first conjunct
+        # read ROOT and the finite verb body
+        a, _ = _np_common(rng, s, plural=False, allow_num=False)
+        en = s.tok("en", VG_NEVEN, "en")
+        b, _ = _np_common(rng, s, plural=False, allow_num=False)
+        s.dep(en, a, "crd")
+        s.dep(b, en, "cnj")
+        if rng.flip(50):
+            sg3i, pli, ilem = rng.choice(_V_INTRANS)
+            v = s.tok(pli, WW_MV, ilem, chunk="B-VP")
+            s.dep(a, v, "su")
+            if rng.flip(65):
+                _pp_verb(rng, s, v)
+        else:
+            sg3, pl, vd, lemma = rng.choice(_V_TRANS)
+            v = s.tok(pl, WW_MV, lemma, chunk="B-VP")
+            ob, _ = _np(rng, s)
+            s.dep(a, v, "su")
+            s.dep(ob, v, "obj1")
+        _end(rng, s, v)
+        return
     a = _np_name(rng, s)
     en = s.tok("en", VG_NEVEN, "en")
     if rng.flip(25):
@@ -2616,9 +2657,18 @@ def _t_perfect(rng: _Rng, s: _Sent) -> None:
         # object and the PP to the aux.
         ob, _ = _np(rng, s, pp_mod=False)
         prep = rng.choice(["op", "in", "bij", "naar", "onder", "boven",
-                           "langs"])
+                           "langs", "met"])
         ppart = s.tok(prep, VZ, prep, chunk="B-PP")
-        inner = _np_common(rng, s, plural=False, allow_adj=False)[0]
+        # 'met' carries an instrumental reading whose inner NP is often
+        # a BARE mass noun ('heeft de haard met gruis gestookt', probe
+        # p195 class) — emit that shape for 'met' half the time so the
+        # (vd-adjacent bare noun after VZ) cells exist at all
+        if prep == "met" and rng.flip(50):
+            sg, _pl, g, nlem = rng.choice([n for n in _NOUNS
+                                           if n[2] == "het"])
+            inner = s.tok(sg, N_HET, nlem, chunk="B-NP")
+        else:
+            inner = _np_common(rng, s, plural=False, allow_adj=False)[0]
         s.dep(inner, ppart, "obj1")
     else:
         ob, _ = _np(rng, s, pp_mod=rng.flip(65))
@@ -2674,7 +2724,13 @@ def _t_passive(rng: _Rng, s: _Sent) -> None:
             au = s.tok(w, BW, alem, chunk="B-ADVP")
             pre.append((au, "mod"))
         pu = s.tok("door", VZ, "door", chunk="B-PP")
-        ag, _ = _np(rng, s)
+        # plural agents at weight ('wordt door de mijnwerkers geduwd',
+        # probe p199 class): with singular-dominated agents an unseen
+        # -s plural inside a door-PP read as a singular unknown
+        if rng.flip(35):
+            ag, _ = _np_common(rng, s, plural=True)
+        else:
+            ag, _ = _np(rng, s)
         pre.append((pu, "mod"))
         s.dep(ag, pu, "obj1")
     elif shape < 70:
@@ -2729,7 +2785,11 @@ def _t_quote(rng: _Rng, s: _Sent) -> None:
     cm = s.tok(",", LET, ",")
     sg3, lemma = rng.choice(_V_SAY)
     v1 = s.tok(sg3, WW_T, lemma, chunk="B-VP")
-    if rng.flip(60):
+    # name share 60 -> 80: the det-N attribution subject's tag cell is
+    # shared verbatim with _t_app's OBJECT (see the p205 note there);
+    # say-verbs are a small closed class that always reaches its word
+    # branches, so the det-N arm only needs enough mass to exist
+    if rng.flip(80):
         su1 = _np_name(rng, s, kind="per")
     else:
         # det-N attribution subjects are DE-GENDER only: speech-verb
@@ -2770,7 +2830,18 @@ def _t_app(rng: _Rng, s: _Sent) -> None:
     c2 = s.tok(",", LET, ",")
     sg3, pl, vd, lemma = rng.choice(_V_TRANS)
     v = s.tok(sg3, WW_T, lemma, chunk="B-VP")
-    ob, _ = _np(rng, s)
+    # object biased to det+common NPs: the (det-N after a comma-adjacent
+    # met-t verb, LEFT 2) tag cell is contested by _t_quote's
+    # attribution SUBJECTS ('", zegt de woordvoerder.') — at the old
+    # free _np mix the su share owned the zijd-ev node 201:88 and an
+    # UNSEEN verb read its apposition object as su, dropping the triple
+    # ('De ploegbaas, Harm Ploegsma, eert de smelter', probe p205
+    # class; seen say-verbs always reach their word branches, so the
+    # quote arms keep their su reading regardless of this cell)
+    if rng.flip(65):
+        ob, _ = _np_common(rng, s, plural=None)
+    else:
+        ob, _ = _np(rng, s)
     s.dep(nu, v, "su")
     s.dep(c1, nu, "punct")
     s.dep(name, nu, "app")
