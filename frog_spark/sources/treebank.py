@@ -335,6 +335,33 @@ _LAST = [
     "Peeters", "Hendriks",
 ]
 _ORGS = ["Technolux", "Datacorp", "Novatek", "Rijnbank", "Zonnecel", "Veldmark"]
+#: rare NAME pool (round-5l probe p246/p247 class): the core _FIRST /
+#: _LAST names are frequent, so the unknown base held NO sentence-
+#: initial capitalized-SPEC evidence and an unseen name there read as
+#: a plural noun ('Mels zadelt haar knol' -> N(soort,mv), lemma 'mel',
+#: dropping the triple and fabricating one). Emitted at a LOW rate in
+#: _np_name so each surfaces a handful of times; several end in -s /
+#: -a on purpose (the suffix cells the failure walked). Invented
+#: Frisian-style names, checked absent from every evaluation corpus
+#: and the inflection lexicon at introduction time; in CONTENT_WORDS
+#: so future probes must avoid them.
+_RARE_FIRST = [
+    "Roelf", "Sjoukje", "Tjalling", "Ybele", "Douwe", "Jelmer",
+    "Nynke", "Wiebe", "Hidde", "Rinske", "Bouke", "Sytse", "Jorrit",
+    "Marrit", "Auke", "Siebren", "Tjeerd", "Lieuwe", "Jitske",
+    # -s-final first names: the p246 walk reached the (initial, cap,
+    # '-s', __UNK__) SPEC node and then fell to a 1-instance N(mv)
+    # branch at the second-to-last char — the pool needs consonant+s
+    # endings so those deeper suffix cells hold SPEC mass too
+    "Niels", "Thijs", "Floris", "Cees", "Frans", "Gijs", "Faas",
+    "Sjors",
+]
+_RARE_LAST = [
+    "Lubbers", "Smedinga", "Veldkamp", "Roorda", "Hiemstra",
+    "Dijkema", "Boonstra", "Wielinga", "Zijlstra", "Hoekema",
+    "Steringa", "Feddema", "Wassenaar", "Oldenhuis", "Kuperus",
+    "Hettinga", "Algra", "Postma",
+]
 # two-token institution names (h09 'de Tweede Kamer' class): consecutive
 # SPEC(deeleigen) tokens glue into one SPEC_SPEC unit, and a PP-internal
 # SPEC_SPEC ('werkt bij de Tweede Kamer') is feature-distinct from the
@@ -613,6 +640,7 @@ CONTENT_WORDS.update(_ADJ_EN_INVARIANT)
 for _v in _V_SAY:
     CONTENT_WORDS.update(_v)
 CONTENT_WORDS.update(_FIRST + _LAST + _ORGS + _LOCS)
+CONTENT_WORDS.update(_RARE_FIRST + _RARE_LAST)
 CONTENT_WORDS.update(w for pair in _ORGS2 for w in pair)
 # content words emitted by template literals rather than vocab tables
 # (titles, resultative verbs) — they must be in this set so the
@@ -1057,6 +1085,14 @@ def _np_name(rng: _Rng, s: _Sent, kind: str | None = None) -> int:
     """Person/org/loc name — one unit even when multi-token (glue run)."""
     kind = kind or rng.choice(["per", "per", "org", "loc"])
     if kind == "per":
+        # rare-name-pool draw at weight (see _RARE_FIRST/_RARE_LAST)
+        if rng.flip(12):
+            first = rng.choice(_RARE_FIRST)
+            u = s.tok(first, SPEC, first, ner="B-per", chunk="B-NP")
+            if rng.flip(45):
+                last = rng.choice(_RARE_LAST)
+                s.tok(last, SPEC, last, ner="I-per", chunk="I-NP")
+            return u
         first = rng.choice(_FIRST)
         u = s.tok(first, SPEC, first, ner="B-per", chunk="B-NP")
         if rng.flip(35):
@@ -1564,12 +1600,20 @@ def _t_svo_final_pp(rng: _Rng, s: _Sent) -> None:
         v = s.tok(w, tag, vlem, chunk="B-VP")
     shape = rng.next() % 100
     if shape < 35:
-        # det + e-ADJ + plural noun ('de dichte heggen')
+        # det + e-ADJ + plural noun ('de dichte heggen'); pool plurals
+        # at weight (round-5k probe p225 'de knoestige balken': the
+        # unknown tree's (ADJ-e, next=LET, '-en') number cells held
+        # 24:17 ev/mv — only core plurals ever followed an adjective)
         du = s.tok("de", LID_DE, "de", chunk="B-NP")
         ab, ae, alem = rng.choice(_ADJS)
         au = s.tok(ae, ADJ_E, alem, chunk="I-NP")
-        _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
-        ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
+        if rng.flip(35):
+            _sgp, plp, _gp, lemp, _sm, _pm = rng.choice(
+                [n for n in _rare_pools()[0] if n[1]])
+            ob = s.tok(plp, N_MV, lemp, chunk="I-NP")
+        else:
+            _sg, npl, _g, nlem = rng.choice([n for n in _NOUNS if n[1]])
+            ob = s.tok(npl, N_MV, nlem, chunk="I-NP")
         s.dep(du, ob, "det")
         s.dep(au, ob, "mod")
     elif shape < 55:
