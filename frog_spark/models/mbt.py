@@ -53,6 +53,13 @@ def _unknown_feats(prev_tag: str, word: str, next_ambi: str) -> list[str]:
         lw[-2] if len(lw) >= 2 else "_",
         lw[-1:],
         next_ambi,
+        # s4 (round-5m probe p256): with only three suffix letters,
+        # 'scherven' (N mv), 'geschreven' (invariant ADJ) and 'haven'
+        # (N ev) are feature-IDENTICAL after LID before an unknown
+        # word — a hard majority tie no amount of training mass can
+        # break. The fourth letter ('r'/'e'/'a' here) separates the
+        # Dutch plural/participle/stem-final '-ven/-den/-ten' families.
+        lw[-4] if len(lw) >= 4 else "_",
     ]
 
 
@@ -65,7 +72,9 @@ def _unknown_feats(prev_tag: str, word: str, next_ambi: str) -> list[str]:
 #: (__UNK__ stops the walk) the plural/infinitive -n and 3sg -t evidence
 #: would otherwise never be read. Swept on the held-out corpus:
 #: 0.892 -> 0.911 from moving s1 ahead of next_ambi, at gold parity.
-UNKNOWN_ORDER = [0, 1, 6, 7, 5, 4, 2, 3]
+#: s4 (index 8) walks right after s3 — one level deeper on the same
+#: graceful per-character suffix backoff (see _unknown_feats)
+UNKNOWN_ORDER = [0, 1, 6, 7, 5, 4, 8, 2, 3]
 
 #: known-tree walk order over (prev2, prev, word, next_ambi): word
 #: identity first, the adjacent left tag, the right ambitag, and prev2

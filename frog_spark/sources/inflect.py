@@ -773,6 +773,16 @@ REGULAR_VERBS: list = [
     "dekken", "ont|dekken", "be|dekken", "stoppen", "kloppen",
     "stappen", "klappen", "knippen", "missen", "wissen", "passen",
     "aan|passen", "kussen", "blussen", "persen", "fietsen", "flitsen",
+    # round-5m probe p262: 'vernist' decoded to 'vernizen' — the
+    # MBLEM 'ist' node held Dst+Izen 3 vs fragmented Dt+Isen (the
+    # missen/wissen rows carry multi-alternative classes), so unseen
+    # '-Cist' surfaces voiced. More unambiguous short-vowel -ssen
+    # conjugations, incl. 'tennissen' for the exact (t,s,i,n) cell
+    "klussen", "krassen", "tennissen", "hossen", "vissen",
+    # p260 'ratelt' -> 'ratellen': at the (t,l,e,t) cell only
+    # 'vertelt' (doubling) had mass, so '-telen' single-l verbs
+    # defaulted into the tellen branch
+    "wentelen", "kietelen",
     "bukken", "drukken", "plukken", "danken", "be|danken", "tanken",
     "snakken", "hunkeren", "streven", "smachten",
     "planten", "landen", "branden", "ver|branden", "stranden",
@@ -1008,6 +1018,12 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ("zieken|huis", "ziekenhuizen", "het"),
     ("raad|huis", "raadhuizen", "het"), ("stad|huis", "stadhuizen", "het"),
     ("deur", "deuren", "de"), ("raam", "ramen", "het"),
+    # round-5m probe p254 'vazen' -> lemma 'vas': the '-azen' plural
+    # cell had only 'glazen/kazen'-class rows that are themselves
+    # evaluation vocabulary, so the long-a + z->s restoration had no
+    # trainable evidence at all
+    ("baas", "bazen", "de"), ("haas", "hazen", "de"),
+    ("maas", "mazen", "de"),
     ("kamer", "kamers", "de"), ("slaap|kamer", "slaapkamers", "de"),
     ("boek", "boeken", "het"), ("woord", "woorden", "het"),
     ("zin", "zinnen", "de"), ("naam", "namen", "de"),

@@ -57,6 +57,7 @@ N_DE = "N(soort,ev,basis,zijd,stan)"
 N_HET = "N(soort,ev,basis,onz,stan)"
 N_MV = "N(soort,mv,basis)"
 N_MV_DIM = "N(soort,mv,dim)"
+N_EV_DIM = "N(soort,ev,dim,onz,stan)"
 LID_DE = "LID(bep,stan,rest)"
 LID_HET = "LID(bep,stan,evon)"
 LID_EEN = "LID(onbep,stan,agr)"
@@ -179,12 +180,43 @@ _NOUNS_DIM = [
     ("zakje", "zakjes"), ("mandje", "mandjes"),
     ("potje", "potjes"), ("lapje", "lapjes"),
 ]
+#: rare dims (round-5m probe p252 'kroesje': the unknown tree had no
+#: '-sje' dim evidence because every core dim is corpus-frequent and
+#: leaves the unknown base). Emitted at low rate so each stays rare;
+#: several end '-sje' on purpose; checked absent from every evaluation
+#: corpus.
+_NOUNS_DIM_RARE = [
+    ("poesje", "poesjes"), ("muisje", "muisjes"), ("vliesje", "vliesjes"),
+    ("baasje", "baasjes"), ("neusje", "neusjes"), ("kaasje", "kaasjes"),
+    ("sausje", "sausjes"),
+]
 
 # (base, -e form, lemma)
 #: invariant strong participles usable prenominally (lemma = surface in
 #: the adjectival reading; morphs come from the participle rows)
 _ADJ_EN_INVARIANT = ["gesloten", "verboden", "gestolen", "gebakken",
                      "geschreven", "gebroken"]
+#: material -en adjectives (round-5m probe p265 'de koperen klepel'):
+#: every invariant prenominal -en adjective above is a ge- participle,
+#: so the unknown tree's non-ge '-en' prenominal cells held only noun
+#: mass and an unseen material adjective read N(mv), fabricating a
+#: predc triple. Lemma = surface and morph = surface split per the
+#: r5e 'houten' [hout][en] row; checked absent from every evaluation
+#: corpus ('houten' itself is probe-r5e vocabulary and stays out).
+_ADJ_EN_MATERIAL = ["gouden", "zilveren", "ijzeren", "tinnen", "rieten",
+                    "marmeren", "betonnen", "kartonnen", "porseleinen",
+                    "fluwelen", "zijden", "granieten", "aarden", "wollen",
+                    "katoenen"]
+_ADJ_EN_MATERIAL_MORPH = {
+    "gouden": "[goud][en]", "zilveren": "[zilver][en]",
+    "ijzeren": "[ijzer][en]", "tinnen": "[tinn][en]",
+    "rieten": "[riet][en]", "marmeren": "[marmer][en]",
+    "betonnen": "[betonn][en]", "kartonnen": "[kartonn][en]",
+    "porseleinen": "[porselein][en]", "fluwelen": "[fluwel][en]",
+    "zijden": "[zijd][en]", "granieten": "[graniet][en]",
+    "aarden": "[aard][en]", "wollen": "[woll][en]",
+    "katoenen": "[katoen][en]",
+}
 
 _ADJS = [
     ("klein", "kleine", "klein"), ("mooi", "mooie", "mooi"),
@@ -310,6 +342,12 @@ _V_SEP = [
     ("vult", "in", "vullen"), ("past", "aan", "passen"),
     ("neemt", "mee", "nemen"), ("stuurt", "door", "sturen"),
     ("maakt", "af", "maken"), ("haalt", "weg", "halen"),
+    # round-5m probe p263 'lijmt het schutblad vast': 'vast' had zero
+    # VZ(fin) evidence (every particle clause used aan/op/uit/...), so
+    # the known-word ADJ reading won and the parser fabricated a predc
+    # triple. vast-verbs with base lemmas per the h60 convention
+    ("maakt", "vast", "maken"), ("zet", "vast", "zetten"),
+    ("houdt", "vast", "houden"), ("bindt", "vast", "binden"),
 ]
 
 # separable verbs in the preterite: (verl_ev, particle, lemma). The
@@ -475,6 +513,8 @@ _MORPH_EXCEPTIONS = {
     "vertelt": "[ver][tel][t]", "vertellen": "[ver][tell][en]",
     "beweert": "[be][weer][t]", "beweren": "[be][wer][en]",
     "begint": "[be][gin][t]", "beginnen": "[be][ginn][en]",
+    # 'zet' (vastzetten arm) is stem+zero, not ze+t
+    "zet": "[zet]",
 }
 
 
@@ -524,7 +564,8 @@ def _morph_table() -> dict:
 
 def _build_morph_table() -> dict:
     t: dict[str, str] = {}
-    for dsg, dpl in _NOUNS_DIM:
+    t.update(_ADJ_EN_MATERIAL_MORPH)
+    for dsg, dpl in _NOUNS_DIM + _NOUNS_DIM_RARE:
         stem = dsg[:-2]
         t[dsg] = f"[{stem}][je]"
         t[dpl] = f"[{stem}][je][s]"
@@ -618,6 +659,8 @@ def _build_morph_table() -> dict:
 CONTENT_WORDS: set = set()
 for _n in _NOUNS:
     CONTENT_WORDS.update((_n[0], _n[1]))
+for _n in _NOUNS_DIM_RARE:
+    CONTENT_WORDS.update((_n[0], _n[1]))
 for _n in _NOUNS_DIM:
     CONTENT_WORDS.update((_n[0], _n[1]))
 for _a in _ADJS:
@@ -637,6 +680,7 @@ for _v in _V_PC_VERL:
 for _v in _V_SEP_VERL:
     CONTENT_WORDS.add(_v[0])
 CONTENT_WORDS.update(_ADJ_EN_INVARIANT)
+CONTENT_WORDS.update(_ADJ_EN_MATERIAL)
 for _v in _V_SAY:
     CONTENT_WORDS.update(_v)
 CONTENT_WORDS.update(_FIRST + _LAST + _ORGS + _LOCS)
@@ -786,9 +830,22 @@ def _np_pool(rng: _Rng, s: _Sent, plural: bool,
         du = s.tok(_cap(s, dw), LID_HET if gender == "het" else LID_DE,
                    dw, chunk="B-NP")
         word, tag = sg, (N_HET if gender == "het" else N_DE)
-    if allow_adj and rng.flip(30):
-        ab, ae, alem, _bm, _em = rng.choice(adjs)
-        au = s.tok(ae, ADJ_E, alem, chunk="I-NP")
+    if allow_adj and rng.flip(40):
+        if rng.flip(35):
+            # invariant -en adjective over a POOL noun (round-5m probe
+            # p265 'de koperen klepel': with the NEXT word also unseen,
+            # the (LID, '-en', next=__UNK__) unknown cells held only
+            # noun mass — material-adj evidence must co-occur with RARE
+            # right context (the trainer's rare-rare __UNK__ copies) so
+            # the s2/s3 suffix branches ('-ren' ADJ vs '-ken' N) are
+            # built; weights sized so each material adjective stays
+            # well under UNK_MAX_FREQ and in the unknown base)
+            ap = rng.choice(_ADJ_EN_MATERIAL if rng.flip(60)
+                            else _ADJ_EN_INVARIANT)
+            au = s.tok(ap, "ADJ(prenom,basis,zonder)", ap, chunk="I-NP")
+        else:
+            ab, ae, alem, _bm, _em = rng.choice(adjs)
+            au = s.tok(ae, ADJ_E, alem, chunk="I-NP")
         nu = s.tok(word, tag, lemma, chunk="I-NP")
         s.dep(au, nu, "mod")
     else:
@@ -1051,6 +1108,20 @@ def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
         if adj_u is not None:
             s.dep(adj_u, nu, "mod")
         return nu, False
+    # SINGULAR diminutive ('het zakje is leeg' / 'Het kroesje is klam',
+    # round-5m probe p252): dims were emitted as PLURALS only
+    # (N(soort,mv,dim) object shapes), so the singular dim tag had zero
+    # corpus mass and even KNOWN dims read basis after 'het'. Core and
+    # rare dims mix so the '-sje/-je' unknown suffix cells get rare
+    # evidence too (rare dims before rare verbs ride the trainer's
+    # rare-rare __UNK__ copies).
+    if rng.flip(7):
+        dsg, _dpl = rng.choice(
+            _NOUNS_DIM_RARE if rng.flip(40) else _NOUNS_DIM)
+        du = s.tok(_cap(s, "het"), LID_HET, "het", chunk="B-NP")
+        nu = s.tok(dsg, N_EV_DIM, dsg, chunk="I-NP")
+        s.dep(du, nu, "det")
+        return nu, False
     # definite / indefinite article (+ optional adjective)
     if rng.flip(35):
         det, dtag, dlem = "een", LID_EEN, "een"
@@ -1065,7 +1136,8 @@ def _np_common(rng: _Rng, s: _Sent, plural: bool | None = False,
         # gesloten museum', probe-r5c p76 'het verlaten strand' class):
         # strong participles never take -e, so a det + zonder-ADJ +
         # noun window exists that the met-e path can't teach
-        ap = rng.choice(_ADJ_EN_INVARIANT)
+        ap = rng.choice(_ADJ_EN_MATERIAL if rng.flip(45)
+                        else _ADJ_EN_INVARIANT)
         adj_u = s.tok(ap, "ADJ(prenom,basis,zonder)", ap, chunk="I-NP")
     elif allow_adj and rng.flip(45):
         ab, ae, alem = rng.choice(_ADJS)
@@ -1753,6 +1825,40 @@ def _t_intrans(rng: _Rng, s: _Sent) -> None:
     The duration arm ('twee jaar' / 'dit jaar' -> mod, h39/h64/h92
     class) exists for the same reason: without it, a post-verbal
     measure NP walks to an obj1-majority node and fabricates triples."""
+    if rng.flip(10):
+        # rare-rare subject-verb adjacency (round-5m probe p256 'De
+        # scherven rinkelen bij de werkbank' / p260 'de drukpers
+        # ratelt'): a rare noun followed by a RARE verb had zero
+        # training mass, so the unseen '-en' plural read prenom-ADJ
+        # and the unseen verb behind it read noun; the s-final
+        # singular before an unseen verb read mv. Pool subject + pool
+        # verb (inf surface = pv,tgw,mv for regular verbs) builds the
+        # rare-rare __UNK__ branches on both sides.
+        plural = rng.flip(45)
+        res = _np_pool(rng, s, plural=plural, allow_adj=rng.flip(25))
+        if res is not None:
+            su = res[0]
+            # subject-attached PP at weight ('De mal bij de smeltoven
+            # is zandig', probe p253): an all-verb-attach mix here
+            # starves the (prep after RARE noun -> noun) cells and the
+            # NP-internal PP falls out of the parse (p253 itself stays
+            # open at both 25% and a measured 40% — the residual is in
+            # the pairs walk, not this mass; 25% keeps the better
+            # held-out POS board)
+            if rng.flip(25):
+                prep = rng.choice(_PREP_N)
+                pu = s.tok(prep, VZ, prep, chunk="B-PP")
+                inner = _np_common(rng, s, plural=False, allow_adj=False)[0]
+                s.dep(pu, su, "mod")
+                s.dep(inner, pu, "obj1")
+            psg3, pinf, plem, _sm, _im = rng.choice(_rare_pools()[2])
+            v = s.tok(pinf if plural else psg3,
+                      WW_MV if plural else WW_T, plem, chunk="B-VP")
+            s.dep(su, v, "su")
+            if rng.flip(45):
+                _pp_verb(rng, s, v)
+            _end(rng, s, v)
+            return
     shape = rng.next() % 100
     if shape < 30 and rng.flip(65):
         # PLURAL subject (optionally with a van-PP) + vrij-ADJ: 'De
@@ -2352,6 +2458,13 @@ def _t_pc(rng: _Rng, s: _Sent) -> None:
         _end(rng, s, v)
         return
     su, plural = _np(rng, s)
+    # HISTORY (round 5m): a modal + mid-field pc-PP + pool-infinitive
+    # arm was built here for probe p270 ('wil naar de scherven
+    # speuren') and REVERTED after measurement — pairing pool verbs
+    # with invented pc prepositions taught false pc selection (h100's
+    # 'naar'-mod flipped to pc) without closing p270, whose failure is
+    # upstream in the tagger ('scherven' ADJ cascades into 'speuren'
+    # noun; see the p256 residual note in BENCH/BASELINE.md).
     sg3, pl, lemma, prep = rng.choice(_V_PC)
     v = s.tok(pl if plural else sg3, WW_MV if plural else WW_T, lemma, chunk="B-VP")
     pu = s.tok(prep, VZ, prep, chunk="B-PP")
@@ -2575,9 +2688,13 @@ def _t_coord_obj(rng: _Rng, s: _Sent) -> None:
     su, plural = _np(rng, s)
     w, tag, lemma = _vfin_trans(rng, plural)
     v = s.tok(w, tag, lemma, chunk="B-VP")
-    a, _ = _np_common(rng, s, allow_adj=False, allow_num=False)
+    # conjuncts choose their own number (round-5m probe p269 'de
+    # balgen en de windkas': every trained conjunct was singular, so
+    # an unseen '-en' plural in the first slot read as a singular
+    # zijd noun with an '-en' lemma and the triple object was wrong)
+    a, _ = _np_common(rng, s, plural=None, allow_adj=False, allow_num=False)
     en = s.tok("en", VG_NEVEN, "en")
-    b, _ = _np_common(rng, s, allow_adj=False, allow_num=False)
+    b, _ = _np_common(rng, s, plural=None, allow_adj=False, allow_num=False)
     s.dep(su, v, "su")
     s.dep(a, v, "obj1")
     s.dep(en, a, "crd")
@@ -2669,7 +2786,11 @@ def _t_modal(rng: _Rng, s: _Sent) -> None:
     # infinitive draws a pool PLURAL object alongside it
     use_pool_inf = rng.flip(18)
     if use_pool_inf and rng.flip(60):
-        res = _np_pool(rng, s, plural=True, allow_adj=False)
+        # SINGULAR pool objects at weight too (round-5m probe p259
+        # 'wil de kapitaalband stansen': with only plural pool objects
+        # the (rare ev-noun, next=rare '-en') cell had no infinitive
+        # mass and the unseen infinitive read WW(vd))
+        res = _np_pool(rng, s, plural=rng.flip(60), allow_adj=False)
         ob = res[0] if res is not None else _np(rng, s)[0]
     else:
         ob, _ = _np(rng, s)
@@ -2809,7 +2930,18 @@ def _t_perfect(rng: _Rng, s: _Sent) -> None:
         # the only trained (object, VZ, vd) shape was the noun-attach
         # pp_mod below, and an unseen participle walked both the
         # object and the PP to the aux.
-        ob, _ = _np(rng, s, pp_mod=False)
+        # POOL objects at weight inside THIS arm only (round-5m probe
+        # p255/p268 'heeft de kelk met de blaaspijp geciseleerd': with
+        # an unseen object the dep-word walk stops at '__' before the
+        # aux/participle head words are read, and the '__' cell was
+        # core-noun-only). Narrower than the reverted 5f arm — the
+        # het-ev + noun-attached-PP shape stays untouched; the
+        # held-out obj1 edges (h01/h30/h59/h73/h79) are the canary.
+        if rng.flip(30):
+            res = _np_pool(rng, s, plural=False, allow_adj=False)
+            ob = res[0] if res is not None else _np(rng, s, pp_mod=False)[0]
+        else:
+            ob, _ = _np(rng, s, pp_mod=False)
         prep = rng.choice(["op", "in", "bij", "naar", "onder", "boven",
                            "langs", "met"])
         ppart = s.tok(prep, VZ, prep, chunk="B-PP")
@@ -2952,9 +3084,25 @@ def _t_quote(rng: _Rng, s: _Sent) -> None:
         # stays owned by _t_app's OBJECT mass ('ontkent het probleem',
         # h84 — at mixed gender the attribution su share outvoted the
         # apposition obj1 share 30:19 in exactly that cell)
-        _sg, _pl, _g, nlem = rng.choice([n for n in _NOUNS if n[2] == "de"])
-        du1 = s.tok("de", LID_DE, "de", chunk="B-NP")
-        su1 = s.tok(_sg, N_DE, nlem, chunk="I-NP")
+        if rng.flip(12):
+            # POOL de-noun attribution subject (round-5m probe p258
+            # '", meldt de proeflezer.': the unseen det-N after a
+            # say-verb walked to the apposition-object majority and
+            # read obj1). 12%, NOT more: at 30% this mass flipped the
+            # SHARED clause-final rare det-N cell and the apposition
+            # templates' objects read su, dropping one triple on each
+            # of the 5i/5j/5l dev probes — the su reading must live on
+            # the deeper quote-context branches, the shared node's
+            # majority stays with the triple-bearing obj1 (matching
+            # pool-object mass added in _t_app)
+            psg, _ppl, _pg, plem, _sm, _pm = rng.choice(
+                [n for n in _rare_pools()[0] if n[2] == "de"])
+            du1 = s.tok("de", LID_DE, "de", chunk="B-NP")
+            su1 = s.tok(psg, N_DE, plem, chunk="I-NP")
+        else:
+            _sg, _pl, _g, nlem = rng.choice([n for n in _NOUNS if n[2] == "de"])
+            du1 = s.tok("de", LID_DE, "de", chunk="B-NP")
+            su1 = s.tok(_sg, N_DE, nlem, chunk="I-NP")
         s.dep(du1, su1, "det")
     s.dep(q1, v2, "punct")
     s.dep(su2, v2, "su")
@@ -2992,10 +3140,18 @@ def _t_app(rng: _Rng, s: _Sent) -> None:
     # ('De ploegbaas, Harm Ploegsma, eert de smelter', probe p205
     # class; seen say-verbs always reach their word branches, so the
     # quote arms keep their su reading regardless of this cell)
-    if rng.flip(65):
-        ob, _ = _np_common(rng, s, plural=None)
-    else:
-        ob, _ = _np(rng, s)
+    ob = None
+    if rng.flip(20):
+        # direct POOL object (round-5m): the quote template now pours
+        # pool-su mass into the clause-final rare det-N cell, so the
+        # apposition object must hold matching rare obj1 mass there
+        res = _np_pool(rng, s, plural=rng.flip(25), allow_adj=False)
+        ob = res[0] if res is not None else None
+    if ob is None:
+        if rng.flip(65):
+            ob, _ = _np_common(rng, s, plural=None)
+        else:
+            ob, _ = _np(rng, s)
     s.dep(nu, v, "su")
     s.dep(c1, nu, "punct")
     s.dep(name, nu, "app")

@@ -56,6 +56,17 @@ PROBE_R5C = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5c.tsv")
 PROBE_R5D = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5d.tsv")
 PROBE_R5E = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5e.tsv")
 PROBE_R5F = os.path.join(os.path.dirname(HELDOUT), "probe_corpus_r5f.tsv")
+# Probes authored after the rare-vocabulary pool froze (its exclusion
+# list resources/treebank_pool_exclude.txt covers corpora through r5h).
+# 5i/5j are deliberately NOT here: their vocabulary legitimately
+# entered the (frozen) pool after their one-shots — they are dev sets
+# now — but everything authored after the pool existed was checked
+# against CONTENT_WORDS incl. the pool, and must STAY disjoint even as
+# the inflection lexicon (which feeds the pool) grows.
+PROBES_POST_POOL = [
+    os.path.join(os.path.dirname(HELDOUT), f"probe_corpus_r5{x}.tsv")
+    for x in "ghklm"
+]
 
 
 def test_treebank_heldout_disjoint():
@@ -66,7 +77,7 @@ def test_treebank_heldout_disjoint():
     the 103-sentence held-out set and the frozen-models probe set."""
     gold_words = {t.word.lower() for s in load_gold_corpus() for t in s.tokens}
     for path in (HELDOUT, PROBE, PROBE_R5, PROBE_R5B, PROBE_R5C, PROBE_R5D,
-                 PROBE_R5E, PROBE_R5F):
+                 PROBE_R5E, PROBE_R5F, *PROBES_POST_POOL):
         eval_content = {
             t.word.lower()
             for s in load_gold_corpus(path)
