@@ -60,6 +60,17 @@ def _unknown_feats(prev_tag: str, word: str, next_ambi: str) -> list[str]:
         # break. The fourth letter ('r'/'e'/'a' here) separates the
         # Dutch plural/participle/stem-final '-ven/-den/-ten' families.
         lw[-4] if len(lw) >= 4 else "_",
+        # G-flag (round-5n probe p273/p274): an unseen weak participle
+        # 'geweekt' and an unseen 3sg 'kweekt' share ALL suffix letters
+        # (s1-s4 'eekt') and, in passive position, the left tag and
+        # right ambitag too — MBT's suffix-only pattern cannot see the
+        # ge- prefix that decides vd vs pv. BINARY like the C/c
+        # capitalization flag, not a prefix bigram: a bigram feature in
+        # the same position was swept first and fragmented every
+        # unknown cell (~500 branches; held-out R 1.0 -> 0.986, all
+        # six probes down), while a two-way split keeps both sides of
+        # every node populated.
+        "G" if lw.startswith("ge") else "g",
     ]
 
 
@@ -73,8 +84,13 @@ def _unknown_feats(prev_tag: str, word: str, next_ambi: str) -> list[str]:
 #: would otherwise never be read. Swept on the held-out corpus:
 #: 0.892 -> 0.911 from moving s1 ahead of next_ambi, at gold parity.
 #: s4 (index 8) walks right after s3 — one level deeper on the same
-#: graceful per-character suffix backoff (see _unknown_feats)
-UNKNOWN_ORDER = [0, 1, 6, 7, 5, 4, 8, 2, 3]
+#: graceful per-character suffix backoff (see _unknown_feats); the
+#: prefix bigram (index 9) right after s1, BEFORE the right ambitag
+#: and deeper suffix letters: vd-vs-pv is decided by ge-/be-/ver- vs
+#: stem-initial letters, and placing it behind the full suffix walk
+#: (swept first) never fired — the walk died at an unseen s2-s4
+#: branch before the prefix was read (round-5n probe p273/p274)
+UNKNOWN_ORDER = [0, 1, 6, 9, 7, 5, 4, 8, 2, 3]
 
 #: known-tree walk order over (prev2, prev, word, next_ambi): word
 #: identity first, the adjacent left tag, the right ambitag, and prev2

@@ -1024,6 +1024,10 @@ NOUNS: list[tuple[str, str | None, str]] = [
     # trainable evidence at all
     ("baas", "bazen", "de"), ("haas", "hazen", "de"),
     ("maas", "mazen", "de"),
+    # round-5n probe p278 'duigen' -> lemma 'duige': the '-uigen'
+    # plural cell held only remove-n rows (getuigen-class), so an
+    # unseen '-uig' plural kept a spurious final -e
+    ("huig", "huigen", "de"),
     ("kamer", "kamers", "de"), ("slaap|kamer", "slaapkamers", "de"),
     ("boek", "boeken", "het"), ("woord", "woorden", "het"),
     ("zin", "zinnen", "de"), ("naam", "namen", "de"),

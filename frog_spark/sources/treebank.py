@@ -206,7 +206,12 @@ _ADJ_EN_INVARIANT = ["gesloten", "verboden", "gestolen", "gebakken",
 _ADJ_EN_MATERIAL = ["gouden", "zilveren", "ijzeren", "tinnen", "rieten",
                     "marmeren", "betonnen", "kartonnen", "porseleinen",
                     "fluwelen", "zijden", "granieten", "aarden", "wollen",
-                    "katoenen"]
+                    # 'metalen' (round-5n probe p277 'de stalen hoepel'):
+                    # the '-alen' suffix cells held only verb mass
+                    # ('betalen'-class), so an unseen material adjective
+                    # in exactly that cell read WW(pv,verl,mv); 'stalen'
+                    # itself is probe vocabulary and stays out
+                    "katoenen", "metalen"]
 _ADJ_EN_MATERIAL_MORPH = {
     "gouden": "[goud][en]", "zilveren": "[zilver][en]",
     "ijzeren": "[ijzer][en]", "tinnen": "[tinn][en]",
@@ -215,7 +220,7 @@ _ADJ_EN_MATERIAL_MORPH = {
     "porseleinen": "[porselein][en]", "fluwelen": "[fluwel][en]",
     "zijden": "[zijd][en]", "granieten": "[graniet][en]",
     "aarden": "[aard][en]", "wollen": "[woll][en]",
-    "katoenen": "[katoen][en]",
+    "katoenen": "[katoen][en]", "metalen": "[metal][en]",
 }
 
 _ADJS = [
@@ -650,6 +655,8 @@ def _build_morph_table() -> dict:
     for sg3, inf, _lem, sm, im in _rare_pools()[2]:
         t.setdefault(sg3, sm)
         t.setdefault(inf, im)
+    for vd, _lem, vdm in _rare_pools()[3]:
+        t.setdefault(vd, vdm)
     t.update(_MORPH_EXCEPTIONS)
     return t
 
@@ -713,15 +720,22 @@ CONTENT_WORDS.update(["professor", "prof.", "ir.", "noemt", "noemen"])
 _POOL_CACHE: tuple | None = None
 
 
-def _rare_pools() -> tuple[list, list, list]:
-    """Returns (nouns, adjs, verbs): nouns as (sg, pl|None, gender,
-    lemma, sg_morph, pl_morph|None), adjs as (base, e_form, lemma,
-    base_morph, e_morph), verbs as (sg3, inf, lemma, sg3_morph,
-    inf_morph) — round-5k addition: the unknown-word base had noun and
-    adjective long tails but every VERB surface was core-frequent, so
-    an unseen infinitive after an unseen plural read as prenom-ADJ +
-    noun and fabricated a predc triple ('wil de balken stouwen', probe
-    p222)."""
+def _rare_pools() -> tuple[list, list, list, list]:
+    """Returns (nouns, adjs, verbs, participles): nouns as (sg,
+    pl|None, gender, lemma, sg_morph, pl_morph|None), adjs as (base,
+    e_form, lemma, base_morph, e_morph), verbs as (sg3, inf, lemma,
+    sg3_morph, inf_morph) — round-5k addition: the unknown-word base
+    had noun and adjective long tails but every VERB surface was
+    core-frequent, so an unseen infinitive after an unseen plural read
+    as prenom-ADJ + noun and fabricated a predc triple ('wil de balken
+    stouwen', probe p222) — and participles as (vd, lemma, vd_morph),
+    round-5n addition: the pool carried NO participle forms, so every
+    rare ge- participle in training was core-frequent and left the
+    unknown base; an unseen 'ge-X-t' ('geweekt'/'geschept', probe
+    p273/p274) read WW(pv,tgw,met-t), and since the PAIRS walk
+    separates auxiliary from content verb by tag MODS, a pv-tagged
+    participle is feature-identical to its aux and the perfect object
+    re-attached to 'heeft' (the h103 class)."""
     global _POOL_CACHE
     if _POOL_CACHE is None:
         import os
@@ -810,7 +824,34 @@ def _rare_pools() -> tuple[list, list, list]:
                    for w in (inf[0], sg3[0])):
                 continue
             verbs.append((sg3[0], inf[0], vlem, sg3[1], inf[1]))
-        _POOL_CACHE = (nouns, adjs, verbs)
+        # participle pool (round 5n): its own FROZEN exclude list —
+        # the main list froze at r5h, and three later-probe content
+        # words are participle surfaces of lexicon verbs whose
+        # sg3/inf readings already (legitimately) entered the pool
+        vd_excl: set[str] = set()
+        with open(os.path.join(RESOURCE_DIR, "treebank_vd_exclude.txt"),
+                  encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith("#"):
+                    vd_excl.add(line)
+        parts = []
+        for entry in _INF_VERBS:
+            try:
+                forms = verb_forms(entry)
+            except Exception:
+                continue
+            vd_row = next(
+                ((w, l, m) for w, t, l, m in forms
+                 if t == "WW(vd,vrij,zonder)"), None)
+            if vd_row is None:
+                continue
+            w = vd_row[0]
+            if (not w.isalpha() or w.lower() in excl or w.lower() in vd_excl
+                    or w in CONTENT_WORDS or w in func):
+                continue
+            parts.append(vd_row)
+        _POOL_CACHE = (nouns, adjs, verbs, parts)
     return _POOL_CACHE
 
 
@@ -818,7 +859,7 @@ def _np_pool(rng: _Rng, s: _Sent, plural: bool,
              allow_adj: bool) -> tuple[int, bool] | None:
     """Det (+pool-Adj-e) + pool noun; None when the pool noun cannot
     satisfy a forced plural (caller falls through to the core path)."""
-    nouns, adjs, _verbs = _rare_pools()
+    nouns, adjs = _rare_pools()[0], _rare_pools()[1]
     sg, pl, gender, lemma, _sgm, _plm = rng.choice(nouns)
     if plural and not pl:
         return None
@@ -862,6 +903,7 @@ CONTENT_WORDS.update(
 )
 CONTENT_WORDS.update(w for a in _rare_pools()[1] for w in (a[0], a[1]))
 CONTENT_WORDS.update(w for v in _rare_pools()[2] for w in (v[0], v[1]))
+CONTENT_WORDS.update(p[0] for p in _rare_pools()[3])
 
 
 # --------------------------------------------------------------------------
@@ -1342,6 +1384,32 @@ def _vfin_trans(rng: _Rng, plural: bool) -> tuple[str, str, str]:
 
 def _t_svo(rng: _Rng, s: _Sent) -> None:
     su, plural = _np(rng, s, pp_mod=rng.flip(18))
+    if rng.flip(8) and not plural:
+        # transitive POOL sg3 + plain det object (round-5n dev, 5l
+        # p240 regression canary): pool sg3 verbs only ever trained
+        # before PPs or clause-finally, so the unknown cell (prev=N,
+        # s1='t', next=LID) had NO rare pv mass — once the G-flag
+        # partitioned it, ge-stem finite verbs ('gespt de singel')
+        # fell to the pool-participle vd majority. The pool's four
+        # ge-initial sg3s (gebeurt/gebruikt/getuigt/geruststelt) ride
+        # this arm into the G=True branch.
+        # ge-initial draws are BIASED in (40%): only 4 of ~780 pool
+        # sg3s start with 'ge', and the whole point of this arm is
+        # the (G=True, next=LID) pv cell — at the natural 0.5% draw
+        # rate it stays empty and 'gespt' keeps reading vd
+        pool_v = _rare_pools()[2]
+        if rng.flip(40):
+            ge_v = [v for v in pool_v if v[0].startswith("ge")]
+            psg3, _pinf, plem, _sm, _im = rng.choice(ge_v or pool_v)
+        else:
+            psg3, _pinf, plem, _sm, _im = rng.choice(pool_v)
+        v = s.tok(psg3, WW_T, plem, chunk="B-VP")
+        ob, _ = _np_common(rng, s, plural=None, allow_adj=False,
+                           allow_num=False)
+        s.dep(su, v, "su")
+        s.dep(ob, v, "obj1")
+        _end(rng, s, v)
+        return
     w, tag, lemma = _vfin_trans(rng, plural)
     v = s.tok(w, tag, lemma, chunk="B-VP")
     if rng.flip(30):
@@ -2958,7 +3026,16 @@ def _t_perfect(rng: _Rng, s: _Sent) -> None:
         s.dep(inner, ppart, "obj1")
     else:
         ob, _ = _np(rng, s, pp_mod=rng.flip(65))
-    sg3, inf, vd, lemma = rng.choice(_V_TRANS)
+    if rng.flip(15):
+        # POOL participle (round-5n probe p274/p289 'heeft de bostel
+        # met de moutschep geschept': a pv-mis-tagged unseen participle
+        # is mods-identical to 'heeft' in the PAIRS instance, so the
+        # object re-attached to the aux — the h103 class recurring via
+        # the TAGGER rather than the parser walk)
+        vd, lemma, _vdm = rng.choice(_rare_pools()[3])
+        sg3 = inf = None
+    else:
+        sg3, inf, vd, lemma = rng.choice(_V_TRANS)
     if ppart is None and rng.flip(12):
         nu1 = s.tok("nog", BW, "nog", chunk="B-ADVP")
         nu2 = s.tok("niet", BW, "niet", chunk="B-ADVP")
@@ -2997,7 +3074,14 @@ def _t_passive(rng: _Rng, s: _Sent) -> None:
     mid-field modifiers attach to the participle)."""
     su, plural = _np(rng, s)
     v = s.tok("worden" if plural else "wordt", WW_MV if plural else WW_T, "worden", chunk="B-VP")
-    sg3, inf, vd, lemma = rng.choice(_V_TRANS)
+    if rng.flip(20):
+        # POOL participle (round-5n probe p273 'De mout wordt door de
+        # brouwers geweekt': every trained ge- participle was
+        # core-frequent and left the unknown base, so the unseen
+        # 'ge-X-t' surface read WW(pv,tgw,met-t) — see _rare_pools)
+        vd, lemma, _vdm = rng.choice(_rare_pools()[3])
+    else:
+        sg3, inf, vd, lemma = rng.choice(_V_TRANS)
     shape = rng.next() % 100
     pre: list[tuple[int, str]] = []
     if shape < 40:

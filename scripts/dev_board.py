@@ -27,6 +27,7 @@ DEFAULT = [
     "probe_corpus_r5k",
     "probe_corpus_r5l",
     "probe_corpus_r5m",
+    "probe_corpus_r5n",
 ]
 
 
