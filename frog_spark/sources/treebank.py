@@ -353,6 +353,15 @@ _V_SEP = [
     # triple. vast-verbs with base lemmas per the h60 convention
     ("maakt", "vast", "maken"), ("zet", "vast", "zetten"),
     ("houdt", "vast", "houden"), ("bindt", "vast", "binden"),
+    # 'op' as VZ(fin) (round-5n probe p287 'windt het kabelgaren op'):
+    # only ONE clause shape ('belt ... op') ever emitted 'op'
+    # clause-finally, so at tagging time the particle's (massively
+    # more frequent) VZ(init) lexicon reading won outside that exact
+    # context. Add op-final mass through verbs the lexicon already
+    # conjugates as op|X compounds: op|bouwen and op|tillen ('rolt'
+    # was tried first and reverted — it is r5h probe content
+    # vocabulary and would break the post-pool disjointness gate).
+    ("bouwt", "op", "bouwen"), ("tilt", "op", "tillen"),
 ]
 
 # separable verbs in the preterite: (verl_ev, particle, lemma). The
@@ -2788,7 +2797,21 @@ def _t_dat(rng: _Rng, s: _Sent) -> None:
         su2, pl2 = _np_common(rng, s, plural=None, allow_adj=False,
                               allow_num=False)
         nu = _t_duration_np(rng, s, None)
-        sg3i, pli, ilem = rng.choice(_V_INTRANS)
+        if not pl2 and rng.flip(35):
+            # POOL verb in the embedded verb-final slot (round-5n
+            # probe p282 'meldt dat het echappement knarst': every
+            # trained dat-clause verb was core-frequent, so an unseen
+            # clause-final '-st' read WW(vd) and the subclause subject
+            # fell to the coordination cnj majority). Same parse shape
+            # as the core arm — the 5k BARE-arm reversion was about
+            # new su mass, not word identity. SINGULAR subjects only:
+            # with plurals the arm emits pool INFINITIVE surfaces as
+            # pv,tgw,mv in the clause-final (N, '-en', LET) cell and
+            # flipped held-out h50 'wil het dossier bespreken' to
+            # pv,mv (measured).
+            sg3i, pli, ilem, _sm, _im = rng.choice(_rare_pools()[2])
+        else:
+            sg3i, pli, ilem = rng.choice(_V_INTRANS)
         v2 = s.tok(pli if pl2 else sg3i, WW_MV if pl2 else WW_T,
                    ilem, chunk="B-VP")
         s.dep(su2, v2, "su")
