@@ -28,6 +28,8 @@ DEFAULT = [
     "probe_corpus_r5l",
     "probe_corpus_r5m",
     "probe_corpus_r5n",
+    "probe_corpus_r5o",
+    "probe_corpus_r5p",
 ]
 
 
