@@ -792,6 +792,16 @@ REGULAR_VERBS: list = [
     # cells. 'ruit' (sg3 of ruien) is a lexicon noun homograph —
     # measured on the dev board (r5e holds 'ruiten') before keeping.
     "knorren", "porren", "morren", "snorren", "ruien",
+    # round-5p probe (as dev): 'damt' decoded to 'dmen' — the '-amt'
+    # present-tense cell was a 1:1 tie between 'kamt' (Dt+Imen) and
+    # 'schaamt' (Damt+Imen) and the tie broke to the long-vowel rule,
+    # whose D-op then ate the short stem's vowel. These short-a
+    # m-doubling verbs carry the cell ('dammen' itself is probe
+    # vocabulary and stays out); 'tobben' is the weak b-doubling
+    # paradigm backing the tobbe/dobbe noun rows below. All surfaces
+    # are pinned out of the treebank rare pools (pool_exclude) so this
+    # is an MBLEM/MBMA-only breadth batch.
+    "rammen", "stammen", "af|stammen", "zwammen", "tobben",
     "bukken", "drukken", "plukken", "danken", "be|danken", "tanken",
     "snakken", "hunkeren", "streven", "smachten",
     "planten", "landen", "branden", "ver|branden", "stranden",
@@ -1042,6 +1052,11 @@ NOUNS: list[tuple[str, str | None, str]] = [
     # ('sliet' itself is probe vocabulary; these neighbours carry
     # the cell)
     ("bandiet", "bandieten", "de"), ("satelliet", "satellieten", "de"),
+    # round-5p probe (as dev): 'stobben' decoded to 'stob' — the
+    # '-bben' plural cell held only krab-class undoubling rows, no
+    # doubled-consonant '-e' singular at all ('stobbe' itself is probe
+    # vocabulary; the real tub/pond nouns tobbe/dobbe carry the cell)
+    ("tobbe", "tobben", "de"), ("dobbe", "dobben", "de"),
     ("kamer", "kamers", "de"), ("slaap|kamer", "slaapkamers", "de"),
     ("boek", "boeken", "het"), ("woord", "woorden", "het"),
     ("zin", "zinnen", "de"), ("naam", "namen", "de"),
