@@ -495,6 +495,9 @@ IRREGULAR_VERBS: list[tuple] = [
     ("winnen", "win", "won", "wonnen", "gewonnen"),
     ("ver|zinnen", "zin", "zon", "zonnen", "zonnen"),
     ("zwemmen", "zwem", "zwom", "zwommen", "gezwommen"),
+    # round-5q near-tie audit: 'maalt' (grinds) decoded vowel-eaten to
+    # 'mlen'; mixed conjugation (weak past, strong participle)
+    ("malen", "maal", "maalde", "maalden", "gemalen"),
     ("binden", "bind", "bond", "bonden", "gebonden"),
     ("ver|binden", "bind", "bond", "bonden", "bonden"),
     ("vinden", "vind", "vond", "vonden", "gevonden"),
@@ -802,6 +805,31 @@ REGULAR_VERBS: list = [
     # are pinned out of the treebank rare pools (pool_exclude) so this
     # is an MBLEM/MBMA-only breadth batch.
     "rammen", "stammen", "af|stammen", "zwammen", "tobben",
+    # round-5q proactive near-tie audit: walking the trained MBLEM tree
+    # for shallow nodes whose top-2 SAME-TAG classes are within one
+    # instance (scripts in BENCH/BASELINE.md) found the 'damt' failure
+    # shape at six more present-tense cells — the short-vowel doubling
+    # class loses the node default to long-vowel D-rules that then eat
+    # the unseen stem's vowel ('wekt'->'wken', 'lokt'->'lken',
+    # 'gilt'->'gilen', 'dimt'->'dimen', 'stift'->'stiven',
+    # 'zont'->'znen'). Real weak verbs carrying those cells; every
+    # surface pinned out of the rare pools like the batch above.
+    "wekken", "op|wekken", "nekken",          # -ekt
+    "gillen", "villen", "drillen",            # -ilt
+    "dimmen",                                 # -imt
+    "fokken", "jokken", "mokken", "lokken",   # -okt
+    "liften", "schiften",                     # -ift
+    "rotten", "spotten",                      # -ot ('potten' dropped: its
+    #   pot/potten surfaces are the pre-existing noun's, so it cannot be
+    #   pool-pinned without also knocking the noun out of the pool)
+    "mennen", "pennen",                       # -ent
+    "dunnen", "uit|dunnen",                   # -unt
+    "zonnen",                                 # -ont
+    "knallen", "schallen",                    # -alt (aalt-dominated; these train the surfaces)
+    "brommen", "grommen", "op|sommen",        # -omt
+    "lusten",                                 # -ust
+    "gummen",                                 # -umt
+    "klemmen", "temmen",                      # -emt (neemt-class owns the node)
     "bukken", "drukken", "plukken", "danken", "be|danken", "tanken",
     "snakken", "hunkeren", "streven", "smachten",
     "planten", "landen", "branden", "ver|branden", "stranden",
