@@ -830,6 +830,15 @@ REGULAR_VERBS: list = [
     "lusten",                                 # -ust
     "gummen",                                 # -umt
     "klemmen", "temmen",                      # -emt (neemt-class owns the node)
+    # round-5q audit, preterite/participle cells: unseen '-aande'
+    # decoded 'maannen' (the 'plande'-class doubling rule) and
+    # 'gebaand' -> 'baanden'; long-a '-anen' verbs carry those cells.
+    # Their infinitive surfaces are the PRE-EXISTING noun plurals
+    # baan/banen, maan/manen, so only the new sg3/past/vd surfaces are
+    # pool-pinned (excluding the shared surface would knock the nouns
+    # out of the pool — the 'potten' lesson above). 'klieven' carries
+    # the '-iefde/-geC-fd' f/v-restoration cells.
+    "banen", "manen", "klieven",
     "bukken", "drukken", "plukken", "danken", "be|danken", "tanken",
     "snakken", "hunkeren", "streven", "smachten",
     "planten", "landen", "branden", "ver|branden", "stranden",
@@ -1085,6 +1094,11 @@ NOUNS: list[tuple[str, str | None, str]] = [
     # doubled-consonant '-e' singular at all ('stobbe' itself is probe
     # vocabulary; the real tub/pond nouns tobbe/dobbe carry the cell)
     ("tobbe", "tobben", "de"), ("dobbe", "dobben", "de"),
+    # round-5q audit, noun-plural cells: unseen short-vowel '-aven' /
+    # '-aten' / '-illen' plurals had no lengthening / doubling singular
+    # evidence ('graven' and 'gaten' fell through a verb identity row)
+    ("graf", "graven", "het"), ("gat", "gaten", "het"),
+    ("spil", "spillen", "de"),
     ("kamer", "kamers", "de"), ("slaap|kamer", "slaapkamers", "de"),
     ("boek", "boeken", "het"), ("woord", "woorden", "het"),
     ("zin", "zinnen", "de"), ("naam", "namen", "de"),
@@ -1764,6 +1778,11 @@ NUMERALS: list[str] = [
 
 # -- adjectives: marked base forms ----------------------------------------
 ADJECTIVES: list[str] = [
+    # round-5q audit, ADJ met-e cells: 'dwaze' decoded 'dwaos' (the
+    # boze-class Dze+Ios rule) and 'gore' decoded 'goar' (the
+    # zware-class Dre+Iar rule); the real -aas/-oor adjectives carry
+    # their own cells ('gaaf' is r5o probe vocabulary and stays out)
+    "dwaas", "goor",
     "groot", "klein", "goed", "slecht", "nieuw", "oud", "jong", "lang",
     "kort", "hoog", "laag", "breed", "smal", "diep", "dik", "dun",
     "zwaar", "licht", "snel", "langzaam", "vroeg", "laat", "warm",
