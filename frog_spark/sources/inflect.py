@@ -621,6 +621,15 @@ IRREGULAR_VERBS: list[tuple] = [
     ("toe|treden", "treed", "trad", "traden", "getreden"),
     ("meten", "meet", "mat", "maten", "gemeten"),
     ("stelen", "steel", "stal", "stalen", "gestolen"),
+    # round-5q probe (as dev): 'steenhouwer' read [steenhouw][er] and
+    # 'behouwen' [behouw][en] — the agentive split and the be- strip
+    # both need the base verb; 'houwen' was never in the lexicon
+    # (the probe's 'behouwen'/'frijnt' stay out, the BASE lexeme is a
+    # paradigm neighbour like knorren/porren for sjorren, 8a84e04)
+    ("houwen", "houw", "hieuw", "hieuwen", "gehouwen"),
+    # '-echt' 3sg cell neighbour (see the hechten note in
+    # REGULAR_VERBS); pool-pinned like hechten
+    ("vechten", "vecht", "vocht", "vochten", "gevochten"),
     ("be|velen", "veel", "val", "valen", "volen"),
     ("ge+nezen", "nees", "nas", "nazen", "nezen"),
     ("graven", "graaf", "groef", "groeven", "gegraven"),
@@ -839,6 +848,36 @@ REGULAR_VERBS: list = [
     # out of the pool — the 'potten' lesson above). 'klieven' carries
     # the '-iefde/-geC-fd' f/v-restoration cells.
     "banen", "manen", "klieven",
+    # round-5q probe (as dev): 'stut' decoded to 'stuten' — the
+    # (t,u) 3sg cell was a 2:2 near-tie between 'zout' (zouten,
+    # D0+Ien) and 'benut' (benutten, D0+Iten) and broke to the
+    # long-vowel +en rule; the same cell ate the ge-strip on
+    # 'gestut' ('gestutten'). Short-u t-doubling weak verbs carry
+    # the 3sg/vd cells ('stutten' itself is probe vocabulary and
+    # stays out); every surface pool-pinned like the batches above
+    # so this is an MBLEM/MBMA-only breadth batch. The sibling 5q
+    # miss 'haspelt' -> 'haspellen' is DATA-UNFIXABLE: the
+    # (t,l,e,p,s) node is owned by 'voorspelt' -> +len and Dutch has
+    # no native '-Vspelen' verb to carry the unstressed reading —
+    # documented residual.
+    "dutten", "jutten", "schutten",
+    # round-5q batch follow-up (5p as dev): the -steen pool additions
+    # resampled the treebank and the unseen-'-echt' 3sg lemma cell
+    # lost its treebank mass ('vlecht' -> identity instead of
+    # 'vlechten'; the vlechten family itself is 5n/5p evaluation
+    # vocabulary). 'hechten' is the weak paradigm neighbour carrying
+    # the cell; 'vechten' (strong) lives in IRREGULAR_VERBS below.
+    # Both pool-pinned so no further treebank resample.
+    "hechten", "ont|hechten",
+    # ... but hechten alone does not reach 'vlecht': the walk dies at
+    # the deeper (t,h,c,e,l) node owned by the core ADJ 'slecht', whose
+    # leaf has no WW reading at all. 'slechten' (to raze — 'de muur
+    # slechten') is the real verb sharing that surface; its WW rows
+    # give the node tag-matching +en mass. Pinned except the
+    # 'slecht'/'slechte' surfaces already pool-bound as the ADJ (the
+    # 'potten' lesson: excluding a shared surface evicts the other
+    # reading's pool row).
+    "slechten",
     "bukken", "drukken", "plukken", "danken", "be|danken", "tanken",
     "snakken", "hunkeren", "streven", "smachten",
     "planten", "landen", "branden", "ver|branden", "stranden",
@@ -1655,6 +1694,26 @@ NOUNS: list[tuple[str, str | None, str]] = [
     ('laken', 'lakens', 'het'), ('haag', 'hagen', 'de'),
     ('tuin|pad', 'tuinpaden', 'het'), ('sponning', 'sponningen', 'de'),
     ('wet|steen', 'wetstenen', 'de'), ('hagel|bui', 'hagelbuien', 'de'),
+    # round-5q probe (as dev): unseen '-steen' compound singulars
+    # ('zandsteen', 'slijpsteen', 'hardsteen') read N(mv) — the only
+    # '-steen' compound in the lexicon ('wetsteen') is 5e probe
+    # vocabulary and pool-pinned, so the unknown-word base had ZERO
+    # X-steen shapes and the '-een' suffix walk fell to the '-en'
+    # plural majority ('hardsteen' -> [hardste][en]). These stay
+    # UNPINNED on purpose: pool membership is the fix (the unknown
+    # tagger trains on pool nouns in sentence context). 'ketel',
+    # 'stengel', 'getouw', 'vlerk' carry the 5q compound-TAIL morph
+    # cells ([zout][ketel], [vlas][stengel][s], [weef][getouw]) and
+    # the '-erk' noun cell ('zerk' -> [z][erk]); the probe compounds
+    # themselves stay out.
+    ('kalk|steen', 'kalkstenen', 'de'), ('bak|steen', 'bakstenen', 'de'),
+    ('zwerf|steen', 'zwerfstenen', 'de'),
+    ('kiezel|steen', 'kiezelstenen', 'de'),
+    ('graf|steen', 'grafstenen', 'de'), ('hoek|steen', 'hoekstenen', 'de'),
+    ('molen|steen', 'molenstenen', 'de'),
+    ('bouw|steen', 'bouwstenen', 'de'),
+    ('ketel', 'ketels', 'de'), ('stengel', 'stengels', 'de'),
+    ('getouw', 'getouwen', 'het'), ('vlerk', 'vlerken', 'de'),
     ('bui', 'buien', 'de'), ('vlegel', 'vlegels', 'de'),
     ('cider', None, 'de'), ('linnen', None, 'het'),
     ('katoen', None, 'het'), ('wol', None, 'de'), ('leer', None, 'het'),
