@@ -327,3 +327,42 @@ def test_against_test_txt_slice_fixture(spark, pipeline):
                 if wv == "CONF":
                     continue
                 assert gv == wv, (sid, w[1], col, gv, wv)
+
+
+def test_round5q_batch_cells(pipeline):
+    """Regression pins for the round-5q fix batch (see inflect.py's
+    dutten/houwen/hechten/-steen notes): these exact decode cells were
+    probe-measured failures and are now carried by paradigm neighbours.
+    They use spent-probe vocabulary on purpose — tests are regression
+    guards, not estimators."""
+    m = pipeline.mblem
+    # -ut t-doubling: the (t,u) cell is no longer a zouten/benutten tie
+    assert m.lemmatize("stut", "WW(pv,tgw,met-t)", "") == ["stutten"]
+    assert m.lemmatize("gestut", "WW(vd,vrij,zonder)", "") == ["stutten"]
+    # '-echt' WW cell: slechten gives the (t,h,c,e,l) node a verb mass
+    assert m.lemmatize("vlecht", "WW(pv,tgw,met-t)", "") == ["vlechten"]
+    # base verb houwen carries the agentive split and the be- strip
+    ann = pipeline.annotate_sentence(
+        ["De", "steenhouwer", "wil", "de", "zandsteen", "behouwen", "."],
+        ["WORD"] * 6 + ["PUNCTUATION"],
+    )
+    assert ann[1]["morph"] == "[steen][houw][er]"
+    assert ann[5]["lemma"] == "behouwen"
+    # unseen '-steen' compound singular: pool membership of the eight
+    # X-steen nouns keeps it N(ev) (was N(mv) -> [hardste][en])
+    assert ann[4]["pos_tag"].startswith("N(soort,ev")
+    assert ann[4]["morph"] == "[zand][steen]"
+
+
+def test_rare_pools_hold_steen_compounds():
+    """The -steen NOUNS additions must stay UNPINNED (pool membership
+    is the unknown-tagger fix); a future exclude-list edit that evicts
+    them would silently regress the 5q POS class."""
+    from frog_spark.sources.treebank import _rare_pools
+
+    pool_sgs = {n[0] for n in _rare_pools()[0]}
+    assert {"kalksteen", "baksteen", "grafsteen", "hoeksteen"} <= pool_sgs
+    # the -utten MBLEM verbs must stay OUT (treebank byte-stability)
+    verb_surfaces = {v[0] for v in _rare_pools()[2]} | {v[1] for v in _rare_pools()[2]}
+    assert not ({"dut", "dutten", "jut", "jutten", "schut", "schutten",
+                 "hecht", "hechten", "slechten"} & verb_surfaces)
