@@ -305,6 +305,36 @@ def _txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def _txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: Gopher repetition filter (operators/textstats.py) — duplicate
+    and top word-2-gram fractions per document, Rae et al. thresholds."""
+    from frog_spark.operators.textstats import gopher_repetition
+
+    return gopher_repetition(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_BM25_TERMS = ["vector", "stream", "window"]
+
+
+def _rel_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: BM25 top-10 retrieval (operators/retrieval.py) over the
+    documents table for a fixed query."""
+    from frog_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+def _doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: deterministic per-language stratified sample
+    (operators/dedup.py stratified_sample), 20% per stratum by id-hash
+    order — run-, engine- and partitioning-stable."""
+    from frog_spark.operators.dedup import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), strata_col="lang", frac=0.2
+    ).orderBy("stratum", "rank")
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.dedup import exact_dedup
 
@@ -585,6 +615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_langid_counts": _txt_langid_counts,
         "txt_clean": _txt_clean,
         "txt_fingerprint": _txt_fingerprint,
+        "txt_gopher_repetition": _txt_gopher_repetition,
+        "rel_bm25_topk": _rel_bm25_topk,
+        "doc_stratified_sample": _doc_stratified_sample,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash": _dedup_minhash,
@@ -849,6 +882,73 @@ def oracle_sql() -> dict[str, str]:
                        (string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))[1:8],
                        ' ')) AS fp_prefix
             FROM documents ORDER BY doc_id
+        """,
+        "txt_gopher_repetition": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       CASE WHEN len({_WORDS}) >= 2
+                            THEN list_transform(generate_series(1, len({_WORDS}) - 1),
+                                                i -> {_WORDS}[i] || ' ' || {_WORDS}[i + 1])
+                            ELSE [] END AS bgs
+                FROM documents
+            ), e AS (
+                SELECT doc_id, unnest(bgs) AS bigram FROM b
+            ), c AS (
+                SELECT doc_id, bigram, count(*) AS cnt FROM e GROUP BY doc_id, bigram
+            ), a AS (
+                SELECT doc_id,
+                       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                       count(*) AS n_distinct,
+                       max(cnt) AS top_c
+                FROM c GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_bigrams, 0) AS n_bigrams,
+                   coalesce(round(1.0 - a.n_distinct * 1.0 / a.n_bigrams, 6), 0.0) AS dup_bigram_frac,
+                   coalesce(round(a.top_c * 1.0 / a.n_bigrams, 6), 0.0) AS top_bigram_frac,
+                   coalesce(round(1.0 - a.n_distinct * 1.0 / a.n_bigrams, 6) <= 0.60
+                            AND round(a.top_c * 1.0 / a.n_bigrams, 6) <= 0.20, TRUE) AS keep
+            FROM documents d LEFT JOIN a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "rel_bm25_topk": """
+            WITH tok AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(regexp_replace(text, '[^A-Za-z0-9\\s]', ' ', 'g'))), '\\s+') AS ws
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, len(ws) AS dl, ws FROM tok
+            ), stats AS (
+                SELECT avg(dl) AS avgdl, count(*) AS n FROM dl
+            ), tf AS (
+                SELECT doc_id, dl, t.term,
+                       len(list_filter(ws, x -> x = t.term)) AS tf
+                FROM dl, (SELECT unnest(['vector', 'stream', 'window']) AS term) t
+                WHERE list_contains(ws, t.term)
+            ), dfx AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+            ), sc AS (
+                SELECT tf.doc_id,
+                       ln(1 + (s.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                         * (tf.tf * (1.2 + 1))
+                         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS contrib
+                FROM tf JOIN dfx USING (term) CROSS JOIN stats s
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_terms_hit,
+                   round(sum(contrib), 6) AS score
+            FROM sc GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, stratum, rank, stratum_size FROM (
+                SELECT doc_id, lang AS stratum,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank,
+                       count(*) OVER (PARTITION BY lang) AS stratum_size
+                FROM documents
+            ) WHERE rank <= ceil(0.2 * stratum_size)
+            ORDER BY stratum, rank
         """,
         "dedup_exact": """
             SELECT doc_id, dup_count FROM (

@@ -399,6 +399,41 @@ def split_assign(
     return df.select(F.col(id_col), split.alias("split"))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    frac: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: from every stratum keep the
+    ``ceil(frac * stratum_size)`` rows that rank first by md5 of the
+    id's string form.
+
+    Training-set curation needs per-language (or per-source /
+    per-quality-bucket) quotas rather than a global Bernoulli sample;
+    hashing the id instead of calling rand() makes the sample stable
+    across runs, engines, partitionings and cluster sizes — the same
+    cross-engine-reproducible construction split_assign uses. The plan
+    is one window over the stratum (a single shuffle on strata_col;
+    strata are languages/sources, so per-key volume is bounded by the
+    corpus mix, and a skewed stratum can be salted upstream like any
+    hot key). Output: (id, stratum, rank, stratum_size) for the kept
+    rows."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    ranked = df.select(
+        F.col(id_col),
+        F.col(strata_col).alias("stratum"),
+        F.row_number().over(w).alias("rank"),
+        F.count("*").over(Window.partitionBy(strata_col)).alias("stratum_size"),
+    )
+    return ranked.filter(
+        F.col("rank") <= F.ceil(F.lit(frac) * F.col("stratum_size"))
+    )
+
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 — cross-engine reproducible
 
 

@@ -107,3 +107,52 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.md5(norm).alias("fp_exact"),
         F.md5(prefix).alias("fp_prefix"),
     )
+
+
+def gopher_repetition(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021, table A1
+    — the public repetition thresholds used to filter MassiveText):
+    per-document word-2-gram duplicate fraction and top-2-gram fraction,
+    plus the keep/drop verdict.
+
+    Spark-first shape: bigrams are built scan-side with a pure-JVM
+    ``transform(sequence(...))`` (no UDF), then ONE shuffle on
+    (doc_id, bigram) with map-side combine does all the counting — the
+    same plan holds at 100 TB because the key space is bounded by the
+    corpus's bigram vocabulary per document, never all-pairs. Documents
+    with < 2 tokens keep fractions of 0.0 (nothing can repeat).
+
+    Output: (doc_id, n_bigrams, dup_bigram_frac, top_bigram_frac, keep),
+    fractions rounded to 6 for cross-engine comparison. Thresholds:
+    top-2-gram fraction <= 0.20 (the published 2-gram knob) and
+    duplicate-2-gram fraction <= 0.60.
+    """
+    words = _words(F.col(text_col))
+    bigrams = F.expr(
+        "transform(sequence(0, size({w}) - 2), i -> concat({w}[i], ' ', {w}[i+1]))".replace(
+            "{w}",
+            "split(trim(lower(regexp_replace(text, '\\\\s+', ' '))), ' ')",
+        )
+    )
+    exploded = (
+        docs.select(F.col(id_col), F.when(F.size(words) >= 2, bigrams).alias("bg"))
+        .select(id_col, F.explode_outer("bg").alias("bigram"))
+    )
+    per_bigram = exploded.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
+    agg = per_bigram.groupBy(id_col).agg(
+        F.sum(F.when(F.col("bigram").isNotNull(), F.col("c")).otherwise(0)).alias("n_bigrams"),
+        F.sum(F.when(F.col("bigram").isNotNull(), 1).otherwise(0)).alias("n_distinct"),
+        F.max(F.when(F.col("bigram").isNotNull(), F.col("c")).otherwise(0)).alias("top_c"),
+    )
+    nb = F.col("n_bigrams")
+    dup_frac = F.when(nb > 0, F.round(1.0 - F.col("n_distinct") / nb, 6)).otherwise(0.0)
+    top_frac = F.when(nb > 0, F.round(F.col("top_c") / nb, 6)).otherwise(0.0)
+    return agg.select(
+        F.col(id_col),
+        nb.alias("n_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_bigram_frac"),
+        ((dup_frac <= 0.60) & (top_frac <= 0.20)).alias("keep"),
+    )
