@@ -335,6 +335,26 @@ def _doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stratum", "rank")
 
 
+def _txt_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: per-document mean unigram surprisal under the corpus's own
+    unigram distribution (operators/textstats.py) — the cheap stand-in
+    for an LM-perplexity quality filter."""
+    from frog_spark.operators.textstats import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: cross-document exact-substring runs (operators/dedup.py) —
+    maximal verbatim shared word spans via k-gram anchors + diagonal
+    run merging (Lee et al. ExactSubstr, relational form)."""
+    from frog_spark.operators.dedup import exact_substring_runs
+
+    return exact_substring_runs(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b", "a_start", "b_start"
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.dedup import exact_dedup
 
@@ -618,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_gopher_repetition": _txt_gopher_repetition,
         "rel_bm25_topk": _rel_bm25_topk,
         "doc_stratified_sample": _doc_stratified_sample,
+        "txt_surprisal": _txt_surprisal,
+        "dedup_exact_substring": _dedup_exact_substring,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash": _dedup_minhash,
@@ -939,6 +961,51 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(contrib), 6) AS score
             FROM sc GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "txt_surprisal": f"""
+            WITH w AS (
+                SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+            ), f AS (
+                SELECT word, count(*) AS c FROM w GROUP BY word
+            ), t AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS total FROM f
+            )
+            SELECT w.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(-log2(f.c / t.total)), 6) AS avg_surprisal
+            FROM w JOIN f USING (word) CROSS JOIN t
+            GROUP BY w.doc_id ORDER BY w.doc_id
+        """,
+        "dedup_exact_substring": f"""
+            WITH ws AS (
+                SELECT doc_id, {_WORDS} AS w FROM documents
+            ), g AS (
+                SELECT doc_id AS doc,
+                       CAST(u.i - 1 AS BIGINT) AS pos,
+                       w[u.i] || ' ' || w[u.i + 1] AS gram
+                FROM ws, unnest(generate_series(1, len(w) - 1)) AS u(i)
+                WHERE len(w) >= 2
+            ), anc AS (
+                SELECT a.doc AS doc_a, b.doc AS doc_b,
+                       a.pos AS a_pos, b.pos AS b_pos
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc < b.doc
+            ), runs AS (
+                SELECT doc_a, doc_b, a_pos, b_pos,
+                       a_pos - b_pos AS diag,
+                       a_pos - row_number() OVER (
+                           PARTITION BY doc_a, doc_b, a_pos - b_pos
+                           ORDER BY a_pos) AS run_id
+                FROM anc
+            ), agg AS (
+                SELECT doc_a, doc_b,
+                       min(a_pos) AS a_start, min(b_pos) AS b_start,
+                       count(*) AS n
+                FROM runs GROUP BY doc_a, doc_b, diag, run_id
+            )
+            SELECT doc_a, doc_b, a_start, b_start,
+                   CAST(n + 1 AS BIGINT) AS len_words
+            FROM agg WHERE n >= 3
+            ORDER BY doc_a, doc_b, a_start, b_start
         """,
         "doc_stratified_sample": """
             SELECT doc_id, stratum, rank, stratum_size FROM (

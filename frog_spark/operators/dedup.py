@@ -434,6 +434,74 @@ def stratified_sample(
     )
 
 
+def exact_substring_runs(
+    docs: DataFrame,
+    k: int = 2,
+    min_run: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document exact-substring detection (the ExactSubstr
+    primitive of Lee et al. 2021 "Deduplicating Training Data Makes
+    Language Models Better", at word-k-gram anchor granularity):
+    maximal runs of CONSECUTIVE shared word-k-grams between two
+    documents, i.e. verbatim shared word spans of length
+    >= min_run + k - 1.
+
+    Suffix arrays don't distribute; the relational form does:
+      1. posexplode each document's k-grams -> (doc, pos, gram),
+      2. equi-join grams across documents (doc_a < doc_b) -> anchors,
+      3. merge anchors into runs with the classic diagonal trick: two
+         anchors continue the same run iff both positions advance by
+         one, so (a_pos - b_pos) is constant along a run (the diagonal)
+         and (a_pos - row_number() within the diagonal) is constant
+         exactly for consecutive anchors — a pure window computation,
+         no iteration.
+    The join in step 2 is bounded by per-gram frequency, not corpus
+    size; at real scale boilerplate grams are capped by dropping grams
+    whose document frequency exceeds a threshold first (the same
+    broadcast-gram guard decontaminate uses) — left uncapped here so
+    the DuckDB oracle recomputes the exact same relation.
+
+    Output: (doc_a, doc_b, a_start, b_start, len_words), 0-based word
+    offsets, one row per maximal run.
+    """
+    from pyspark.sql import Window
+
+    w = "split(trim(lower(regexp_replace(text, '\\\\s+', ' '))), ' ')"
+    gram_arr = F.expr(
+        f"transform(sequence(0, size({w}) - {k}), i -> concat_ws(' ', slice({w}, i + 1, {k})))"
+    )
+    grams = docs.filter(F.size(F.expr(w)) >= k).select(
+        F.col(id_col).alias("doc"), F.posexplode(gram_arr).alias("pos", "gram")
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    anchors = a.join(
+        b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.col("a.pos").alias("a_pos"),
+        F.col("b.pos").alias("b_pos"),
+    )
+    diag = (F.col("a_pos") - F.col("b_pos")).alias("diag")
+    win = Window.partitionBy("doc_a", "doc_b", diag).orderBy("a_pos")
+    runs = anchors.select(
+        "doc_a", "doc_b", "a_pos", "b_pos",
+        (F.col("a_pos") - F.row_number().over(win)).alias("run_id"),
+        diag,
+    )
+    agg = runs.groupBy("doc_a", "doc_b", "diag", "run_id").agg(
+        F.min("a_pos").alias("a_start"),
+        F.min("b_pos").alias("b_start"),
+        F.count("*").alias("n_grams"),
+    )
+    return agg.filter(F.col("n_grams") >= min_run).select(
+        "doc_a", "doc_b", "a_start", "b_start",
+        (F.col("n_grams") + k - 1).alias("len_words"),
+    )
+
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 — cross-engine reproducible
 
 

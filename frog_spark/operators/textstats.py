@@ -156,3 +156,44 @@ def gopher_repetition(
         top_frac.alias("top_bigram_frac"),
         ((dup_frac <= 0.60) & (top_frac <= 0.20)).alias("keep"),
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Self-perplexity quality proxy: per-document mean unigram surprisal
+    -avg(log2 p(w)) under the corpus's own unigram distribution.
+
+    The cheap stand-in for an external-LM perplexity filter (CCNet /
+    Gopher both rank on LM scores): documents far from the corpus
+    distribution (gibberish, boilerplate, wrong-language) score high.
+    Plan shape: one explode + ONE aggregation shuffle for the frequency
+    table, which joins back to the exploded words. The frequency table
+    is |vocabulary|-sized — at 100 TB that's still millions of rows
+    (words, not documents), so the join stays a broadcast when the
+    vocabulary is bounded and degrades to a plain shuffle join (both
+    sides keyed by word) when it is not; Spark's AQE picks per run.
+
+    Output: (doc_id, n_tokens, avg_surprisal) — surprisal rounded to 6
+    for cross-engine comparison.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = (
+        words.join(freq, "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (-F.log2(F.col("c") / F.col("t"))).alias("surprisal"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+        )
+    )

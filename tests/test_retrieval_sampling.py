@@ -92,3 +92,42 @@ def test_stratified_sample_quotas_and_determinism(spark):
     # a larger fraction keeps a superset (hash-order prefix property)
     bigger = stratified_sample(d, strata_col="lang", frac=0.5).collect()
     assert {r["doc_id"] for r in got} <= {r["doc_id"] for r in bigger}
+
+
+def test_exact_substring_runs_diagonal_merge(spark):
+    from frog_spark.operators.dedup import exact_substring_runs
+
+    rows = [
+        ("alpha beta gamma delta epsilon zeta", "en"),
+        ("x y alpha beta gamma delta epsilon q", "en"),  # 5-word shared span
+        ("unrelated words entirely here", "en"),
+        ("alpha beta q q q alpha beta", "en"),           # only 2-word overlaps
+    ]
+    got = exact_substring_runs(_docs(spark, rows), k=2, min_run=3).collect()
+    # exactly one maximal run: docs 0/1 share 'alpha beta gamma delta
+    # epsilon' (4 consecutive bigrams -> len_words 5), starting at word
+    # 0 in doc 0 and word 2 in doc 1
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert (r["a_start"], r["b_start"], r["len_words"]) == (0, 2, 5)
+    # lowering min_run surfaces the 2-word overlaps with doc 3 too
+    more = exact_substring_runs(_docs(spark, rows), k=2, min_run=1).collect()
+    assert len(more) > 1
+    assert all(m["len_words"] >= 2 for m in more)
+
+
+def test_unigram_surprisal_orders_rarity(spark):
+    from frog_spark.operators.textstats import unigram_surprisal
+
+    rows = [
+        ("common common common common", "en"),
+        ("common common rare1 rare2", "en"),
+    ]
+    got = {r["doc_id"]: r for r in unigram_surprisal(_docs(spark, rows)).collect()}
+    # doc 1 contains the two hapaxes -> strictly higher mean surprisal
+    assert got[1]["avg_surprisal"] > got[0]["avg_surprisal"]
+    assert got[0]["n_tokens"] == 4
+    # exact value: p(common) = 6/8 -> surprisal = -log2(0.75)
+    import math
+    assert abs(got[0]["avg_surprisal"] - round(-math.log2(6 / 8), 6)) < 1e-9
