@@ -344,6 +344,15 @@ def _txt_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def _txt_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26: per-language unigram KL divergence vs the whole corpus
+    (operators/textstats.py corpus_divergence) — curation-run drift
+    observability."""
+    from frog_spark.operators.textstats import corpus_divergence
+
+    return corpus_divergence(_t(spark, sf_dir, "documents"), group_col="lang")
+
+
 def _dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X25: cross-document exact-substring runs (operators/dedup.py) —
     maximal verbatim shared word spans via k-gram anchors + diagonal
@@ -640,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": _doc_stratified_sample,
         "txt_surprisal": _txt_surprisal,
         "dedup_exact_substring": _dedup_exact_substring,
+        "txt_lang_divergence": _txt_lang_divergence,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash": _dedup_minhash,
@@ -975,6 +985,25 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(-log2(f.c / t.total)), 6) AS avg_surprisal
             FROM w JOIN f USING (word) CROSS JOIN t
             GROUP BY w.doc_id ORDER BY w.doc_id
+        """,
+        "txt_lang_divergence": f"""
+            WITH w AS (
+                SELECT lang AS grp, unnest({_WORDS}) AS word FROM documents
+            ), gw AS (
+                SELECT grp, word, count(*) AS gc FROM w GROUP BY grp, word
+            ), gt AS (
+                SELECT grp, CAST(sum(gc) AS DOUBLE) AS gn FROM gw GROUP BY grp
+            ), cw AS (
+                SELECT word, CAST(sum(gc) AS DOUBLE) AS cc FROM gw GROUP BY word
+            ), ct AS (
+                SELECT CAST(sum(gc) AS DOUBLE) AS cn FROM gw
+            )
+            SELECT gw.grp AS "group",
+                   CAST(sum(gw.gc) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   round(sum((gw.gc / gt.gn) * log2((gw.gc / gt.gn) / (cw.cc / ct.cn))), 6) AS kl_bits
+            FROM gw JOIN gt USING (grp) JOIN cw USING (word) CROSS JOIN ct
+            GROUP BY gw.grp ORDER BY gw.grp
         """,
         "dedup_exact_substring": f"""
             WITH ws AS (

@@ -197,3 +197,51 @@ def unigram_surprisal(
             F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
         )
     )
+
+
+def corpus_divergence(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Distribution-shift detector: unigram KL divergence (bits) of each
+    corpus slice against the whole corpus, KL(slice || corpus) =
+    sum_w p_s(w) * log2(p_s(w) / p_c(w)).
+
+    Data-pipeline observability — a slice (language, source, crawl
+    snapshot) whose token distribution drifts from the corpus is the
+    first thing a curation run should flag. The corpus distribution's
+    support contains every slice's by construction, so no smoothing is
+    needed and the number is exact (oracle-reproducible). Plan: one
+    (group, word) aggregation shuffle; the per-word corpus counts are a
+    vocabulary-sized relation joined on word.
+
+    Output: (group, n_tokens, n_types, kl_bits) ordered by group.
+    """
+    words = docs.select(
+        F.col(group_col).alias("group"), F.explode(_words(F.col(text_col))).alias("word")
+    )
+    gw = words.groupBy("group", "word").agg(F.count("*").alias("gc"))
+    gt = gw.groupBy("group").agg(F.sum("gc").alias("gn"))
+    cw = gw.groupBy("word").agg(F.sum("gc").alias("cc"))
+    ct = gt.agg(F.sum("gn").alias("cn"))
+    joined = (
+        gw.join(gt, "group")
+        .join(cw, "word")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "group",
+            "gc",
+            (
+                (F.col("gc") / F.col("gn"))
+                * F.log2((F.col("gc") / F.col("gn")) / (F.col("cc") / F.col("cn")))
+            ).alias("term"),
+        )
+    )
+    return (
+        joined.groupBy("group")
+        .agg(
+            F.sum("gc").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.round(F.sum("term"), 6).alias("kl_bits"),
+        )
+        .orderBy("group")
+    )

@@ -131,3 +131,23 @@ def test_unigram_surprisal_orders_rarity(spark):
     # exact value: p(common) = 6/8 -> surprisal = -log2(0.75)
     import math
     assert abs(got[0]["avg_surprisal"] - round(-math.log2(6 / 8), 6)) < 1e-9
+
+
+def test_corpus_divergence_flags_shifted_slice(spark):
+    from frog_spark.operators.textstats import corpus_divergence
+
+    rows = [
+        ("alpha beta gamma delta", "en"),
+        ("alpha beta gamma delta", "en"),
+        ("alpha beta gamma delta", "en"),
+        ("omega omega omega omega", "xx"),  # fully disjoint vocabulary
+    ]
+    got = {r["group"]: r for r in corpus_divergence(_docs(spark, rows)).collect()}
+    # a disjoint slice diverges more than the majority slice
+    assert got["xx"]["kl_bits"] > got["en"]["kl_bits"] > 0
+    # exact: p_xx(omega)=1, p_c(omega)=4/16 -> KL = log2(4) = 2 bits
+    assert got["xx"]["kl_bits"] == 2.0
+    assert got["xx"]["n_tokens"] == 4 and got["xx"]["n_types"] == 1
+    # a slice identical to the corpus diverges by 0
+    uniform = corpus_divergence(_docs(spark, rows[:2])).collect()
+    assert all(r["kl_bits"] == 0.0 for r in uniform)
