@@ -45,13 +45,15 @@ def bm25_topk(
     doc_id (deterministic tie-break), score rounded to 6.
     """
     terms = [t.lower() for t in query_terms]
-    n_docs = docs.count()  # tiny scalar; the driver aggregate a real
-    # cluster run would fold into the same job via a multi-agg
-
     toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("w")).select(
         id_col, F.size("w").alias("dl"), F.col("w")
     )
-    avgdl = toks.agg(F.avg("dl").alias("avgdl")).collect()[0]["avgdl"]
+    # ONE pass for both corpus scalars (N and avgdl) — at 100 TB a
+    # separate count() would be a second full scan
+    stats = toks.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
 
     term_arr = F.array(*[F.lit(t) for t in terms])
     tf = (
