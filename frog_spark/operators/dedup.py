@@ -440,6 +440,7 @@ def exact_substring_runs(
     min_run: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_gram_occurrences: int | None = None,
 ) -> DataFrame:
     """Cross-document exact-substring detection (the ExactSubstr
     primitive of Lee et al. 2021 "Deduplicating Training Data Makes
@@ -457,11 +458,13 @@ def exact_substring_runs(
          and (a_pos - row_number() within the diagonal) is constant
          exactly for consecutive anchors — a pure window computation,
          no iteration.
-    The join in step 2 is bounded by per-gram frequency, not corpus
-    size; at real scale boilerplate grams are capped by dropping grams
-    whose document frequency exceeds a threshold first (the same
-    broadcast-gram guard decontaminate uses) — left uncapped here so
-    the DuckDB oracle recomputes the exact same relation.
+    The join in step 2 is quadratic in PER-GRAM frequency, not corpus
+    size (measured: 500 docs -> 2.2 s, 5,000 docs of the same
+    30-word vocabulary -> 54 s as anchors grow ~100x). At real scale
+    ``max_gram_occurrences`` drops boilerplate grams before the join
+    (a shuffle semi-join against the under-cap gram set — runs through
+    a capped gram merely split, never fabricated); the gate query
+    leaves it None so the DuckDB oracle recomputes the exact relation.
 
     Output: (doc_a, doc_b, a_start, b_start, len_words), 0-based word
     offsets, one row per maximal run.
@@ -475,6 +478,14 @@ def exact_substring_runs(
     grams = docs.filter(F.size(F.expr(w)) >= k).select(
         F.col(id_col).alias("doc"), F.posexplode(gram_arr).alias("pos", "gram")
     )
+    if max_gram_occurrences is not None:
+        under_cap = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") <= max_gram_occurrences)
+            .select("gram")
+        )
+        grams = grams.join(under_cap, "gram", "left_semi")
     a, b = grams.alias("a"), grams.alias("b")
     anchors = a.join(
         b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc"))

@@ -151,3 +151,30 @@ def test_corpus_divergence_flags_shifted_slice(spark):
     # a slice identical to the corpus diverges by 0
     uniform = corpus_divergence(_docs(spark, rows[:2])).collect()
     assert all(r["kl_bits"] == 0.0 for r in uniform)
+
+
+def test_exact_substring_cap_bounds_the_join(spark):
+    from frog_spark.operators.dedup import exact_substring_runs
+
+    # 'stop stop' is boilerplate (appears in every doc); the real shared
+    # span 'alpha beta gamma delta' appears twice
+    rows = [
+        ("stop stop alpha beta gamma delta", "en"),
+        ("stop stop alpha beta gamma delta", "en"),
+        ("stop stop other words here now", "en"),
+        ("stop stop more unrelated words q", "en"),
+    ]
+    capped = exact_substring_runs(
+        _docs(spark, rows), k=2, min_run=3, max_gram_occurrences=3
+    ).collect()
+    # the 4x 'stop stop' gram is dropped; the straddling 'stop alpha'
+    # bigram (x2, under cap) survives, so the maximal run between docs
+    # 0 and 1 is the 5-word 'stop alpha beta gamma delta'
+    assert len(capped) == 1
+    assert (capped[0]["doc_a"], capped[0]["doc_b"]) == (0, 1)
+    assert capped[0]["len_words"] == 5
+    # uncapped, the full 6-word verbatim run (including the boilerplate
+    # prefix) is found instead — the cap splits runs, never fabricates
+    full = exact_substring_runs(_docs(spark, rows), k=2, min_run=3).collect()
+    pair01 = [r for r in full if (r["doc_a"], r["doc_b"]) == (0, 1)]
+    assert len(pair01) == 1 and pair01[0]["len_words"] == 6
