@@ -268,3 +268,39 @@ def test_ivf_partition_pruning(spark, tmp_path):
     parts = [v for name, k, v in metrics if "Scan" in name and k == "numPartitions"]
     assert parts, metrics
     assert parts[0] == n_probe, f"scan read {parts[0]} partitions, wanted {n_probe}"
+
+
+def test_x_batch_plans_stay_jvm_side(spark):
+    """X21-X26 plan-shape gates (mirrors the BASELINE.md audit rows):
+    pure-JVM plans (no Python evaluation nodes), BM25's df side
+    broadcast with a TakeOrdered top-k, gopher's ReadSchema pruned."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+
+    def plan(name):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, sf).explain("formatted")
+        return buf.getvalue()
+
+    for name in ("txt_gopher_repetition", "rel_bm25_topk",
+                 "doc_stratified_sample", "txt_surprisal",
+                 "dedup_exact_substring", "txt_lang_divergence"):
+        p = plan(name)
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+    p = plan("rel_bm25_topk")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+    p = plan("txt_gopher_repetition")
+    schema_line = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in schema_line and "text" in schema_line
+    assert "lang" not in schema_line and "source" not in schema_line
