@@ -364,6 +364,74 @@ def _dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27: PII detection + redaction (operators/curation.py). The test
+    corpus carries no PII, so deterministic synthetic PII (an email for
+    doc_id%5==0, a phone for %7==0, an IPv4 for %11==0 — derived from
+    doc_id alone) is injected identically here and in the SQL oracle;
+    the operator itself never sees the injection logic."""
+    from frog_spark.operators.curation import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" mail user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" bel +31 206 "),
+                    F.lpad((did % 10000).cast("string"), 7, "5"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_scrub(injected).orderBy("doc_id")
+
+
+def _doc_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28: per-source token-budget corpus mix (operators/curation.py
+    quota_fill) — 600 tokens per source, filled in md5(id) order."""
+    from frog_spark.operators.curation import quota_fill
+
+    return quota_fill(
+        _t(spark, sf_dir, "documents"), budget_tokens=600
+    ).orderBy("source", "cum_tokens")
+
+
+def _doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: temperature-sampling weights per language, alpha=0.5
+    (operators/curation.py temperature_mix)."""
+    from frog_spark.operators.curation import temperature_mix
+
+    return temperature_mix(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+def _txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30: top-256 corpus vocabulary with deterministic ids and
+    cumulative coverage (operators/curation.py vocab_topk)."""
+    from frog_spark.operators.curation import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=256)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.dedup import exact_dedup
 
@@ -650,6 +718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_surprisal": _txt_surprisal,
         "dedup_exact_substring": _dedup_exact_substring,
         "txt_lang_divergence": _txt_lang_divergence,
+        "txt_pii_scrub": _txt_pii_scrub,
+        "doc_quota_mix": _doc_quota_mix,
+        "doc_temperature_mix": _doc_temperature_mix,
+        "txt_vocab_topk": _txt_vocab_topk,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash": _dedup_minhash,
@@ -710,6 +782,7 @@ def _gazetteer_spans_sql() -> str:
         ORDER BY doc_id, pos, cat
     """
 from frog_spark.functions.langmarkers import EN_MARKERS, NL_MARKERS, sql_list
+from frog_spark.operators.curation import EMAIL_RE, IPV4_RE, PHONE_RE
 
 _NL = sql_list(NL_MARKERS)
 _EN = sql_list(EN_MARKERS)
@@ -1035,6 +1108,93 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n + 1 AS BIGINT) AS len_words
             FROM agg WHERE n >= 3
             ORDER BY doc_a, doc_b, a_start, b_start
+        """,
+        "txt_pii_scrub": f"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 5 = 0
+                            THEN ' mail user' || doc_id || '@example.com'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 7 = 0
+                            THEN ' bel +31 206 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '5')
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 11 = 0
+                            THEN ' host 10.' || (doc_id % 256) || '.0.1'
+                            ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+                   len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+                   len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
+                   len(regexp_extract_all(text, '{EMAIL_RE}'))
+                     + len(regexp_extract_all(text, '{PHONE_RE}'))
+                     + len(regexp_extract_all(text, '{IPV4_RE}')) AS n_pii,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{PHONE_RE}', '<PHONE>', 'g'),
+                       '{IPV4_RE}', '<IP>', 'g') AS redacted
+            FROM inj ORDER BY doc_id
+        """,
+        "doc_quota_mix": f"""
+            WITH base AS (
+                SELECT doc_id, source,
+                       CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+                       md5(source || ':' || CAST(doc_id AS VARCHAR)) AS fill_key
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           PARTITION BY source ORDER BY fill_key
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum_tokens
+                FROM base
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM cum WHERE cum_tokens <= 600
+            ORDER BY source, cum_tokens
+        """,
+        "doc_temperature_mix": f"""
+            WITH per AS (
+                SELECT lang AS "group",
+                       count(*) AS n_docs,
+                       CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY lang
+            ), tot AS (
+                SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per
+            ), s AS (
+                SELECT "group", n_docs, n_tokens,
+                       n_tokens / total AS share
+                FROM per, tot
+            ), d AS (
+                SELECT sum(pow(share, 0.5)) AS denom FROM s
+            )
+            SELECT "group", n_docs, n_tokens,
+                   round(share, 6) AS share,
+                   round(pow(share, 0.5) / denom, 6) AS weight,
+                   round(pow(share, 0.5) / denom / share, 6) AS mix_factor
+            FROM s, d ORDER BY "group"
+        """,
+        "txt_vocab_topk": f"""
+            WITH w AS (
+                SELECT unnest({_WORDS}) AS word FROM documents
+            ), c AS (
+                SELECT word, count(*) AS n FROM w GROUP BY word
+            ), t AS (
+                SELECT CAST(sum(n) AS DOUBLE) AS total FROM c
+            ), top AS (
+                SELECT word, n FROM c ORDER BY n DESC, word LIMIT 256
+            )
+            SELECT row_number() OVER (ORDER BY n DESC, word) AS vocab_id,
+                   word, n,
+                   round(n / total, 6) AS freq_share,
+                   round(sum(n / total) OVER (
+                       ORDER BY n DESC, word
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS cum_share
+            FROM top, t ORDER BY vocab_id
         """,
         "doc_stratified_sample": """
             SELECT doc_id, stratum, rank, stratum_size FROM (

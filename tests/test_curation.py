@@ -1,0 +1,154 @@
+"""X27-X30: PII scrubbing, token-budget quota fill, temperature
+resampling, vocabulary construction (operators/curation.py).
+
+Driver-gate parity lives in __spark_entry__ (each has a full DuckDB
+oracle); these tests pin the semantics on hand-built corpora where the
+expected numbers are checkable by eye, plus the plan-shape gates.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows, cols="doc_id long, text string, lang string"):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    from frog_spark.operators.curation import pii_scrub
+
+    rows = [
+        (0, "schrijf naar jan.de.vries+test@mail.example.org vandaag", "nl"),
+        (1, "bel +31 206 5551234 of kijk op 192.168.0.1 nu", "nl"),
+        (2, "geen pii hier alleen tekst", "nl"),
+        (3, "twee adressen a@b.nl en c.d@e-f.co", "nl"),
+    ]
+    got = {r["doc_id"]: r for r in pii_scrub(_docs(spark, rows)).collect()}
+    assert got[0]["n_emails"] == 1 and got[0]["n_pii"] == 1
+    assert "<EMAIL>" in got[0]["redacted"]
+    assert "mail.example.org" not in got[0]["redacted"]
+    assert got[1]["n_phones"] == 1 and got[1]["n_ips"] == 1
+    assert got[1]["redacted"] == "bel <PHONE> of kijk op <IP> nu"
+    assert got[2]["n_pii"] == 0 and got[2]["redacted"] == rows[2][1]
+    assert got[3]["n_emails"] == 2
+    # the email pass runs first: an address's digit/dot runs must never
+    # be re-matched by the phone/IP passes
+    assert got[3]["redacted"] == "twee adressen <EMAIL> en <EMAIL>"
+
+
+def test_quota_fill_takes_hash_order_prefix(spark):
+    from frog_spark.operators.curation import quota_fill
+
+    # 10 docs of 4 tokens each per source, budget 10 -> exactly 2 kept
+    # (cum 4, 8; the third would hit 12 > 10)
+    rows = [
+        (i, "een twee drie vier", f"src{i % 2}") for i in range(20)
+    ]
+    d = _docs(spark, rows, "doc_id long, text string, source string")
+    got = quota_fill(d, budget_tokens=10, strata_col="source").collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r)
+    assert set(per) == {"src0", "src1"}
+    for src, kept in per.items():
+        assert len(kept) == 2, (src, kept)
+        assert sorted(r["cum_tokens"] for r in kept) == [4, 8]
+    # deterministic under repartitioning: same ids kept
+    ids = {r["doc_id"] for r in got}
+    ids_rep = {
+        r["doc_id"]
+        for r in quota_fill(
+            d.repartition(7), budget_tokens=10, strata_col="source"
+        ).collect()
+    }
+    assert ids == ids_rep
+    # inclusive boundary: budget exactly on a doc edge keeps that doc
+    got12 = quota_fill(d, budget_tokens=12, strata_col="source").collect()
+    assert sorted(r["cum_tokens"] for r in got12 if r["source"] == "src0") == [4, 8, 12]
+
+
+def test_temperature_mix_boosts_low_resource_group(spark):
+    from frog_spark.operators.curation import temperature_mix
+
+    # en: 4 docs x 4 tokens = 16; nl: 1 doc x 4 tokens = 4 -> shares .8/.2
+    rows = [(i, "w x y z", "en") for i in range(4)] + [(4, "a b c d", "nl")]
+    got = {r["group"]: r for r in temperature_mix(_docs(spark, rows), alpha=0.5).collect()}
+    assert got["en"]["n_tokens"] == 16 and got["nl"]["n_tokens"] == 4
+    s8, s2 = math.sqrt(0.8), math.sqrt(0.2)
+    assert got["en"]["weight"] == round(s8 / (s8 + s2), 6)
+    assert got["nl"]["weight"] == round(s2 / (s8 + s2), 6)
+    # alpha < 1 up-samples the small group, down-samples the big one
+    assert got["nl"]["mix_factor"] > 1 > got["en"]["mix_factor"]
+    # alpha = 1 is natural sampling: every factor 1.0
+    nat = temperature_mix(_docs(spark, rows), alpha=1.0).collect()
+    assert all(r["mix_factor"] == 1.0 for r in nat)
+
+
+def test_vocab_topk_ids_and_coverage(spark):
+    from frog_spark.operators.curation import vocab_topk
+
+    rows = [(0, "b b b a a c", "en"), (1, "a c c b", "en")]
+    got = vocab_topk(_docs(spark, rows), k=2).collect()
+    # counts: a=3, b=4, c=3 -> top-2 is b(4), then a(3) beating c(3) on
+    # the lexical tie-break
+    assert [(r["vocab_id"], r["word"], r["n"]) for r in got] == [
+        (1, "b", 4),
+        (2, "a", 3),
+    ]
+    assert got[0]["freq_share"] == 0.4
+    assert got[1]["cum_share"] == 0.7
+    # k >= n_types covers the whole corpus
+    full = vocab_topk(_docs(spark, rows), k=100).collect()
+    assert len(full) == 3 and full[-1]["cum_share"] == 1.0
+
+
+def test_curation_plans_stay_jvm_side(spark):
+    """X27-X30 plan-shape gates (mirrors the BASELINE.md audit rows):
+    pure-JVM plans, pii/vocab ReadSchema pruned to the used columns,
+    vocab's global order a TakeOrdered over per-word counts."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+
+    def plan(name):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, sf).explain("formatted")
+        return buf.getvalue()
+
+    for name in ("txt_pii_scrub", "doc_quota_mix",
+                 "doc_temperature_mix", "txt_vocab_topk"):
+        p = plan(name)
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+    p = plan("txt_pii_scrub")
+    schema_line = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in schema_line and "text" in schema_line
+    assert "lang" not in schema_line and "source" not in schema_line
+
+    p = plan("txt_vocab_topk")
+    assert "TakeOrderedAndProject" in p
+    schema_line = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "lang" not in schema_line and "doc_id" not in schema_line
+
+    # single-pass at runtime: AQE must collapse the coverage
+    # denominator's branch onto a ReusedExchange of the word-count
+    # shuffle — one FileScan, one words shuffle, however big the corpus
+    df = qs["txt_vocab_topk"](spark, sf)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("+- == Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "ReusedExchange" in final
+
+    # temperature_mix: ONE corpus scan — the total/normalizer windows
+    # run on the tiny per-group relation, never a re-read
+    p = plan("doc_temperature_mix")
+    tree = p.split("(1) Scan parquet")[0]
+    assert tree.count("Scan parquet") == 1, tree
