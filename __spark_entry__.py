@@ -432,6 +432,66 @@ def _txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_t(spark, sf_dir, "documents"), k=256)
 
 
+def _conv_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31: per-conversation transcript stats (operators/transcripts.py
+    conv_stats). The documents table is viewed as transcripts
+    (conv_id = doc_id//8, turn_idx = doc_id%8) with deterministic
+    doc_id-derived role/tool assignment and %17 turns dropped, so the
+    alternation/gap metrics are exercised; the oracle mirrors the
+    mapping exactly."""
+    from frog_spark.operators.transcripts import conv_stats
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tdf = d.filter(did % 17 != 0).select(
+        F.floor(did / 8).cast("long").alias("conv_id"),
+        (did % 8).cast("int").alias("turn_idx"),
+        F.when(did % 3 == 0, "assistant").otherwise("user").alias("role"),
+        F.when(did % 13 == 0, "search").alias("tool"),
+        F.col("text"),
+    )
+    return conv_stats(tdf).orderBy("conv_id")
+
+
+def _txt_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32: per-document mean bigram surprisal under the corpus's own
+    add-k bigram LM (operators/transcripts.py bigram_surprisal) — the
+    conditional-LM upgrade of X24's unigram score."""
+    from frog_spark.operators.transcripts import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _conv_canned_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33: canned-response mining (operators/transcripts.py
+    canned_turns). The test corpus has no cross-conversation duplicate
+    turns, so deterministic copies (doc_id%37==0 texts into three
+    synthetic conversations each) are injected identically here and in
+    the oracle — the operator never sees the injection logic."""
+    from frog_spark.operators.transcripts import canned_turns
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = d.select(F.floor(did / 8).cast("long").alias("conv_id"), "text")
+    dups = (
+        d.filter(did % 37 == 0)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r"),
+        )
+        .select(
+            (F.lit(1000000) + did * 10 + F.col("r")).cast("long").alias(
+                "conv_id"
+            ),
+            "text",
+        )
+    )
+    return canned_turns(base.unionByName(dups), min_convs=3).orderBy(
+        "text_fp"
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.dedup import exact_dedup
 
@@ -722,6 +782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quota_mix": _doc_quota_mix,
         "doc_temperature_mix": _doc_temperature_mix,
         "txt_vocab_topk": _txt_vocab_topk,
+        "conv_session_stats": _conv_session_stats,
+        "txt_bigram_surprisal": _txt_bigram_surprisal,
+        "conv_canned_turns": _conv_canned_turns,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash": _dedup_minhash,
@@ -1195,6 +1258,89 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ), 6) AS cum_share
             FROM top, t ORDER BY vocab_id
+        """,
+        "conv_session_stats": f"""
+            WITH t AS (
+                SELECT CAST(doc_id // 8 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 8 AS INT) AS turn_idx,
+                       CASE WHEN doc_id % 3 = 0 THEN 'assistant' ELSE 'user' END AS role,
+                       CASE WHEN doc_id % 13 = 0 THEN 'search' END AS tool,
+                       text
+                FROM documents WHERE doc_id % 17 <> 0
+            ), w AS (
+                SELECT conv_id, turn_idx, role,
+                       tool IS NOT NULL AS has_tool,
+                       CAST(len({_WORDS}) AS BIGINT) AS turn_tokens,
+                       lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+                FROM t
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+                   CAST(sum(CASE WHEN has_tool THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+                   CAST(sum(turn_tokens) AS BIGINT) AS n_tokens,
+                   round(avg(turn_tokens), 6) AS mean_turn_tokens,
+                   CAST(sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END) AS BIGINT) AS alternation_violations,
+                   CAST(max(turn_idx) - min(turn_idx) + 1 - count(*) AS BIGINT) AS missing_turns
+            FROM w GROUP BY conv_id ORDER BY conv_id
+        """,
+        "txt_bigram_surprisal": f"""
+            WITH ws AS (
+                SELECT doc_id, {_WORDS} AS w FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(w) - 1),
+                                             i -> w[i] || ' ' || w[i + 1])) AS bigram
+                FROM ws WHERE len(w) >= 2
+            ), db AS (
+                SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt
+                FROM g GROUP BY 1, 2
+            ), bc AS (
+                SELECT bigram, CAST(sum(cnt) AS BIGINT) AS c12
+                FROM db GROUP BY 1
+            ), w1c AS (
+                SELECT string_split(bigram, ' ')[1] AS w1,
+                       CAST(sum(c12) AS BIGINT) AS c1
+                FROM bc GROUP BY 1
+            ), v AS (
+                SELECT count(*) AS v FROM w1c
+            ), model AS (
+                SELECT bc.bigram,
+                       -log2((bc.c12 + 0.5) / (w1c.c1 + 0.5 * v.v)) AS s
+                FROM bc JOIN w1c ON string_split(bc.bigram, ' ')[1] = w1c.w1
+                     CROSS JOIN v
+            ), agg AS (
+                SELECT db.doc_id,
+                       CAST(sum(db.cnt) AS BIGINT) AS n_bigrams,
+                       round(sum(db.cnt * m.s) / sum(db.cnt), 6) AS avg_bigram_surprisal
+                FROM db JOIN model m USING (bigram)
+                GROUP BY db.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_bigrams, 0) AS n_bigrams,
+                   coalesce(a.avg_bigram_surprisal, 0.0) AS avg_bigram_surprisal
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "conv_canned_turns": """
+            WITH base AS (
+                SELECT CAST(doc_id // 8 AS BIGINT) AS conv_id, text FROM documents
+            ), inj AS (
+                SELECT CAST(1000000 + doc_id * 10 + r AS BIGINT) AS conv_id, text
+                FROM documents, (SELECT unnest([0, 1, 2]) AS r)
+                WHERE doc_id % 37 = 0
+            ), t AS (
+                SELECT * FROM base UNION ALL SELECT * FROM inj
+            ), g AS (
+                SELECT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_fp,
+                       count(DISTINCT conv_id) AS n_convs,
+                       count(*) AS n_turns,
+                       min(text) AS example_text
+                FROM t GROUP BY 1
+            )
+            SELECT text_fp, n_convs, n_turns, example_text
+            FROM g WHERE n_convs >= 3 ORDER BY text_fp
         """,
         "doc_stratified_sample": """
             SELECT doc_id, stratum, rank, stratum_size FROM (

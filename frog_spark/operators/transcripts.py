@@ -1,0 +1,189 @@
+"""Transcript-native curation operators: per-conversation session
+stats, bigram-LM surprisal scoring, and canned-response mining.
+
+The engine's payload is multi-turn conversation transcripts
+(conv_id, turn_idx, role, text, tool, ts — BASELINE.json input_hint);
+these operators curate at that grain, complementing the document-grain
+X21-X30 set. All pure JVM (built-in pyspark.sql.functions, no Python
+UDFs), each with a full ANSI-SQL oracle in __spark_entry__:
+
+* ``conv_stats`` — per-conversation health/shape metrics for transcript
+  QA: turn counts by role, tool-call count, token totals, role-
+  alternation violations (consecutive same-role turns under the stable
+  (conv_id, turn_idx) ordering — the reference's turn-order invariant),
+  and missing-turn gaps. The lag window and the aggregate share ONE
+  conv_id partitioning, so the whole operator is a single shuffle.
+* ``bigram_surprisal`` — the two-pass conditional-LM upgrade of X24's
+  unigram score: mean -log2 P(w_i | w_{i-1}) under the corpus's own
+  add-k-smoothed bigram model. Pass 1 counts bigrams; the left-word
+  denominator c(w1) is DERIVED from the bigram counts (sum over w2),
+  not a third corpus scan, and the scoring join shuffles the exploded
+  bigrams on the same key as the count aggregate, so AQE collapses it
+  onto a ReusedExchange (gated in tests).
+* ``canned_turns`` — template/canned-response mining: normalized turn
+  texts appearing in >= min_convs DISTINCT conversations (the
+  transcript-grain analogue of exact dedup — spam templates, canned
+  support replies, injected boilerplate). One (text-hash) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from frog_spark.operators.textstats import _words
+
+ADD_K = 0.5
+
+
+def conv_stats(tdf: DataFrame) -> DataFrame:
+    """Per-conversation transcript stats.
+
+    Output: (conv_id, n_turns, n_user, n_assistant, n_tool_calls,
+    n_tokens, mean_turn_tokens, alternation_violations, missing_turns),
+    one row per conversation. missing_turns counts holes in the
+    turn_idx range (max - min + 1 - n_turns).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = tdf.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("tool").isNotNull().alias("has_tool"),
+        F.size(_words(F.col("text"))).cast("long").alias("turn_tokens"),
+    ).withColumn("prev_role", F.lag("role").over(w))
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias(
+                "n_user"
+            ),
+            F.sum(
+                F.when(F.col("role") == "assistant", 1).otherwise(0)
+            ).alias("n_assistant"),
+            F.sum(F.when(F.col("has_tool"), 1).otherwise(0)).alias(
+                "n_tool_calls"
+            ),
+            F.sum("turn_tokens").alias("n_tokens"),
+            F.round(F.avg("turn_tokens"), 6).alias("mean_turn_tokens"),
+            F.sum(
+                F.when(F.col("prev_role") == F.col("role"), 1).otherwise(0)
+            ).alias("alternation_violations"),
+            (
+                F.max("turn_idx") - F.min("turn_idx") + 1 - F.count("*")
+            ).alias("missing_turns"),
+        )
+    )
+
+
+def bigram_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mean bigram surprisal -log2 P(w_i|w_{i-1}) per document, add-k
+    smoothed (k=0.5) with V = the corpus's left-word vocabulary size.
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V), where c(w1) is the count
+    of w1 in non-final positions (the exact conditional denominator,
+    derived by summing the bigram counts over w2 — never a third
+    corpus pass). Documents with < 2 tokens report n_bigrams 0 and
+    surprisal 0.0.
+
+    Shuffle shape: the ONLY corpus-grain shuffle is the
+    (doc, bigram) pre-aggregation (map-side combined); the global
+    bigram/left-word/vocab model tables all derive from its output,
+    and scoring is a join of the per-doc-distinct rows against the
+    model plus a weighted average — the naive occurrence-grain
+    formulation (score every bigram token row, then avg) shuffles the
+    corpus three times and was rejected.
+    """
+    bigrams = F.expr(
+        "transform(sequence(0, size({w}) - 2), i -> concat({w}[i], ' ', {w}[i+1]))".replace(
+            "{w}",
+            "split(trim(lower(regexp_replace(text, '\\\\s+', ' '))), ' ')",
+        )
+    )
+    words = _words(F.col(text_col))
+    # plain explode (not outer): a doc with < 2 tokens contributes no
+    # rows and is recovered by the id-column left join at the end. A
+    # null-bigram carrier row instead would make Catalyst push an
+    # IsNotNull filter into only ONE of the two db consumers, breaking
+    # the subplan identity AQE needs to reuse the (doc, bigram) shuffle
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(words) >= 2, bigrams)).alias("bigram"),
+    )
+    # per-doc distinct-bigram counts: corpus-grain shuffle #1 (and last).
+    # Eagerly materialized (the repo's union-branch lesson, see
+    # BENCH/BASELINE.md and kg/triples.py): four consumers derive from
+    # db (bigram counts, left-word counts, vocab size, scoring join),
+    # and per-branch column pruning defeats AQE exchange reuse, so the
+    # declarative form re-reads the corpus four times. Checkpointing the
+    # much-smaller counts relation makes the corpus a single scan.
+    db = (
+        exploded.groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    bc = (
+        db.groupBy("bigram")
+        .agg(F.sum("cnt").alias("c12"))
+        .withColumn("w1", F.split("bigram", " ")[0])
+    )
+    w1_counts = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # w1_counts already has one row per distinct left word
+    vocab = w1_counts.agg(F.count("*").alias("v"))
+    model = (
+        bc.join(w1_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            (
+                -F.log2(
+                    (F.col("c12") + F.lit(ADD_K))
+                    / (F.col("c1") + F.lit(ADD_K) * F.col("v"))
+                )
+            ).alias("s"),
+        )
+    )
+    agg = (
+        db.join(model, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("s")) / F.sum("cnt"), 6
+            ).alias("avg_bigram_surprisal"),
+        )
+    )
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce("avg_bigram_surprisal", F.lit(0.0)).alias(
+            "avg_bigram_surprisal"
+        ),
+    )
+
+
+def canned_turns(tdf: DataFrame, min_convs: int = 3) -> DataFrame:
+    """Normalized turn texts appearing in >= min_convs distinct
+    conversations — template/boilerplate mining at turn grain.
+
+    Output: (text_fp, n_convs, n_turns, example_text) where text_fp is
+    md5 of the whitespace-normalized lowercased text and example_text
+    the lexicographically smallest raw text in the group. One shuffle
+    on the fingerprint; the group key is a hash, never the full text.
+    """
+    norm = F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        tdf.select(
+            F.md5(norm).alias("text_fp"), "conv_id", F.col("text")
+        )
+        .groupBy("text_fp")
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count("*").alias("n_turns"),
+            F.min("text").alias("example_text"),
+        )
+        .filter(F.col("n_convs") >= F.lit(min_convs))
+    )
