@@ -432,6 +432,47 @@ def _txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_t(spark, sf_dir, "documents"), k=256)
 
 
+_URL_BLOCKLIST = ["spam-0.example", "spam-2.example"]
+
+
+def _txt_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34: URL extraction + domain-blocklist filter
+    (operators/curation.py url_host_filter) — the C4/RefinedWeb first
+    gate. The corpus has no URLs, so deterministic doc_id-derived ones
+    are injected identically here and in the oracle (doc_id%6==0 gets a
+    spam-rotating host, %9==0 a clean one; %18==0 both)."""
+    from frog_spark.operators.curation import url_host_filter
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 6 == 0,
+                F.concat(
+                    F.lit(" zie https://spam-"),
+                    (did % 4).cast("string"),
+                    F.lit(".example/pagina"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 9 == 0, F.lit(" en https://goed.example/x")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return url_host_filter(injected, _URL_BLOCKLIST).orderBy("doc_id")
+
+
+def _doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35: per-language token-length profile with engine-independent
+    discrete percentiles (operators/curation.py length_percentiles)."""
+    from frog_spark.operators.curation import length_percentiles
+
+    return length_percentiles(_t(spark, sf_dir, "documents"))
+
+
 def _conv_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X31: per-conversation transcript stats (operators/transcripts.py
     conv_stats). The documents table is viewed as transcripts
@@ -785,6 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_session_stats": _conv_session_stats,
         "txt_bigram_surprisal": _txt_bigram_surprisal,
         "conv_canned_turns": _conv_canned_turns,
+        "txt_url_filter": _txt_url_filter,
+        "doc_length_profile": _doc_length_profile,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash": _dedup_minhash,
@@ -1258,6 +1301,51 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ), 6) AS cum_share
             FROM top, t ORDER BY vocab_id
+        """,
+        "txt_url_filter": """
+            WITH inj AS (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 6 = 0
+                            THEN ' zie https://spam-' || (doc_id % 4) || '.example/pagina'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 9 = 0
+                            THEN ' en https://goed.example/x'
+                            ELSE '' END AS text
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1) AS hosts
+                FROM inj
+            )
+            SELECT doc_id,
+                   len(hosts) AS n_urls,
+                   len(list_filter(hosts,
+                       x -> list_contains(['spam-0.example', 'spam-2.example'], x))) AS n_blocked,
+                   len(list_filter(hosts,
+                       x -> list_contains(['spam-0.example', 'spam-2.example'], x))) = 0 AS keep
+            FROM h ORDER BY doc_id
+        """,
+        "doc_length_profile": f"""
+            WITH base AS (
+                SELECT lang, doc_id,
+                       CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), r AS (
+                SELECT lang, n_tokens,
+                       row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM base
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   min(n_tokens) AS min_tokens,
+                   max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_tokens END) AS p50_tokens,
+                   max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_tokens END) AS p90_tokens,
+                   max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_tokens END) AS p99_tokens,
+                   max(n_tokens) AS max_tokens,
+                   round(avg(n_tokens), 6) AS mean_tokens
+            FROM r GROUP BY lang ORDER BY lang
         """,
         "conv_session_stats": f"""
             WITH t AS (

@@ -189,3 +189,82 @@ def vocab_topk(
         )
         .orderBy("vocab_id")
     )
+
+
+URL_HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_host_filter(
+    docs: DataFrame,
+    blocklist: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """URL extraction + domain-blocklist filtering — the first gate of
+    C4/RefinedWeb-style web pipelines.
+
+    Output: (id, n_urls, n_blocked, keep) where hosts are the capture
+    group of ``URL_HOST_RE`` and keep is n_blocked == 0. Occurrences
+    count (a doc linking a blocked host twice reports 2), so the
+    blocked-host check is a filter over the extracted list, not a
+    set intersection. Pure scan-stage JVM, zero shuffle; the blocklist
+    is inlined as a literal array here (broadcast-join it instead when
+    it outgrows a literal — same plan shape either way).
+    """
+    hosts = F.regexp_extract_all(F.col(text_col), F.lit(URL_HOST_RE), 1)
+    bl = F.array(*[F.lit(b) for b in sorted(set(blocklist))])
+    n_urls = F.size(hosts)
+    n_blocked = F.size(F.filter(hosts, lambda h: F.array_contains(bl, h)))
+    return docs.select(
+        F.col(id_col),
+        n_urls.alias("n_urls"),
+        n_blocked.alias("n_blocked"),
+        (n_blocked == 0).alias("keep"),
+    )
+
+
+def length_percentiles(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-length profile with ENGINE-INDEPENDENT discrete
+    percentiles: p is the value at 1-indexed position ceil(p * n) in
+    (n_tokens, id)-sorted order — a definition both Spark and any SQL
+    engine reproduce exactly (interpolating quantile functions differ
+    across engines and would never hash-match).
+
+    One shuffle: the rank window and the final aggregate share the
+    group partitioning.
+    """
+    w = Window.partitionBy(group_col).orderBy("n_tokens", "doc_id")
+    base = (
+        docs.select(
+            F.col(group_col),
+            F.col("doc_id"),
+            F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy(group_col)))
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("n_tokens")
+            )
+        )
+
+    return (
+        base.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            pick(0.5).alias("p50_tokens"),
+            pick(0.9).alias("p90_tokens"),
+            pick(0.99).alias("p99_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        )
+        .orderBy(group_col)
+    )

@@ -152,3 +152,79 @@ def test_curation_plans_stay_jvm_side(spark):
     p = plan("doc_temperature_mix")
     tree = p.split("(1) Scan parquet")[0]
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_url_host_filter_counts_occurrences(spark):
+    """X34: hosts count per OCCURRENCE (a doc linking a blocked host
+    twice reports n_blocked=2), keep is n_blocked == 0, and docs with
+    no URLs keep with n_urls=0."""
+    from frog_spark.operators.curation import url_host_filter
+
+    rows = [
+        (0, "zie https://spam.example/a en http://spam.example/b", "nl"),
+        (1, "alleen https://goed.example/x hier", "nl"),
+        (2, "geen urls in dit document", "nl"),
+        (3, "mix http://goed.example/y plus https://spam.example/z", "nl"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in url_host_filter(_docs(spark, rows), ["spam.example"]).collect()
+    }
+    assert (got[0]["n_urls"], got[0]["n_blocked"], got[0]["keep"]) == (2, 2, False)
+    assert (got[1]["n_urls"], got[1]["n_blocked"], got[1]["keep"]) == (1, 0, True)
+    assert (got[2]["n_urls"], got[2]["n_blocked"], got[2]["keep"]) == (0, 0, True)
+    assert (got[3]["n_urls"], got[3]["n_blocked"], got[3]["keep"]) == (2, 1, False)
+
+
+def test_length_percentiles_discrete_definition(spark):
+    """X35: percentile p is the value at 1-indexed rank ceil(p*n) in
+    (n_tokens, doc_id) order — checkable by hand on 10 docs of
+    1..10 tokens: p50 -> rank 5 -> 5 tokens, p90 -> rank 9,
+    p99 -> rank ceil(9.9)=10."""
+    from frog_spark.operators.curation import length_percentiles
+
+    rows = [(i, " ".join(["w"] * (i + 1)), "nl") for i in range(10)]
+    rows += [(100, "a b", "en"), (101, "a", "en"), (102, "a b c", "en")]
+    got = {r["lang"]: r for r in length_percentiles(_docs(spark, rows)).collect()}
+    nl = got["nl"]
+    assert (nl["n_docs"], nl["min_tokens"], nl["max_tokens"]) == (10, 1, 10)
+    assert (nl["p50_tokens"], nl["p90_tokens"], nl["p99_tokens"]) == (5, 9, 10)
+    assert nl["mean_tokens"] == 5.5
+    en = got["en"]
+    assert (en["n_docs"], en["p50_tokens"], en["p99_tokens"]) == (3, 2, 3)
+
+
+def test_x34_x35_plans_stay_jvm_side(spark):
+    """X34/X35 scale gates: pure-JVM plans; the URL filter is
+    shuffle-free scan-stage work; the length profile does exactly one
+    exchange (the rank window and group agg share the lang
+    partitioning)."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+
+    def plan(name):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, sf).explain("formatted")
+        return buf.getvalue()
+
+    for name in ("txt_url_filter", "doc_length_profile"):
+        p = plan(name)
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+    # url filter: the only exchange is the gate-only final orderBy's
+    # rangepartitioning — the filter itself is shuffle-free scan work
+    p = plan("txt_url_filter")
+    assert "hashpartitioning" not in p, p
+    assert p.count("rangepartitioning") == 1, p
+
+    # length profile: exactly one data shuffle (hashpartitioning on
+    # lang) feeding both the rank window and the aggregate
+    p = plan("doc_length_profile")
+    assert p.count("hashpartitioning") == 1, p
