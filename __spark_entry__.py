@@ -752,6 +752,90 @@ def _kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # domain gazetteer over the synthetic documents vocabulary — multi-word
+def _kg_edges_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KG edge table from the relational tables — the
+    SQL-expressible stand-in for pipeline-emitted triples so the graph
+    analytics (X36-X38) get full DuckDB value-hash oracles:
+    (s_name)-[supplies]->(p_name) and (c_name)-[buys_from]->(s_name),
+    occurrence-deduped. Dims broadcast; only lineitem is big."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    prt = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_name"))
+    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    orders = F.broadcast(_t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"))
+    supplies = (
+        li.select("l_suppkey", "l_partkey")
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(prt, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("s_name").alias("subj"),
+            F.lit("supplies").alias("pred"),
+            F.col("p_name").alias("obj"),
+        )
+        .distinct()
+    )
+    buys = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("buys_from").alias("pred"),
+            F.col("s_name").alias("obj"),
+        )
+        .distinct()
+    )
+    return supplies.unionByName(buys)
+
+
+def _kg_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36: per-node in/out degree + predicate-diversity profile over
+    the relational KG (kg/analytics.py degree_profile)."""
+    from frog_spark.kg.analytics import degree_profile
+
+    return degree_profile(_kg_edges_relational(spark, sf_dir)).orderBy("node")
+
+
+def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38: 5-iteration PageRank over the relational KG
+    (kg/analytics.py pagerank) — fixed iteration count + 12-decimal
+    per-iteration rounding make the power method engine-reproducible,
+    so the oracle unrolls the same five steps as chained CTEs."""
+    from frog_spark.kg.analytics import pagerank
+
+    return pagerank(_kg_edges_relational(spark, sf_dir), iters=5).orderBy("node")
+
+
+def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37: degree-ordered triangle counts over the top-64-vocab word
+    co-occurrence graph of the documents table (kg/analytics.py
+    triangle_count). Orientation makes the wedge join fan out from
+    low-degree corners only — the Suri-Vassilvitskii trick that keeps
+    celebrity nodes from generating O(deg^2) wedges at scale."""
+    from frog_spark.kg.analytics import triangle_count
+    from frog_spark.operators.curation import vocab_topk
+    from frog_spark.operators.textstats import _words
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vocab_topk(docs, k=64).select("word")
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(_words(F.col("text")))).alias("word"),
+        )
+        .join(F.broadcast(vocab), "word")
+    )
+    x, y = dw.alias("x"), dw.alias("y")
+    edges = (
+        x.join(y, "doc_id")
+        .where(F.col("x.word") < F.col("y.word"))
+        .select(F.col("x.word").alias("subj"), F.col("y.word").alias("obj"))
+        .distinct()
+    )
+    return triangle_count(edges).orderBy("node")
+
+
 # entries exercise the longest-match-per-position semantics
 _DOC_GAZETTEER = [
     ("op", "table scan"), ("op", "hash join"), ("op", "sort merge"),
@@ -846,6 +930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccur_topk": _kg_cooccur_topk,
         "kg_two_hop": _kg_two_hop,
         "kg_gazetteer_spans": _kg_gazetteer_spans,
+        "kg_degree_profile": _kg_degree_profile,
+        "kg_pagerank": _kg_pagerank,
+        "kg_triangles": _kg_triangles,
         "mm_media_meta": _mm_media_meta,
     }
 
@@ -858,6 +945,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # yield empty-string tokens that shift every position (mirrored by the
 # Spark-side splitters in textstats/dedup/ner)
 _WORDS = "string_split_regex(trim(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))), ' ')"
+
+
+# X36/X38 oracle building blocks: the relational KG edge CTEs (mirror
+# of _kg_edges_relational) and a programmatically unrolled PageRank
+_KG_EDGES_CTE = """
+    supplies AS (
+        SELECT DISTINCT s_name AS subj, 'supplies' AS pred, p_name AS obj
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+    ), buys AS (
+        SELECT DISTINCT c_name AS subj, 'buys_from' AS pred, s_name AS obj
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+    ), e AS (
+        SELECT * FROM supplies UNION ALL SELECT * FROM buys
+    )"""
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Oracle for kg_pagerank: the same fixed-point update unrolled as
+    chained CTEs, with the operator's 12-decimal per-iteration rounding
+    so both engines iterate on bit-identical ranks."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+        SELECT nodes.node,
+               round(round((1.0 - {damping}) / nn.n, 12)
+                     + {damping} * coalesce(m.mass, 0), 12) AS rank
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (
+            SELECT ed.dst, sum(r.rank / d.outdeg) AS mass
+            FROM ed JOIN r{i - 1} r ON r.node = ed.src
+                    JOIN d ON d.src = ed.src
+            GROUP BY ed.dst
+        ) m ON m.dst = nodes.node
+    )""")
+    chain = ", ".join(steps)
+    return f"""
+    WITH {_KG_EDGES_CTE}, ed AS (
+        SELECT DISTINCT subj AS src, obj AS dst FROM e
+    ), nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed
+        )
+    ), nn AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), d AS (
+        SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM ed GROUP BY src
+    ), r0 AS (
+        SELECT node, round(1.0 / nn.n, 12) AS rank FROM nodes CROSS JOIN nn
+    ), {chain}
+    SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node
+    """
 
 
 def _gazetteer_spans_sql() -> str:
@@ -1627,6 +1770,52 @@ def oracle_sql() -> dict[str, str]:
             FROM o ORDER BY doc_id
         """,
         "kg_gazetteer_spans": _gazetteer_spans_sql(),
+        "kg_degree_profile": f"""
+            WITH {_KG_EDGES_CTE},
+            o AS (
+                SELECT subj AS node, count(*) AS out_deg,
+                       count(DISTINCT pred) AS out_preds
+                FROM e GROUP BY subj
+            ), i AS (
+                SELECT obj AS node, count(*) AS in_deg,
+                       count(DISTINCT pred) AS in_preds
+                FROM e GROUP BY obj
+            )
+            SELECT coalesce(o.node, i.node) AS node,
+                   coalesce(out_deg, 0) AS out_deg,
+                   coalesce(out_preds, 0) AS out_preds,
+                   coalesce(in_deg, 0) AS in_deg,
+                   coalesce(in_preds, 0) AS in_preds,
+                   coalesce(out_deg, 0) + coalesce(in_deg, 0) AS degree
+            FROM o FULL OUTER JOIN i ON o.node = i.node
+            ORDER BY node
+        """,
+        "kg_pagerank": _pagerank_sql(iters=5),
+        "kg_triangles": f"""
+            WITH w AS (
+                SELECT unnest({_WORDS}) AS word FROM documents
+            ), c AS (
+                SELECT word, count(*) AS n FROM w GROUP BY word
+            ), top AS (
+                SELECT word FROM c ORDER BY n DESC, word LIMIT 64
+            ), dw AS (
+                SELECT DISTINCT doc_id, word FROM (
+                    SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+                ) JOIN top USING (word)
+            ), und AS (
+                SELECT DISTINCT x.word AS a, y.word AS b
+                FROM dw x JOIN dw y USING (doc_id)
+                WHERE x.word < y.word
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e1.b < e2.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+            )
+            SELECT node, count(*) AS n_triangles
+            FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+            GROUP BY node ORDER BY node
+        """,
         # kg_* (annotation-derived): the per-sentence NLP (MBT tagging,
         # Eisner CKY) is not SQL-*formula*-expressible, so the oracle is a
         # committed GOLDEN PARQUET — the reference's own test philosophy

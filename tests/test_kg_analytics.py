@@ -1,0 +1,131 @@
+"""X36-X38: graph analytics over the constructed KG
+(kg/analytics.py). Driver-gate parity lives in __spark_entry__ (full
+DuckDB oracles, including an unrolled-CTE PageRank); these tests pin
+the semantics on hand-built graphs plus the degree-ordering scale
+property and plan shape.
+"""
+
+from pyspark.sql import functions as F
+
+
+def _edges(spark, rows, cols="subj string, pred string, obj string"):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_degree_profile_counts_and_preds(spark):
+    from frog_spark.kg.analytics import degree_profile
+
+    rows = [
+        ("a", "p", "b"), ("a", "q", "b"), ("a", "p", "c"),
+        ("b", "p", "c"),
+    ]
+    got = {r["node"]: r for r in degree_profile(_edges(spark, rows)).collect()}
+    assert (got["a"]["out_deg"], got["a"]["out_preds"]) == (3, 2)
+    assert (got["a"]["in_deg"], got["a"]["in_preds"]) == (0, 0)
+    assert (got["b"]["out_deg"], got["b"]["in_deg"], got["b"]["degree"]) == (1, 2, 3)
+    # c is sink-only: present via the full-outer join with zeros filled
+    assert (got["c"]["out_deg"], got["c"]["in_deg"], got["c"]["in_preds"]) == (0, 2, 1)
+
+
+def test_triangle_count_k4_square_star(spark):
+    from frog_spark.kg.analytics import triangle_count
+
+    def tri(pairs):
+        rows = [(a, "r", b) for a, b in pairs]
+        return {
+            r["node"]: r["n_triangles"]
+            for r in triangle_count(_edges(spark, rows)).collect()
+        }
+
+    # K4: 4 triangles, every node in exactly 3
+    k4 = [("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"), ("2", "4"), ("3", "4")]
+    assert tri(k4) == {"1": 3, "2": 3, "3": 3, "4": 3}
+    # square with one diagonal: two triangles sharing the diagonal
+    sq = [("1", "2"), ("2", "3"), ("3", "4"), ("4", "1"), ("1", "3")]
+    assert tri(sq) == {"1": 2, "2": 1, "3": 2, "4": 1}
+    # star: no triangles at all
+    star = [("hub", f"leaf{i}") for i in range(6)]
+    assert tri(star) == {}
+    # direction and multiplicity ignored: reversed + duplicate edges
+    # must not create or double-count triangles
+    noisy = [("2", "1"), ("1", "2"), ("2", "3"), ("3", "1"), ("3", "1")]
+    assert tri(noisy) == {"1": 1, "2": 1, "3": 1}
+
+
+def test_triangle_orientation_points_at_hubs(spark):
+    """The scale property itself: with (degree, node) orientation every
+    star edge points INTO the hub, so the hub has out-degree 0 and the
+    wedge join generates nothing at the celebrity node."""
+    from frog_spark.kg.analytics import _oriented, _undirected
+
+    rows = [("hub", "r", f"leaf{i}") for i in range(8)]
+    o = _oriented(_undirected(_edges(spark, rows), "subj", "obj")).collect()
+    assert all(r["v"] == "hub" for r in o)
+    assert all(r["u"].startswith("leaf") for r in o)
+
+
+def test_pagerank_matches_reference_loop(spark):
+    from frog_spark.kg.analytics import pagerank
+
+    # a -> b, a -> c, b -> c, c -> a (classic 3-node example)
+    rows = [("a", "r", "b"), ("a", "r", "c"), ("b", "r", "c"), ("c", "r", "a")]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, rows), iters=5).collect()
+    }
+
+    # same update in plain python
+    d, n = 0.85, 3
+    ranks = {v: round(1.0 / n, 12) for v in "abc"}
+    out = {"a": 2, "b": 1, "c": 1}
+    links = {"b": ["a"], "c": ["a", "b"], "a": ["c"]}
+    for _ in range(5):
+        ranks = {
+            v: round(
+                round((1 - d) / n, 12)
+                + d * sum(ranks[u] / out[u] for u in links.get(v, [])),
+                12,
+            )
+            for v in "abc"
+        }
+    want = {v: round(r, 6) for v, r in ranks.items()}
+    assert got == want
+    # mass conservation: no dangling nodes here, so ranks sum to ~1
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    # dangling sink leaks mass (documented): sum < 1
+    leak = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges(spark, [("a", "r", "b"), ("b", "r", "c")]), iters=5
+        ).collect()
+    }
+    assert sum(leak.values()) < 1.0
+    assert leak["c"] > leak["b"] > leak["a"]
+
+
+def test_kg_analytics_plans_stay_jvm_side(spark):
+    """X36-X38 plan gates: pure JVM (no Python eval anywhere), the
+    relational-KG dims broadcast, and no cartesian products in the
+    triangle wedge join."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+
+    def plan(name):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, sf).explain("formatted")
+        return buf.getvalue()
+
+    for name in ("kg_degree_profile", "kg_triangles"):
+        p = plan(name)
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, name
+        assert "ArrowEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+
+    p = plan("kg_degree_profile")
+    assert p.count("BroadcastHashJoin") >= 4, p
