@@ -44,9 +44,11 @@ def main() -> None:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             got = fn(spark, SF).toPandas()
@@ -82,7 +84,12 @@ def main() -> None:
             diff = g.compare(w) if g.shape == w.shape else None
             if diff is not None and not diff.empty:
                 print(diff.head(5))
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    # count only what actually ran: with an ONLY filter the old
+    # f"{len(qs)-len(failures)}/{len(qs)}" footer read as a full-suite
+    # pass when most queries were skipped
+    skipped = len(qs) - n_run
+    note = f" ({skipped} skipped by filter)" if skipped else ""
+    print(f"\n{n_run - len(failures)}/{n_run} pass{note}")
     if failures:
         sys.exit(1)
     spark.stop()
