@@ -503,6 +503,45 @@ def _txt_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def _conv_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39: per-conversation context-window packing
+    (operators/transcripts.py context_windows) over the X31 transcript
+    view; max_tokens=128 so typical conversations split into several
+    windows and interior straddle behavior is exercised."""
+    from frog_spark.operators.transcripts import context_windows
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tdf = d.filter(did % 17 != 0).select(
+        F.floor(did / 8).cast("long").alias("conv_id"),
+        (did % 8).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    return context_windows(tdf, max_tokens=128, overhead=4).orderBy(
+        "conv_id", "window_id"
+    )
+
+
+def _conv_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40: agent-action Markov transition mining
+    (operators/transcripts.py tool_transitions). The transcript view
+    gets a two-tool assignment (%13 -> search, else %11 -> code) so the
+    transition matrix has real structure; the oracle mirrors it."""
+    from frog_spark.operators.transcripts import tool_transitions
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tdf = d.filter(did % 17 != 0).select(
+        F.floor(did / 8).cast("long").alias("conv_id"),
+        (did % 8).cast("int").alias("turn_idx"),
+        F.when(did % 3 == 0, "assistant").otherwise("user").alias("role"),
+        F.when(did % 13 == 0, "search")
+        .when(did % 11 == 0, "code")
+        .alias("tool"),
+    )
+    return tool_transitions(tdf).orderBy("from_action", "to_action")
+
+
 def _conv_canned_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X33: canned-response mining (operators/transcripts.py
     canned_turns). The test corpus has no cross-conversation duplicate
@@ -910,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_session_stats": _conv_session_stats,
         "txt_bigram_surprisal": _txt_bigram_surprisal,
         "conv_canned_turns": _conv_canned_turns,
+        "conv_context_windows": _conv_context_windows,
+        "conv_tool_transitions": _conv_tool_transitions,
         "txt_url_filter": _txt_url_filter,
         "doc_length_profile": _doc_length_profile,
         "dedup_exact": _dedup_exact,
@@ -1553,6 +1594,62 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.avg_bigram_surprisal, 0.0) AS avg_bigram_surprisal
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "conv_context_windows": f"""
+            WITH t AS (
+                SELECT CAST(doc_id // 8 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 8 AS INT) AS turn_idx,
+                       text
+                FROM documents WHERE doc_id % 17 <> 0
+            ), c AS (
+                SELECT conv_id, turn_idx,
+                       CAST(len({_WORDS}) + 4 AS BIGINT) AS cost
+                FROM t
+            ), o AS (
+                SELECT conv_id, turn_idx, cost,
+                       coalesce(sum(cost) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS off
+                FROM c
+            )
+            SELECT conv_id,
+                   CAST(floor(off / 128.0) AS BIGINT) AS window_id,
+                   count(*) AS n_turns,
+                   min(turn_idx) AS first_turn,
+                   max(turn_idx) AS last_turn,
+                   CAST(sum(cost) AS BIGINT) AS cost_tokens,
+                   round(sum(cost) / 128.0, 6) AS fill
+            FROM o GROUP BY conv_id, window_id
+            ORDER BY conv_id, window_id
+        """,
+        "conv_tool_transitions": """
+            WITH t AS (
+                SELECT CAST(doc_id // 8 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 8 AS INT) AS turn_idx,
+                       coalesce(
+                           CASE WHEN doc_id % 13 = 0 THEN 'search'
+                                WHEN doc_id % 11 = 0 THEN 'code' END,
+                           CASE WHEN doc_id % 3 = 0 THEN 'assistant'
+                                ELSE 'user' END
+                       ) AS to_action
+                FROM documents WHERE doc_id % 17 <> 0
+            ), p AS (
+                SELECT to_action,
+                       lag(to_action) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                       ) AS from_action
+                FROM t
+            ), c AS (
+                SELECT from_action, to_action, count(*) AS n
+                FROM p WHERE from_action IS NOT NULL
+                GROUP BY from_action, to_action
+            )
+            SELECT from_action, to_action, n,
+                   round(n / CAST(sum(n) OVER (
+                       PARTITION BY from_action
+                   ) AS DOUBLE), 6) AS p
+            FROM c ORDER BY from_action, to_action
         """,
         "conv_canned_turns": """
             WITH base AS (

@@ -187,3 +187,78 @@ def canned_turns(tdf: DataFrame, min_convs: int = 3) -> DataFrame:
         )
         .filter(F.col("n_convs") >= F.lit(min_convs))
     )
+
+
+def context_windows(
+    tdf: DataFrame, max_tokens: int = 512, overhead: int = 4
+) -> DataFrame:
+    """Per-conversation context-window assembly for SFT/agent training
+    (X39): turns stream head-to-tail in the stable (conv_id, turn_idx)
+    order, each costing ``overhead`` tokens (role header / separator)
+    plus its text tokens, and the stream slices into windows of
+    ``max_tokens`` — pack_documents' closed-form stream-offset
+    assignment (turns may straddle a boundary) at conversation grain,
+    where the conversation itself is the packing unit so no hash
+    bucketing is needed.
+
+    Output, one row per (conv_id, window_id): n_turns, first/last
+    turn_idx, content n_tokens, total cost, fill = cost/max_tokens
+    (only the last window of a conversation under-fills; interior
+    straddle windows show fill >= 1). One conv_id shuffle shared by the
+    running-sum window and the aggregate — deterministic under any
+    partitioning at 10^12 turns.
+    """
+    cost = (F.size(_words(F.col("text"))) + F.lit(overhead)).cast("long")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = tdf.select("conv_id", "turn_idx", cost.alias("cost")).withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("cost").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return (
+        turns.withColumn(
+            "window_id", F.floor(F.col("offset") / max_tokens).cast("long")
+        )
+        .groupBy("conv_id", "window_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+            F.sum("cost").alias("cost_tokens"),
+            F.round(F.sum("cost") / F.lit(max_tokens), 6).alias("fill"),
+        )
+    )
+
+
+def tool_transitions(tdf: DataFrame) -> DataFrame:
+    """Agent-action Markov mining (X40): transition counts and
+    probabilities between consecutive turn ACTIONS, where a turn's
+    action is its tool name if it called one else its role — "after a
+    search the assistant answers 78% of the time" analytics over agent
+    transcripts.
+
+    Output: (from_action, to_action, n, p) with p = n / sum(n) over
+    from_action, rounded to 6. Conversation boundaries never produce a
+    transition (lag is per-conv). One conv_id shuffle for the lag, one
+    pair-key shuffle for the count; the probability normalizer is a
+    window over the tiny per-pair relation.
+    """
+    action = F.coalesce(F.col("tool"), F.col("role"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        tdf.select("conv_id", "turn_idx", action.alias("to_action"))
+        .withColumn("from_action", F.lag("to_action").over(w))
+        .where(F.col("from_action").isNotNull())
+    )
+    counts = pairs.groupBy("from_action", "to_action").agg(
+        F.count("*").alias("n")
+    )
+    norm = Window.partitionBy("from_action")
+    return counts.select(
+        "from_action",
+        "to_action",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+    )

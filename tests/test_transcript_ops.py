@@ -122,3 +122,99 @@ def test_transcript_plans_stay_jvm_side(spark):
         if "FileScan parquet" in l and "text#" in l
     ]
     assert not text_scans, text_scans
+
+
+def test_context_windows_straddle_and_fill(spark):
+    """X39: stream-offset packing at conversation grain. With
+    overhead=2 and max_tokens=10, turn costs 5,5,5,3 give offsets
+    0,5,10,15 -> windows 0,0,1,1; the conv is independent of a second
+    single-turn conv."""
+    from frog_spark.operators.transcripts import context_windows
+
+    rows = [
+        ("A", 0, "u", "w w w", None),      # cost 3+2 = 5, offset 0  -> win 0
+        ("A", 1, "a", "x x x", None),      # cost 5, offset 5        -> win 0
+        ("A", 2, "u", "y y y", None),      # cost 5, offset 10       -> win 1
+        ("A", 3, "a", "z", None),          # cost 3, offset 15       -> win 1
+        ("B", 0, "u", "een twee", None),   # cost 4, offset 0        -> win 0
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {
+        (r["conv_id"], r["window_id"]): r
+        for r in context_windows(tdf, max_tokens=10, overhead=2).collect()
+    }
+    a0 = got[("A", 0)]
+    assert (a0["n_turns"], a0["first_turn"], a0["last_turn"]) == (2, 0, 1)
+    assert (a0["cost_tokens"], a0["fill"]) == (10, 1.0)
+    a1 = got[("A", 1)]
+    assert (a1["n_turns"], a1["cost_tokens"], a1["fill"]) == (2, 8, 0.8)
+    assert got[("B", 0)]["n_turns"] == 1
+    # deterministic under repartitioning
+    got_rep = {
+        (r["conv_id"], r["window_id"]): r["cost_tokens"]
+        for r in context_windows(
+            tdf.repartition(7), max_tokens=10, overhead=2
+        ).collect()
+    }
+    assert got_rep == {k: v["cost_tokens"] for k, v in got.items()}
+
+
+def test_tool_transitions_markov(spark):
+    """X40: action = coalesce(tool, role); per-conv lag; probabilities
+    normalize per from_action; conversation boundaries produce no
+    transition."""
+    from frog_spark.operators.transcripts import tool_transitions
+
+    rows = [
+        ("A", 0, "user", "q", None),
+        ("A", 1, "assistant", "a", "search"),   # user -> search
+        ("A", 2, "assistant", "a", None),       # search -> assistant
+        ("A", 3, "user", "q", None),            # assistant -> user
+        ("A", 4, "assistant", "a", "search"),   # user -> search
+        ("A", 5, "assistant", "a", "code"),     # search -> code
+        ("B", 0, "assistant", "hi", None),      # boundary: NO user->assistant
+        ("B", 1, "user", "q", None),            # assistant -> user
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {
+        (r["from_action"], r["to_action"]): (r["n"], r["p"])
+        for r in tool_transitions(tdf).collect()
+    }
+    assert got[("user", "search")] == (2, 1.0)
+    assert got[("search", "assistant")] == (1, 0.5)
+    assert got[("search", "code")] == (1, 0.5)
+    assert got[("assistant", "user")] == (2, 1.0)
+    # exactly these four: the A-end -> B-start pair never appears
+    assert len(got) == 4
+
+
+def test_x39_x40_plans_single_conv_shuffle(spark):
+    """X39/X40 plan gates: pure JVM; X39's running-sum window and
+    aggregate share ONE hashpartitioning(conv_id) exchange."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+
+    def plan(name):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, sf).explain("formatted")
+        return buf.getvalue()
+
+    for name in ("conv_context_windows", "conv_tool_transitions"):
+        p = plan(name)
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+    # X39: the offset window partitions by conv_id and the (conv_id,
+    # window_id) aggregate reuses that partitioning — one data shuffle
+    p = plan("conv_context_windows")
+    assert p.count("hashpartitioning") == 1, p
