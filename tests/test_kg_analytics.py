@@ -129,3 +129,25 @@ def test_kg_analytics_plans_stay_jvm_side(spark):
 
     p = plan("kg_degree_profile")
     assert p.count("BroadcastHashJoin") >= 4, p
+
+
+def test_pagerank_checkpointing_preserves_result(spark):
+    """The lineage-truncation path (checkpoint_every) must be a pure
+    performance knob: ranks identical with and without it, at an
+    iteration count that actually triggers mid-loop checkpoints."""
+    from frog_spark.kg.analytics import pagerank
+
+    rows = [
+        ("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"),
+        ("d", "r", "a"), ("a", "r", "c"), ("d", "r", "b"),
+    ]
+    e = _edges(spark, rows)
+    plain = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=10, checkpoint_every=0).collect()
+    }
+    ckpt = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=10, checkpoint_every=3).collect()
+    }
+    assert plain == ckpt
