@@ -172,6 +172,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # one driver scalar, bounded
+    if n == 0:  # empty graph: no nodes, no ranks (and no 1/n below)
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
 

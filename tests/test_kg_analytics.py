@@ -151,3 +151,18 @@ def test_pagerank_checkpointing_preserves_result(spark):
         for r in pagerank(e, iters=10, checkpoint_every=3).collect()
     }
     assert plain == ckpt
+
+
+def test_kg_analytics_degenerate_inputs(spark):
+    """Empty edge sets: every operator returns an empty result with its
+    schema intact (pagerank must not divide by the zero node count)."""
+    from frog_spark.kg.analytics import degree_profile, pagerank, triangle_count
+
+    empty = _edges(spark, [])
+    assert degree_profile(empty).count() == 0
+    assert triangle_count(empty).count() == 0
+    pr = pagerank(empty, iters=3)
+    assert pr.columns == ["node", "rank"] and pr.count() == 0
+    # self-loops alone: no undirected simple edges -> no triangles
+    loops = _edges(spark, [("a", "r", "a"), ("b", "r", "b")])
+    assert triangle_count(loops).count() == 0
