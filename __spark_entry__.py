@@ -828,6 +828,47 @@ def _kg_edges_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supplies.unionByName(buys)
 
 
+def _kg_fact_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic timestamped fact observations for X41/X42:
+    (c_name, 'status', o_orderstatus) observed at o_orderdate — a
+    customer's per-status windows genuinely interleave, so conflict
+    detection and the merge's matched/unmatched branches are all
+    exercised."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    return orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_name").alias("subj"),
+        F.lit("status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        F.col("o_orderdate").alias("ts"),
+    )
+
+
+def _kg_fact_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42: per-fact validity windows + temporal conflict flags
+    (kg/evolve.py fact_windows) — sort-based interval overlap scan,
+    never a per-group self-join."""
+    from frog_spark.kg.evolve import fact_windows
+
+    return fact_windows(_kg_fact_obs(spark, sf_dir)).orderBy(
+        "subj", "pred", "obj"
+    )
+
+
+def _kg_merge_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41: incremental fact-table merge (kg/evolve.py merge_triples) —
+    the Iceberg MERGE INTO emulation. Base = facts observed before
+    1998-01-01, batch = on/after; the full-outer fact-key join labels
+    every row inserted/updated/unchanged."""
+    from frog_spark.kg.evolve import merge_triples, summarize_facts
+
+    obs = _kg_fact_obs(spark, sf_dir)
+    cut = F.lit("1998-01-01").cast("timestamp")
+    base = summarize_facts(obs.filter(F.col("ts") < cut))
+    batch = summarize_facts(obs.filter(F.col("ts") >= cut))
+    return merge_triples(base, batch).orderBy("subj", "pred", "obj")
+
+
 def _kg_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X36: per-node in/out degree + predicate-diversity profile over
     the relational KG (kg/analytics.py degree_profile)."""
@@ -974,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_profile": _kg_degree_profile,
         "kg_pagerank": _kg_pagerank,
         "kg_triangles": _kg_triangles,
+        "kg_fact_windows": _kg_fact_windows,
+        "kg_merge_triples": _kg_merge_triples,
         "mm_media_meta": _mm_media_meta,
     }
 
@@ -1004,6 +1047,16 @@ _KG_EDGES_CTE = """
         JOIN supplier ON l_suppkey = s_suppkey
     ), e AS (
         SELECT * FROM supplies UNION ALL SELECT * FROM buys
+    )"""
+
+
+# X41/X42 oracle building block: the timestamped fact observations
+# (mirror of _kg_fact_obs)
+_KG_OBS_CTE = """
+    obs AS (
+        SELECT c_name AS subj, 'status' AS pred,
+               o_orderstatus AS obj, o_orderdate AS ts
+        FROM orders JOIN customer ON o_custkey = c_custkey
     )"""
 
 
@@ -1888,6 +1941,50 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY node
         """,
         "kg_pagerank": _pagerank_sql(iters=5),
+        "kg_fact_windows": f"""
+            WITH {_KG_OBS_CTE}, facts AS (
+                SELECT subj, pred, obj, count(*) AS n_obs,
+                       min(ts) AS first_seen, max(ts) AS last_seen
+                FROM obs GROUP BY subj, pred, obj
+            )
+            SELECT subj, pred, obj, n_obs, first_seen, last_seen,
+                   coalesce(
+                       max(last_seen) OVER (
+                           PARTITION BY subj, pred
+                           ORDER BY first_seen, obj
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) >= first_seen
+                       OR lead(first_seen) OVER (
+                           PARTITION BY subj, pred ORDER BY first_seen, obj
+                       ) <= last_seen,
+                       false
+                   ) AS is_conflicted
+            FROM facts ORDER BY subj, pred, obj
+        """,
+        "kg_merge_triples": f"""
+            WITH {_KG_OBS_CTE}, base AS (
+                SELECT subj, pred, obj, count(*) AS n,
+                       min(ts) AS f, max(ts) AS l
+                FROM obs WHERE ts < TIMESTAMP '1998-01-01'
+                GROUP BY subj, pred, obj
+            ), batch AS (
+                SELECT subj, pred, obj, count(*) AS n,
+                       min(ts) AS f, max(ts) AS l
+                FROM obs WHERE ts >= TIMESTAMP '1998-01-01'
+                GROUP BY subj, pred, obj
+            )
+            SELECT subj, pred, obj,
+                   CAST(coalesce(base.n, 0) + coalesce(batch.n, 0) AS BIGINT)
+                       AS n_obs,
+                   least(base.f, batch.f) AS first_seen,
+                   greatest(base.l, batch.l) AS last_seen,
+                   CASE WHEN base.n IS NOT NULL AND batch.n IS NOT NULL
+                        THEN 'updated'
+                        WHEN batch.n IS NOT NULL THEN 'inserted'
+                        ELSE 'unchanged' END AS change
+            FROM base FULL OUTER JOIN batch USING (subj, pred, obj)
+            ORDER BY subj, pred, obj
+        """,
         "kg_triangles": f"""
             WITH w AS (
                 SELECT unnest({_WORDS}) AS word FROM documents

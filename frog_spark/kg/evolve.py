@@ -1,0 +1,106 @@
+"""KG evolution over time: incremental fact-table merge (X41) and
+temporal validity windows with conflict detection (X42).
+
+A KG built from 10^12 turns of transcripts is never built once — new
+batches arrive and facts change. The reference emits triples for one
+corpus and stops (src/tst.sh golden); these operators are the
+at-scale continuation:
+
+* ``merge_triples`` — the Iceberg MERGE INTO emulation for the
+  accumulated fact table (this repo's Iceberg stand-in is parquet +
+  manifests, see plans/checkpoint.py): a full-outer join of the base
+  and batch fact summaries on the (subj, pred, obj) key, combining
+  observation counts and widening the seen-window, with each row
+  labeled inserted/updated/unchanged (what a MERGE's matched clauses
+  would do). One key shuffle per side; at scale both tables live
+  bucketed by the fact key, making the merge exchange-free.
+* ``fact_windows`` — collapse raw (subj, pred, obj, ts) observations
+  to per-fact validity windows [first_seen, last_seen] and flag
+  CONFLICTS: a different obj for the same (subj, pred) whose window
+  overlaps. Overlap detection is the sort-based interval scan, not a
+  self-join: within each (subj, pred), facts sorted by
+  (first_seen, obj) conflict with a predecessor iff the running max
+  of predecessor last_seen reaches their first_seen, and with a
+  successor iff the next first_seen is within their last_seen —
+  any overlapping pair is caught from one of its two sides. Two
+  window passes over one (subj, pred) partitioning: one shuffle
+  after the per-fact aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_KEY = ["subj", "pred", "obj"]
+
+
+def merge_triples(base: DataFrame, batch: DataFrame) -> DataFrame:
+    """Merge two fact summaries (subj, pred, obj, n_obs, first_seen,
+    last_seen) into one, labeling each output row's change status.
+
+    Output: key + merged (n_obs, first_seen, last_seen) +
+    change in {'inserted', 'updated', 'unchanged'}.
+    """
+    b = base.select(
+        *_KEY,
+        F.col("n_obs").alias("base_n"),
+        F.col("first_seen").alias("base_first"),
+        F.col("last_seen").alias("base_last"),
+    )
+    n = batch.select(
+        *_KEY,
+        F.col("n_obs").alias("batch_n"),
+        F.col("first_seen").alias("batch_first"),
+        F.col("last_seen").alias("batch_last"),
+    )
+    joined = b.join(n, _KEY, "full_outer")
+    in_base = F.col("base_n").isNotNull()
+    in_batch = F.col("batch_n").isNotNull()
+    return joined.select(
+        *_KEY,
+        (F.coalesce("base_n", F.lit(0)) + F.coalesce("batch_n", F.lit(0)))
+        .cast("long")
+        .alias("n_obs"),
+        F.least("base_first", "batch_first").alias("first_seen"),
+        F.greatest("base_last", "batch_last").alias("last_seen"),
+        F.when(in_base & in_batch, "updated")
+        .when(in_batch, "inserted")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+
+
+def summarize_facts(obs: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Raw (subj, pred, obj, ts) observations -> one summary row per
+    fact: (subj, pred, obj, n_obs, first_seen, last_seen)."""
+    return obs.groupBy(*_KEY).agg(
+        F.count("*").alias("n_obs"),
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+    )
+
+
+def fact_windows(obs: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-fact validity windows with temporal conflict flags.
+
+    Output: (subj, pred, obj, n_obs, first_seen, last_seen,
+    is_conflicted) where is_conflicted marks facts whose window
+    overlaps a DIFFERENT obj of the same (subj, pred).
+    """
+    facts = summarize_facts(obs, ts_col)
+    w = Window.partitionBy("subj", "pred").orderBy("first_seen", "obj")
+    prev_max_last = F.max("last_seen").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_first = F.lead("first_seen").over(w)
+    return facts.select(
+        *_KEY,
+        "n_obs",
+        "first_seen",
+        "last_seen",
+        (
+            (prev_max_last >= F.col("first_seen"))
+            | (next_first <= F.col("last_seen"))
+        ).alias("is_conflicted"),
+    ).fillna(False, ["is_conflicted"])

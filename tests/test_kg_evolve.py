@@ -1,0 +1,105 @@
+"""X41-X42: incremental fact merge + temporal validity windows
+(kg/evolve.py). Driver-gate parity lives in __spark_entry__ (full
+DuckDB oracles over the orders-derived observation stream); these
+tests pin the semantics on hand-built observation sets.
+"""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, datetime(2024, 1, d)) for s, p, o, d in rows],
+        "subj string, pred string, obj string, ts timestamp",
+    )
+
+
+def test_fact_windows_overlap_detection(spark):
+    from frog_spark.kg.evolve import fact_windows
+
+    rows = [
+        # s/p: A seen days 1-5, B days 3-7 (overlap), C days 10-11 (clear)
+        ("s", "p", "A", 1), ("s", "p", "A", 5),
+        ("s", "p", "B", 3), ("s", "p", "B", 7),
+        ("s", "p", "C", 10), ("s", "p", "C", 11),
+        # different pred never conflicts across groups
+        ("s", "q", "D", 4),
+    ]
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in fact_windows(_obs(spark, rows)).collect()
+    }
+    a = got[("s", "p", "A")]
+    assert (a["n_obs"], a["is_conflicted"]) == (2, True)
+    assert a["first_seen"] == datetime(2024, 1, 1)
+    assert a["last_seen"] == datetime(2024, 1, 5)
+    assert got[("s", "p", "B")]["is_conflicted"] is True
+    assert got[("s", "p", "C")]["is_conflicted"] is False
+    assert got[("s", "q", "D")]["is_conflicted"] is False
+
+
+def test_fact_windows_no_hull_false_positive(spark):
+    """The case a naive group-envelope check gets wrong: three mutually
+    DISJOINT windows where the middle one sits inside the hull of the
+    other two — none may be flagged."""
+    from frog_spark.kg.evolve import fact_windows
+
+    rows = [
+        ("s", "p", "A", 1), ("s", "p", "A", 2),
+        ("s", "p", "B", 8), ("s", "p", "B", 9),
+        ("s", "p", "C", 4), ("s", "p", "C", 5),
+    ]
+    got = fact_windows(_obs(spark, rows)).collect()
+    assert all(r["is_conflicted"] is False for r in got)
+    # and a wide fact covering later narrow ones flags ALL of them
+    rows2 = [
+        ("s", "p", "A", 1), ("s", "p", "A", 20),
+        ("s", "p", "B", 3), ("s", "p", "C", 6),
+    ]
+    got2 = fact_windows(_obs(spark, rows2)).collect()
+    assert all(r["is_conflicted"] is True for r in got2)
+
+
+def test_merge_triples_labels_and_windows(spark):
+    from frog_spark.kg.evolve import merge_triples, summarize_facts
+
+    base_obs = _obs(spark, [
+        ("s", "p", "A", 1), ("s", "p", "A", 3),   # updated by batch
+        ("s", "p", "B", 2),                         # base-only
+    ])
+    batch_obs = _obs(spark, [
+        ("s", "p", "A", 7),                         # extends A's window
+        ("s", "p", "C", 5),                         # new fact
+    ])
+    got = {
+        r["obj"]: r
+        for r in merge_triples(
+            summarize_facts(base_obs), summarize_facts(batch_obs)
+        ).collect()
+    }
+    a = got["A"]
+    assert (a["change"], a["n_obs"]) == ("updated", 3)
+    assert a["first_seen"] == datetime(2024, 1, 1)
+    assert a["last_seen"] == datetime(2024, 1, 7)
+    assert (got["B"]["change"], got["B"]["n_obs"]) == ("unchanged", 1)
+    assert (got["C"]["change"], got["C"]["n_obs"]) == ("inserted", 1)
+
+
+def test_x41_x42_plans_stay_jvm_side(spark):
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    for name in ("kg_fact_windows", "kg_merge_triples"):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, sf).explain("formatted")
+        p = buf.getvalue()
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, name
+        assert "ArrowEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
