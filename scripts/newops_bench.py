@@ -25,6 +25,8 @@ NAMES = [
     "kg_degree_profile",
     "kg_pagerank",
     "kg_triangles",
+    "kg_merge_triples",
+    "kg_fact_windows",
 ]
 
 
