@@ -869,6 +869,51 @@ def _kg_merge_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_triples(base, batch).orderBy("subj", "pred", "obj")
 
 
+def _kg_facts_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43: time-travel snapshot of the fact table at 1996-06-30
+    (kg/evolve.py facts_asof) — active-window filter + one (subj,pred)
+    evidence-ranked window; pos=1 is the snapshot's best answer."""
+    from frog_spark.kg.evolve import facts_asof, summarize_facts
+
+    facts = summarize_facts(_kg_fact_obs(spark, sf_dir))
+    at = F.lit("1996-06-30").cast("timestamp")
+    return facts_asof(facts, at).orderBy("subj", "pred", "obj")
+
+
+def _kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44: BFS hop distances (k=3) over the relational KG from every
+    customer node whose name ends in '01' (kg/analytics.py
+    khop_distances). Layers: customers 0 → suppliers 1 → parts 2; the
+    empty 3rd frontier exercises the early-exit."""
+    from frog_spark.kg.analytics import khop_distances
+
+    edges = _kg_edges_relational(spark, sf_dir)
+    sources = edges.filter(
+        (F.col("pred") == "buys_from") & F.col("subj").endswith("01")
+    ).select("subj")
+    return khop_distances(edges, sources, k=3).orderBy("node")
+
+
+def _kg_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45: co-occurrence PMI between top-32-vocab words at document
+    grain (kg/analytics.py cooccurrence_pmi). The vocabulary cap
+    bounds the per-container pair fan-out, same as the triangle gate;
+    n = documents containing >= 1 vocab word."""
+    from frog_spark.kg.analytics import cooccurrence_pmi
+    from frog_spark.operators.curation import vocab_topk
+    from frog_spark.operators.textstats import _words
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vocab_topk(docs, k=32).select("word")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_words(F.col("text")))).alias("word"),
+    ).join(F.broadcast(vocab), "word")
+    return cooccurrence_pmi(dw, container="doc_id", item="word").orderBy(
+        "a", "b"
+    )
+
+
 def _kg_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X36: per-node in/out degree + predicate-diversity profile over
     the relational KG (kg/analytics.py degree_profile)."""
@@ -1017,6 +1062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _kg_triangles,
         "kg_fact_windows": _kg_fact_windows,
         "kg_merge_triples": _kg_merge_triples,
+        "kg_facts_asof": _kg_facts_asof,
+        "kg_khop": _kg_khop,
+        "kg_cooccur_pmi": _kg_cooccur_pmi,
         "mm_media_meta": _mm_media_meta,
     }
 
@@ -1984,6 +2032,71 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS change
             FROM base FULL OUTER JOIN batch USING (subj, pred, obj)
             ORDER BY subj, pred, obj
+        """,
+        "kg_facts_asof": f"""
+            WITH {_KG_OBS_CTE}, facts AS (
+                SELECT subj, pred, obj, count(*) AS n_obs,
+                       min(ts) AS first_seen, max(ts) AS last_seen
+                FROM obs GROUP BY subj, pred, obj
+            ), active AS (
+                SELECT * FROM facts
+                WHERE first_seen <= TIMESTAMP '1996-06-30'
+                  AND last_seen >= TIMESTAMP '1996-06-30'
+            )
+            SELECT subj, pred, obj, n_obs, first_seen, last_seen,
+                   CAST(row_number() OVER (
+                       PARTITION BY subj, pred
+                       ORDER BY n_obs DESC, last_seen DESC, obj
+                   ) AS INT) AS pos
+            FROM active ORDER BY subj, pred, obj
+        """,
+        "kg_khop": f"""
+            WITH {_KG_EDGES_CTE}, s AS (
+                SELECT DISTINCT subj AS node FROM buys
+                WHERE subj LIKE '%01'
+            ), l1 AS (
+                SELECT DISTINCT e.obj AS node FROM e JOIN s ON e.subj = s.node
+            ), l2 AS (
+                SELECT DISTINCT e.obj AS node FROM e JOIN l1 ON e.subj = l1.node
+            ), l3 AS (
+                SELECT DISTINCT e.obj AS node FROM e JOIN l2 ON e.subj = l2.node
+            ), lv AS (
+                SELECT node, 0 AS d FROM s
+                UNION ALL SELECT node, 1 FROM l1
+                UNION ALL SELECT node, 2 FROM l2
+                UNION ALL SELECT node, 3 FROM l3
+            )
+            SELECT node, CAST(min(d) AS INT) AS dist
+            FROM lv GROUP BY node ORDER BY node
+        """,
+        "kg_cooccur_pmi": f"""
+            WITH w AS (
+                SELECT unnest({_WORDS}) AS word FROM documents
+            ), c AS (
+                SELECT word, count(*) AS n FROM w GROUP BY word
+            ), top AS (
+                SELECT word FROM c ORDER BY n DESC, word LIMIT 32
+            ), dw AS (
+                SELECT DISTINCT doc_id, word FROM (
+                    SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+                ) JOIN top USING (word)
+            ), tot AS (
+                SELECT count(DISTINCT doc_id) AS n FROM dw
+            ), m AS (
+                SELECT word, count(*) AS n_item FROM dw GROUP BY word
+            ), pairs AS (
+                SELECT x.word AS a, y.word AS b, count(*) AS n_ab
+                FROM dw x JOIN dw y USING (doc_id)
+                WHERE x.word < y.word GROUP BY x.word, y.word
+            )
+            SELECT a, b, n_ab, ma.n_item AS n_a, mb.n_item AS n_b,
+                   round(log2((tot.n * n_ab)::DOUBLE
+                              / (ma.n_item * mb.n_item)::DOUBLE), 6) AS pmi
+            FROM pairs
+            CROSS JOIN tot
+            JOIN m ma ON ma.word = a
+            JOIN m mb ON mb.word = b
+            ORDER BY a, b
         """,
         "kg_triangles": f"""
             WITH w AS (

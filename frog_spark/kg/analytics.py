@@ -24,6 +24,25 @@ Scale notes (what holds at 1000 executors):
   it would generate 10^12. This is the MapReduce triangle algorithm of
   Suri & Vassilvitskii (WWW'11), expressed as two self-joins Catalyst
   can plan (sort-merge or broadcast as sizes dictate).
+* ``khop_distances`` — BFS shortest hop-distance from a source set,
+  k fixed iterations of frontier expansion. Per iteration: one join
+  frontier⋈edges on src plus one anti-join against the seen set —
+  two node-keyed shuffles, and the frontier is only the NEW nodes of
+  the previous round, never the whole reached set, so iteration cost
+  tracks the BFS wavefront (on a small-world graph the frontier
+  collapses after the first few hops instead of re-scanning
+  everything). Seen/frontier are localCheckpoint-truncated like
+  pagerank. Distances are exact integers — no float drift — so the
+  DuckDB oracle (levels unrolled as chained CTEs, dist = min level)
+  value-hash-matches at any k.
+* ``cooccurrence_pmi`` — pointwise mutual information between items
+  co-present in a container (entities in a conversation, words in a
+  document): pmi(a,b) = log2(n·n_ab / (n_a·n_b)) over container-level
+  presence counts. The pair join fans out per container by the
+  container's ITEM COUNT, so the caller bounds it (top-V vocabulary,
+  per-doc entity cap) the same way the triangle join bounds wedges;
+  counts are presence (distinct container), making every input to the
+  one log2 an exact integer — engine-reproducible at round-6.
 * ``pagerank`` — fixed-iteration power method as iterative joins.
   Per iteration: one join ranks⋈edges on src (contributions) and one
   groupBy dst — two shuffles, both on node keys, so a cluster that
@@ -140,6 +159,97 @@ def triangle_count(
         )
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def khop_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Shortest hop-distance (0..k) from ``sources`` (a one-column
+    DataFrame of node ids) along directed ``edges``.
+
+    Output: (node, dist) for every node reachable within k hops —
+    sources themselves at dist 0. Unreachable nodes are absent.
+    """
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+    frontier = (
+        sources.select(F.col(sources.columns[0]).cast("string").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seen = frontier.withColumn("dist", F.lit(0))
+    for i in range(1, k + 1):
+        reached = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = reached.join(
+            seen.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        if frontier.isEmpty():  # wavefront exhausted before k hops
+            break
+        seen = seen.unionByName(
+            frontier.withColumn("dist", F.lit(i))
+        ).localCheckpoint(eager=True)
+    return seen
+
+
+def cooccurrence_pmi(
+    presence: DataFrame,
+    container: str = "doc_id",
+    item: str = "item",
+    min_pairs: int = 1,
+) -> DataFrame:
+    """PMI between items co-present in a container, over the DISTINCT
+    (container, item) presence relation derived from the input.
+
+    Output: (a, b, n_ab, n_a, n_b, pmi) for unordered pairs a < b with
+    n_ab >= min_pairs; pmi = log2(n * n_ab / (n_a * n_b)) rounded to 6
+    (n = distinct containers). The caller bounds per-container item
+    counts (the pair join is quadratic in them).
+    """
+    p = (
+        presence.select(
+            F.col(container).alias("cid"), F.col(item).cast("string").alias("it")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed 3x: pairs (both sides) + marginals
+    )
+    n = p.select("cid").distinct().count()
+    marg = p.groupBy(F.col("it").alias("node")).agg(
+        F.count("*").alias("n_item")
+    )
+    left = p.select("cid", F.col("it").alias("a"))
+    right = p.select("cid", F.col("it").alias("b"))
+    pairs = (
+        left.join(right, "cid")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs)
+    )
+    return (
+        pairs.join(marg.select(F.col("node").alias("a"), F.col("n_item").alias("n_a")), "a")
+        .join(marg.select(F.col("node").alias("b"), F.col("n_item").alias("n_b")), "b")
+        .select(
+            "a", "b", "n_ab", "n_a", "n_b",
+            F.round(
+                F.log2(
+                    F.lit(n) * F.col("n_ab")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
     )
 
 

@@ -25,6 +25,12 @@ at-scale continuation:
   any overlapping pair is caught from one of its two sides. Two
   window passes over one (subj, pred) partitioning: one shuffle
   after the per-fact aggregate.
+* ``facts_asof`` — the time-travel read over the fact table: facts
+  whose window contains the query timestamp, ranked per (subj, pred)
+  by evidence so ``pos = 1`` is the deterministic best answer to
+  "what was X's pred at time T". The snapshot is a filter plus ONE
+  (subj, pred) window over the already-aggregated facts — no join
+  against the observation log.
 """
 
 from __future__ import annotations
@@ -104,3 +110,26 @@ def fact_windows(obs: DataFrame, ts_col: str = "ts") -> DataFrame:
             | (next_first <= F.col("last_seen"))
         ).alias("is_conflicted"),
     ).fillna(False, ["is_conflicted"])
+
+
+def facts_asof(facts: DataFrame, at) -> DataFrame:
+    """Snapshot of a fact summary table (subj, pred, obj, n_obs,
+    first_seen, last_seen) at time ``at``: the facts whose validity
+    window contains ``at``, each ranked within its (subj, pred) by
+    evidence — n_obs desc, then last_seen desc (most recently still
+    observed), then obj asc as the deterministic tiebreak. ``pos = 1``
+    is the snapshot's best answer for that (subj, pred).
+
+    ``at`` is any expression/literal comparable to the window bounds.
+    """
+    at = F.lit(at) if not isinstance(at, F.Column) else at
+    active = facts.filter(
+        (F.col("first_seen") <= at) & (F.col("last_seen") >= at)
+    )
+    w = Window.partitionBy("subj", "pred").orderBy(
+        F.col("n_obs").desc(), F.col("last_seen").desc(), F.col("obj")
+    )
+    return active.select(
+        *_KEY, "n_obs", "first_seen", "last_seen",
+        F.row_number().over(w).alias("pos"),
+    )

@@ -153,6 +153,93 @@ def test_pagerank_checkpointing_preserves_result(spark):
     assert plain == ckpt
 
 
+def test_khop_distances_shortest_paths(spark):
+    from frog_spark.kg.analytics import khop_distances
+
+    # diamond with a shortcut: a->b->c->d plus a->c; shortest wins
+    rows = [
+        ("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"), ("a", "r", "c"),
+        # disconnected component: never reached
+        ("x", "r", "y"),
+    ]
+    e = _edges(spark, rows)
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["dist"]
+        for r in khop_distances(e, src, k=3).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # k beyond exhaustion: early exit, identical result (no spin on an
+    # empty frontier)
+    far = {
+        r["node"]: r["dist"]
+        for r in khop_distances(e, src, k=10).collect()
+    }
+    assert far == got
+    # cycles terminate: the seen anti-join never re-expands a node
+    cyc = _edges(spark, [("a", "r", "b"), ("b", "r", "a")])
+    got_c = {
+        r["node"]: r["dist"]
+        for r in khop_distances(cyc, src, k=5).collect()
+    }
+    assert got_c == {"a": 0, "b": 1}
+    # k=0: sources only
+    assert {
+        r["node"]: r["dist"]
+        for r in khop_distances(e, src, k=0).collect()
+    } == {"a": 0}
+
+
+def test_cooccurrence_pmi_hand_counts(spark):
+    import math
+
+    from frog_spark.kg.analytics import cooccurrence_pmi
+
+    rows = [
+        ("d1", "x"), ("d1", "y"),
+        ("d2", "x"), ("d2", "y"),
+        ("d3", "x"), ("d3", "z"),
+        ("d4", "y"),
+        # duplicate presence row: counts are distinct-presence, not
+        # occurrences
+        ("d1", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, item string")
+    got = {
+        (r["a"], r["b"]): r
+        for r in cooccurrence_pmi(df, "doc_id", "item").collect()
+    }
+    # n=4 docs; n_x=3, n_y=3, n_z=1; (x,y) in 2 docs, (x,z) in 1
+    xy = got[("x", "y")]
+    assert (xy["n_ab"], xy["n_a"], xy["n_b"]) == (2, 3, 3)
+    assert xy["pmi"] == round(math.log2(4 * 2 / (3 * 3)), 6)
+    xz = got[("x", "z")]
+    assert (xz["n_ab"], xz["n_a"], xz["n_b"]) == (1, 3, 1)
+    assert xz["pmi"] == round(math.log2(4 * 1 / (3 * 1)), 6)
+    assert ("y", "z") not in got  # never co-present
+    # min_pairs prunes singleton pairs
+    pruned = cooccurrence_pmi(df, "doc_id", "item", min_pairs=2).collect()
+    assert {(r["a"], r["b"]) for r in pruned} == {("x", "y")}
+
+
+def test_x43_x45_plans_stay_jvm_side(spark):
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    for name in ("kg_facts_asof", "kg_cooccur_pmi"):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, sf).explain("formatted")
+        p = buf.getvalue()
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p, name
+        assert "ArrowEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
 def test_kg_analytics_degenerate_inputs(spark):
     """Empty edge sets: every operator returns an empty result with its
     schema intact (pagerank must not divide by the zero node count)."""

@@ -87,6 +87,52 @@ def test_merge_triples_labels_and_windows(spark):
     assert (got["C"]["change"], got["C"]["n_obs"]) == ("inserted", 1)
 
 
+def test_facts_asof_snapshot_and_ranking(spark):
+    from frog_spark.kg.evolve import facts_asof, summarize_facts
+
+    rows = [
+        # A: window days 1-10, 3 obs; B: days 2-12, 2 obs; C: days 20-21
+        ("s", "p", "A", 1), ("s", "p", "A", 5), ("s", "p", "A", 10),
+        ("s", "p", "B", 2), ("s", "p", "B", 12),
+        ("s", "p", "C", 20), ("s", "p", "C", 21),
+        ("t", "p", "D", 5), ("t", "p", "D", 9),
+        # a point-window fact observed ONCE before T is not active at
+        # T: validity is window containment, not observed-before
+        ("t", "q", "E", 4),
+    ]
+    facts = summarize_facts(_obs(spark, rows))
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in facts_asof(facts, datetime(2024, 1, 6)).collect()
+    }
+    # C's window doesn't contain day 6; A outranks B on n_obs
+    assert set(got) == {("s", "p", "A"), ("s", "p", "B"), ("t", "p", "D")}
+    assert got[("s", "p", "A")]["pos"] == 1
+    assert got[("s", "p", "B")]["pos"] == 2
+    assert got[("t", "p", "D")]["pos"] == 1
+    # at day 12 only B remains active for (s, p): it is now pos 1
+    later = {
+        r["obj"]: r["pos"]
+        for r in facts_asof(facts, datetime(2024, 1, 12))
+        .filter(F.col("subj") == "s")
+        .collect()
+    }
+    assert later == {"B": 1}
+    # equal n_obs: later last_seen wins, then obj asc breaks exact ties
+    tie_rows = [
+        ("u", "p", "X", 1), ("u", "p", "X", 4),
+        ("u", "p", "Y", 1), ("u", "p", "Y", 6),
+        ("u", "p", "Z", 1), ("u", "p", "Z", 6),
+    ]
+    tie = {
+        r["obj"]: r["pos"]
+        for r in facts_asof(
+            summarize_facts(_obs(spark, tie_rows)), datetime(2024, 1, 2)
+        ).collect()
+    }
+    assert tie == {"Y": 1, "Z": 2, "X": 3}
+
+
 def test_x41_x42_plans_stay_jvm_side(spark):
     import contextlib
     import io
