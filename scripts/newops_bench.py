@@ -27,6 +27,9 @@ NAMES = [
     "kg_triangles",
     "kg_merge_triples",
     "kg_fact_windows",
+    "kg_facts_asof",
+    "kg_khop",
+    "kg_cooccur_pmi",
 ]
 
 
