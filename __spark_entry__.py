@@ -914,6 +914,36 @@ def _kg_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46: type-2 effective-dated fact history (kg/evolve.py
+    scd2_history) — gaps-and-islands run collapse of the status
+    observation stream into chained [valid_from, valid_to) rows, one
+    (subj, pred) shuffle end to end."""
+    from frog_spark.kg.evolve import scd2_history
+
+    return scd2_history(_kg_fact_obs(spark, sf_dir)).orderBy(
+        "subj", "pred", "run_id"
+    )
+
+
+def _kg_merge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47: incremental connected-components merge (kg/canonicalize.py
+    merge_components). Base assignment = components over the even-id
+    near-dup pairs; the odd-touching pairs arrive as the new batch;
+    the merged table must equal from-scratch components over the full
+    pair log (the oracle computes exactly that)."""
+    from frog_spark.kg.canonicalize import connected_components, merge_components
+    from frog_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # bands=64: exact J>=0.7 pair set (see _dedup_minhash)
+    pairs = minhash_dedup_pairs(docs, threshold=0.7, bands=64).select("a", "b")
+    base = pairs.filter((F.col("a") % 2 == 0) & (F.col("b") % 2 == 0))
+    batch = pairs.filter((F.col("a") % 2 == 1) | (F.col("b") % 2 == 1))
+    assign = connected_components(base)
+    return merge_components(assign, batch).orderBy("node")
+
+
 def _kg_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X36: per-node in/out degree + predicate-diversity profile over
     the relational KG (kg/analytics.py degree_profile)."""
@@ -1065,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_facts_asof": _kg_facts_asof,
         "kg_khop": _kg_khop,
         "kg_cooccur_pmi": _kg_cooccur_pmi,
+        "kg_scd2_history": _kg_scd2_history,
+        "kg_merge_components": _kg_merge_components,
         "mm_media_meta": _mm_media_meta,
     }
 
@@ -2068,6 +2100,71 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(d) AS INT) AS dist
             FROM lv GROUP BY node ORDER BY node
+        """,
+        "kg_scd2_history": f"""
+            WITH {_KG_OBS_CTE}, uniq AS (
+                -- duplicate collapse makes (ts, obj) a key: without it
+                -- the lag pass and the running-sum pass may break the
+                -- tie between identical rows differently
+                SELECT subj, pred, obj, ts, count(*) AS n_dup
+                FROM obs GROUP BY subj, pred, obj, ts
+            ), lagged AS (
+                SELECT subj, pred, obj, ts, n_dup,
+                       lag(obj) OVER (
+                           PARTITION BY subj, pred ORDER BY ts, obj
+                       ) AS prev_obj
+                FROM uniq
+            ), runs AS (
+                SELECT subj, pred, obj, ts, n_dup,
+                       CAST(sum(CASE WHEN prev_obj IS NULL OR prev_obj <> obj
+                                     THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY subj, pred ORDER BY ts, obj
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS run_id
+                FROM lagged
+            ), hist AS (
+                SELECT subj, pred, run_id, min(obj) AS obj,
+                       CAST(sum(n_dup) AS BIGINT) AS n_obs,
+                       min(ts) AS valid_from
+                FROM runs GROUP BY subj, pred, run_id
+            )
+            SELECT subj, pred, obj, run_id, n_obs, valid_from,
+                   coalesce(
+                       lead(valid_from) OVER (
+                           PARTITION BY subj, pred ORDER BY run_id
+                       ),
+                       TIMESTAMP '2262-01-01 00:00:00'
+                   ) AS valid_to
+            FROM hist ORDER BY subj, pred, run_id
+        """,
+        # kg_merge_components: the incremental merge must equal
+        # from-scratch components over the FULL J>=0.7 pair log — the
+        # oracle computes exactly that via the same recursive
+        # reachability as dedup_clusters, minus the doc join
+        "kg_merge_components": f"""
+            WITH RECURSIVE norm AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            g0 AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              range(1, greatest(len(words) - 2, 0) + 1),
+                              i -> array_to_string(words[i:i+2], ' '))) AS grams
+                   FROM norm),
+            g AS (SELECT doc_id AS id, unnest(grams) AS ngram FROM g0),
+            sizes AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
+            inter AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+                      FROM g x JOIN g y ON x.ngram = y.ngram AND x.id < y.id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT a, b FROM inter
+                      JOIN sizes sa ON sa.id = a
+                      JOIN sizes sb ON sb.id = b
+                      WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.7),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            )
+            SELECT src AS node, least(src, min(dst)) AS component
+            FROM reach GROUP BY src ORDER BY node
         """,
         "kg_cooccur_pmi": f"""
             WITH w AS (

@@ -76,6 +76,35 @@ def connected_components(
     return labels.select("node", "component")
 
 
+def merge_components(
+    assignment: DataFrame,
+    new_edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Fold a NEW batch of similarity edges into an existing
+    (node, component) assignment — the incremental form of
+    ``connected_components`` for a KG that links entities batch by
+    batch (X47).
+
+    Every existing component is contracted to its star — edges
+    node -> component, diameter <= 2 no matter how deep the original
+    merge history was — so propagation over (star ∪ new_edges)
+    converges in O(diameter of the NEW connectivity), not of the
+    accumulated graph. Output: (node, component) over all nodes seen
+    in either input; component ids stay min-node-id, so re-running
+    from scratch over the full edge log yields the identical table
+    (idempotence is test-asserted).
+    """
+    star = assignment.select(
+        F.col("node").alias(src), F.col("component").alias(dst)
+    )
+    return connected_components(
+        star.unionByName(new_edges.select(src, dst)), src, dst, max_iter
+    )
+
+
 def canonical_entities(
     forms: DataFrame, edges: DataFrame, col: str = "form"
 ) -> DataFrame:

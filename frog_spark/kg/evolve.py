@@ -31,6 +31,15 @@ at-scale continuation:
   "what was X's pred at time T". The snapshot is a filter plus ONE
   (subj, pred) window over the already-aggregated facts — no join
   against the observation log.
+* ``scd2_history`` — the warehouse-style type-2 dimension build:
+  collapse the (subj, pred) observation stream into consecutive
+  same-obj runs, each an effective-dated row [valid_from, valid_to)
+  with the open row closed by the SCD2_OPEN_END sentinel (no NULL
+  bounds). Run detection is the gaps-and-islands running sum of
+  change flags; the change-flag lag, the run-id sum, and the
+  valid_to lead all reuse the ONE (subj, pred) exchange, and the
+  per-run aggregate's (subj, pred, run_id) grouping is satisfied by
+  that same partitioning — one shuffle end to end.
 """
 
 from __future__ import annotations
@@ -132,4 +141,71 @@ def facts_asof(facts: DataFrame, at) -> DataFrame:
     return active.select(
         *_KEY, "n_obs", "first_seen", "last_seen",
         F.row_number().over(w).alias("pos"),
+    )
+
+
+# the open SCD-2 row's valid_to: a sentinel, not NULL — range predicates
+# (valid_from <= T < valid_to) then need no null branch. NOT the
+# warehouse-traditional 9999-12-31: Arrow/pandas nanosecond timestamps
+# top out at 2262-04-11, and the driver's toPandas comparison (like any
+# pandas consumer) would overflow converting it
+SCD2_OPEN_END = "2262-01-01 00:00:00"
+
+
+def scd2_history(obs: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Type-2 effective-dated history per (subj, pred): one row per
+    consecutive run of the same obj in (ts, obj) observation order.
+
+    Output: (subj, pred, obj, run_id, n_obs, valid_from, valid_to) —
+    run_id is 1-based per (subj, pred), valid_from the run's first
+    observation, valid_to the next run's valid_from ([from, to) ranges
+    chain gaplessly) with the open run closed by SCD2_OPEN_END.
+
+    Exact duplicate observations are collapsed (counted into n_obs)
+    BEFORE the run windows, so the (ts, obj) order key is a true key
+    and every window pass sees one total order — with duplicates left
+    in, a tie between identical rows can be broken differently by the
+    lag pass and the running-sum pass (engines that sort each window
+    independently provably split runs differently; caught against
+    DuckDB), and a same-ts tie between DIFFERENT objs orders by obj.
+    All steps — duplicate collapse, both run windows, the per-run
+    aggregate, the valid_to lead — reuse the ONE (subj, pred)
+    exchange introduced up front.
+    """
+    uniq = (
+        obs.repartition("subj", "pred")
+        .groupBy("subj", "pred", "obj", F.col(ts_col).alias("ts"))
+        .agg(F.count("*").alias("n_dup"))
+    )
+    w = Window.partitionBy("subj", "pred").orderBy("ts", "obj")
+    prev_obj = F.lag("obj").over(w)
+    runs = uniq.select(
+        "subj",
+        "pred",
+        "obj",
+        "ts",
+        "n_dup",
+        F.sum(
+            (prev_obj.isNull() | (prev_obj != F.col("obj"))).cast("int")
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    hist = runs.groupBy("subj", "pred", "run_id").agg(
+        F.min("obj").alias("obj"),  # constant within a run
+        F.sum("n_dup").alias("n_obs"),
+        F.min("ts").alias("valid_from"),
+    )
+    nxt = Window.partitionBy("subj", "pred").orderBy("run_id")
+    return hist.select(
+        "subj",
+        "pred",
+        "obj",
+        "run_id",
+        "n_obs",
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(nxt),
+            F.lit(SCD2_OPEN_END).cast("timestamp"),
+        ).alias("valid_to"),
     )

@@ -92,6 +92,43 @@ def test_connected_components(spark):
     assert comp["a"] != comp["x"]
 
 
+def test_merge_components_equals_from_scratch(spark):
+    """X47: folding a new edge batch into an existing assignment must
+    equal from-scratch components over the full edge log — including
+    when the batch BRIDGES two old components, and for nodes the batch
+    never touches."""
+    from frog_spark.kg.canonicalize import connected_components, merge_components
+
+    base_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q")], ["a", "b"]
+    )
+    # bridges {a,b,c} and {x,y}; adds a brand-new component {m,n};
+    # leaves {p,q} untouched
+    batch = spark.createDataFrame([("c", "x"), ("m", "n")], ["a", "b"])
+    assign = connected_components(base_edges)
+    merged = {
+        r["node"]: r["component"]
+        for r in merge_components(assign, batch).collect()
+    }
+    scratch = {
+        r["node"]: r["component"]
+        for r in connected_components(base_edges.unionByName(batch)).collect()
+    }
+    assert merged == scratch
+    assert merged["x"] == merged["a"] == "a"
+    assert merged["m"] == merged["n"] == "m"
+    assert merged["p"] == merged["q"] == "p"
+    # empty batch: the assignment is a fixed point
+    empty = spark.createDataFrame([], "a string, b string")
+    again = {
+        r["node"]: r["component"]
+        for r in merge_components(assign, empty).collect()
+    }
+    assert again == {
+        r["node"]: r["component"] for r in assign.collect()
+    }
+
+
 def test_minhash_links_near_duplicates(spark):
     from frog_spark.kg.linking import similarity_edges
 

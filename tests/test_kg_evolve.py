@@ -133,6 +133,59 @@ def test_facts_asof_snapshot_and_ranking(spark):
     assert tie == {"Y": 1, "Z": 2, "X": 3}
 
 
+def test_scd2_history_runs_and_ranges(spark):
+    from frog_spark.kg.evolve import SCD2_OPEN_END, scd2_history
+
+    rows = [
+        # A,A | B | A  -> three runs, the repeat of A is a NEW run
+        ("s", "p", "A", 1), ("s", "p", "A", 3),
+        ("s", "p", "B", 5),
+        ("s", "p", "A", 8),
+        # exact duplicate observations collapse INTO n_obs
+        ("t", "p", "X", 2), ("t", "p", "X", 2), ("t", "p", "X", 4),
+    ]
+    got = sorted(
+        (
+            (r["subj"], r["run_id"], r["obj"], r["n_obs"],
+             r["valid_from"].day, str(r["valid_to"]))
+            for r in scd2_history(_obs(spark, rows)).collect()
+        )
+    )
+    open_end = SCD2_OPEN_END
+    assert got == [
+        ("s", 1, "A", 2, 1, "2024-01-05 00:00:00"),
+        ("s", 2, "B", 1, 5, "2024-01-08 00:00:00"),
+        ("s", 3, "A", 1, 8, open_end),
+        ("t", 1, "X", 3, 2, open_end),
+    ]
+    # ranges chain gaplessly: every non-open valid_to equals the next
+    # run's valid_from
+    hist = scd2_history(_obs(spark, rows)).collect()
+    by_run = {}
+    for r in hist:
+        by_run.setdefault((r["subj"], r["pred"]), []).append(r)
+    for runs in by_run.values():
+        runs.sort(key=lambda r: r["run_id"])
+        for a, b in zip(runs, runs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+
+
+def test_scd2_history_same_ts_tie_orders_by_obj(spark):
+    """Two different objs at the SAME timestamp: the (ts, obj) order
+    puts A before B deterministically, so runs are A then B."""
+    from frog_spark.kg.evolve import scd2_history
+
+    rows = [("s", "p", "B", 5), ("s", "p", "A", 5)]
+    got = [
+        (r["run_id"], r["obj"])
+        for r in sorted(
+            scd2_history(_obs(spark, rows)).collect(),
+            key=lambda r: r["run_id"],
+        )
+    ]
+    assert got == [(1, "A"), (2, "B")]
+
+
 def test_x41_x42_plans_stay_jvm_side(spark):
     import contextlib
     import io
