@@ -936,8 +936,14 @@ def _kg_merge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.dedup import minhash_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    # bands=64: exact J>=0.7 pair set (see _dedup_minhash)
-    pairs = minhash_dedup_pairs(docs, threshold=0.7, bands=64).select("a", "b")
+    # bands=64: exact J>=0.7 pair set (see _dedup_minhash); materialized
+    # once — the base/batch filters and every propagation round would
+    # otherwise re-run the LSH join
+    pairs = (
+        minhash_dedup_pairs(docs, threshold=0.7, bands=64)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
     base = pairs.filter((F.col("a") % 2 == 0) & (F.col("b") % 2 == 0))
     batch = pairs.filter((F.col("a") % 2 == 1) | (F.col("b") % 2 == 1))
     assign = connected_components(base)

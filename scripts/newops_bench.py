@@ -30,6 +30,8 @@ NAMES = [
     "kg_facts_asof",
     "kg_khop",
     "kg_cooccur_pmi",
+    "kg_scd2_history",
+    "kg_merge_components",
 ]
 
 
