@@ -950,6 +950,24 @@ def _kg_merge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_components(assign, batch).orderBy("node")
 
 
+def _kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48: best-answer diff between the 1995-06-30 and 1997-06-30
+    snapshots (kg/evolve.py snapshot_diff). The gate coalesces the
+    nullable obj_before/obj_after to '' for transport — every green
+    query keeps NULL out of hashed columns (repo precedent); the
+    operator itself returns real NULLs for absent sides."""
+    from frog_spark.kg.evolve import snapshot_diff, summarize_facts
+
+    facts = summarize_facts(_kg_fact_obs(spark, sf_dir))
+    t1 = F.lit("1995-06-30").cast("timestamp")
+    t2 = F.lit("1997-06-30").cast("timestamp")
+    return (
+        snapshot_diff(facts, t1, t2)
+        .fillna("", ["obj_before", "obj_after"])
+        .orderBy("subj", "pred")
+    )
+
+
 def _kg_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X36: per-node in/out degree + predicate-diversity profile over
     the relational KG (kg/analytics.py degree_profile)."""
@@ -1103,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccur_pmi": _kg_cooccur_pmi,
         "kg_scd2_history": _kg_scd2_history,
         "kg_merge_components": _kg_merge_components,
+        "kg_snapshot_diff": _kg_snapshot_diff,
         "mm_media_meta": _mm_media_meta,
     }
 
@@ -2142,6 +2161,44 @@ def oracle_sql() -> dict[str, str]:
                        TIMESTAMP '2262-01-01 00:00:00'
                    ) AS valid_to
             FROM hist ORDER BY subj, pred, run_id
+        """,
+        "kg_snapshot_diff": f"""
+            WITH {_KG_OBS_CTE}, facts AS (
+                SELECT subj, pred, obj, count(*) AS n_obs,
+                       min(ts) AS first_seen, max(ts) AS last_seen
+                FROM obs GROUP BY subj, pred, obj
+            ), s1 AS (
+                SELECT subj, pred, obj AS obj_before FROM (
+                    SELECT subj, pred, obj,
+                           row_number() OVER (
+                               PARTITION BY subj, pred
+                               ORDER BY n_obs DESC, last_seen DESC, obj
+                           ) AS pos
+                    FROM facts
+                    WHERE first_seen <= TIMESTAMP '1995-06-30'
+                      AND last_seen >= TIMESTAMP '1995-06-30'
+                ) WHERE pos = 1
+            ), s2 AS (
+                SELECT subj, pred, obj AS obj_after FROM (
+                    SELECT subj, pred, obj,
+                           row_number() OVER (
+                               PARTITION BY subj, pred
+                               ORDER BY n_obs DESC, last_seen DESC, obj
+                           ) AS pos
+                    FROM facts
+                    WHERE first_seen <= TIMESTAMP '1997-06-30'
+                      AND last_seen >= TIMESTAMP '1997-06-30'
+                ) WHERE pos = 1
+            )
+            SELECT subj, pred,
+                   coalesce(obj_before, '') AS obj_before,
+                   coalesce(obj_after, '') AS obj_after,
+                   CASE WHEN obj_before IS NULL THEN 'added'
+                        WHEN obj_after IS NULL THEN 'removed'
+                        WHEN obj_before <> obj_after THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM s1 FULL OUTER JOIN s2 USING (subj, pred)
+            ORDER BY subj, pred
         """,
         # kg_merge_components: the incremental merge must equal
         # from-scratch components over the FULL J>=0.7 pair log — the

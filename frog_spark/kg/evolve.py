@@ -31,6 +31,13 @@ at-scale continuation:
   "what was X's pred at time T". The snapshot is a filter plus ONE
   (subj, pred) window over the already-aggregated facts — no join
   against the observation log.
+* ``snapshot_diff`` — what changed between two as-of reads: the
+  pos=1 (best-evidence) answer per (subj, pred) at T1 full-outer
+  joined against the one at T2, labeled added / removed / changed /
+  unchanged. One window pass per snapshot over the shared
+  (subj, pred) partitioning plus the key-aligned join — at scale the
+  two snapshots come from the same bucketed fact table, so the join
+  is exchange-free.
 * ``scd2_history`` — the warehouse-style type-2 dimension build:
   collapse the (subj, pred) observation stream into consecutive
   same-obj runs, each an effective-dated row [valid_from, valid_to)
@@ -141,6 +148,38 @@ def facts_asof(facts: DataFrame, at) -> DataFrame:
     return active.select(
         *_KEY, "n_obs", "first_seen", "last_seen",
         F.row_number().over(w).alias("pos"),
+    )
+
+
+def snapshot_diff(facts: DataFrame, at1, at2) -> DataFrame:
+    """Diff the best-evidence answers between two as-of snapshots.
+
+    For each (subj, pred) present in either snapshot's pos=1 row:
+    (subj, pred, obj_before, obj_after, change) with change in
+    {'added', 'removed', 'changed', 'unchanged'}; absent sides carry
+    NULL obj_* (added/removed rows).
+    """
+    before = (
+        facts_asof(facts, at1)
+        .filter(F.col("pos") == 1)
+        .select("subj", "pred", F.col("obj").alias("obj_before"))
+    )
+    after = (
+        facts_asof(facts, at2)
+        .filter(F.col("pos") == 1)
+        .select("subj", "pred", F.col("obj").alias("obj_after"))
+    )
+    j = before.join(after, ["subj", "pred"], "full_outer")
+    return j.select(
+        "subj",
+        "pred",
+        "obj_before",
+        "obj_after",
+        F.when(F.col("obj_before").isNull(), "added")
+        .when(F.col("obj_after").isNull(), "removed")
+        .when(F.col("obj_before") != F.col("obj_after"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
     )
 
 

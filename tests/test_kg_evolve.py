@@ -133,6 +133,37 @@ def test_facts_asof_snapshot_and_ranking(spark):
     assert tie == {"Y": 1, "Z": 2, "X": 3}
 
 
+def test_snapshot_diff_labels(spark):
+    from frog_spark.kg.evolve import snapshot_diff, summarize_facts
+
+    rows = [
+        # (s,p): A wins at day 3 (2 obs), B wins at day 9 -> changed
+        ("s", "p", "A", 2), ("s", "p", "A", 4),
+        ("s", "p", "B", 8), ("s", "p", "B", 10),
+        # (s,q): only active around day 3 -> removed by day 9
+        ("s", "q", "C", 2), ("s", "q", "C", 4),
+        # (t,p): only active around day 9 -> added
+        ("t", "p", "D", 8), ("t", "p", "D", 10),
+        # (u,p): same obj active at both -> unchanged
+        ("u", "p", "E", 1), ("u", "p", "E", 12),
+    ]
+    facts = summarize_facts(_obs(spark, rows))
+    got = {
+        (r["subj"], r["pred"]): r
+        for r in snapshot_diff(
+            facts, datetime(2024, 1, 3), datetime(2024, 1, 9)
+        ).collect()
+    }
+    r = got[("s", "p")]
+    assert (r["obj_before"], r["obj_after"], r["change"]) == ("A", "B", "changed")
+    r = got[("s", "q")]
+    assert (r["obj_before"], r["obj_after"], r["change"]) == ("C", None, "removed")
+    r = got[("t", "p")]
+    assert (r["obj_before"], r["obj_after"], r["change"]) == (None, "D", "added")
+    r = got[("u", "p")]
+    assert (r["obj_before"], r["obj_after"], r["change"]) == ("E", "E", "unchanged")
+
+
 def test_scd2_history_runs_and_ranges(spark):
     from frog_spark.kg.evolve import SCD2_OPEN_END, scd2_history
 
