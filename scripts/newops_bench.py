@@ -32,6 +32,7 @@ NAMES = [
     "kg_cooccur_pmi",
     "kg_scd2_history",
     "kg_merge_components",
+    "kg_snapshot_diff",
 ]
 
 
