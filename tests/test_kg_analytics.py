@@ -253,3 +253,19 @@ def test_kg_analytics_degenerate_inputs(spark):
     # self-loops alone: no undirected simple edges -> no triangles
     loops = _edges(spark, [("a", "r", "a"), ("b", "r", "b")])
     assert triangle_count(loops).count() == 0
+    # khop: empty source set and empty edge set both yield empty
+    from frog_spark.kg.analytics import cooccurrence_pmi, khop_distances
+
+    no_src = spark.createDataFrame([], "node string")
+    some = _edges(spark, [("a", "r", "b")])
+    assert khop_distances(some, no_src, k=3).count() == 0
+    src = spark.createDataFrame([("a",)], "node string")
+    only_src = khop_distances(empty, src, k=3)
+    assert {(r["node"], r["dist"]) for r in only_src.collect()} == {("a", 0)}
+    # pmi: no presence rows, and single-item containers (no pairs)
+    no_presence = spark.createDataFrame([], "doc_id string, item string")
+    assert cooccurrence_pmi(no_presence, "doc_id", "item").count() == 0
+    singles = spark.createDataFrame(
+        [("d1", "x"), ("d2", "y")], "doc_id string, item string"
+    )
+    assert cooccurrence_pmi(singles, "doc_id", "item").count() == 0

@@ -217,6 +217,39 @@ def test_scd2_history_same_ts_tie_orders_by_obj(spark):
     assert got == [(1, "A"), (2, "B")]
 
 
+def test_evolve_degenerate_inputs(spark):
+    """Empty sides and out-of-range timestamps: every operator returns
+    an empty/one-sided result with its schema intact."""
+    from frog_spark.kg.evolve import (
+        facts_asof,
+        fact_windows,
+        merge_triples,
+        scd2_history,
+        snapshot_diff,
+        summarize_facts,
+    )
+
+    empty = _obs(spark, [])
+    some = _obs(spark, [("s", "p", "A", 1), ("s", "p", "A", 5)])
+    f_empty, f_some = summarize_facts(empty), summarize_facts(some)
+    # merge with an empty side: everything inserted / unchanged
+    ins = merge_triples(f_empty, f_some).collect()
+    assert [r["change"] for r in ins] == ["inserted"]
+    unch = merge_triples(f_some, f_empty).collect()
+    assert [r["change"] for r in unch] == ["unchanged"]
+    assert merge_triples(f_empty, f_empty).count() == 0
+    # windows / history / snapshot over nothing
+    assert fact_windows(empty).count() == 0
+    assert scd2_history(empty).count() == 0
+    assert snapshot_diff(f_empty, datetime(2024, 1, 1), datetime(2024, 1, 2)).count() == 0
+    # as-of outside every window: empty, schema intact
+    before = facts_asof(f_some, datetime(2023, 1, 1))
+    assert before.count() == 0
+    assert before.columns == [
+        "subj", "pred", "obj", "n_obs", "first_seen", "last_seen", "pos"
+    ]
+
+
 def test_x41_x42_plans_stay_jvm_side(spark):
     import contextlib
     import io
