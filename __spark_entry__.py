@@ -887,7 +887,9 @@ def _kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty 3rd frontier exercises the early-exit."""
     from frog_spark.kg.analytics import khop_distances
 
-    edges = _kg_edges_relational(spark, sf_dir)
+    # materialized once: edges feed BOTH the BFS and the source filter —
+    # without this the lineitem-join derivation executes twice
+    edges = _kg_edges_relational(spark, sf_dir).localCheckpoint(eager=True)
     sources = edges.filter(
         (F.col("pred") == "buys_from") & F.col("subj").endswith("01")
     ).select("subj")
