@@ -1017,6 +1017,61 @@ def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges).orderBy("node")
 
 
+def _kg_edges3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relational KG extended with 'sold_to' (s_name -> c_name) —
+    derived from the same order/lineitem join as 'buys_from' with the
+    roles reversed, i.e. a genuine inverse predicate as emitted by a
+    second extractor version describing the same facts from the other
+    side. Feeds the X50/X51 schema-mining gates."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    orders = F.broadcast(_t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"))
+    sold = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_name").alias("subj"),
+            F.lit("sold_to").alias("pred"),
+            F.col("c_name").alias("obj"),
+        )
+        .distinct()
+    )
+    return _kg_edges_relational(spark, sf_dir).unionByName(sold)
+
+
+def _kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49: Adamic-Adar triangle-closing link prediction over the
+    relational KG (kg/mining.py link_prediction) — top 100 unconnected
+    pairs by score, wedges bounded to neighbors of degree <= 40 (the
+    supplier hubs are excluded by the cap, exactly the nodes whose
+    1/log2(deg) weight is noise)."""
+    from frog_spark.kg.mining import link_prediction
+
+    return link_prediction(
+        _kg_edges_relational(spark, sf_dir), max_neighbor_degree=40, top_k=100
+    )
+
+
+def _kg_pred_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50: per-predicate cardinality/functionality constraint profile
+    (kg/mining.py pred_profile) over the 3-predicate relational KG."""
+    from frog_spark.kg.mining import pred_profile
+
+    return pred_profile(_kg_edges3(spark, sf_dir)).orderBy("pred")
+
+
+def _kg_inverse_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51: inverse/symmetric predicate mining (kg/mining.py
+    inverse_preds) — must discover buys_from <-> sold_to at score 1.0
+    from the edge data alone."""
+    from frog_spark.kg.mining import inverse_preds
+
+    return inverse_preds(_kg_edges3(spark, sf_dir)).orderBy("p", "q")
+
+
 # entries exercise the longest-match-per-position semantics
 _DOC_GAZETTEER = [
     ("op", "table scan"), ("op", "hash join"), ("op", "sort merge"),
@@ -1124,6 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scd2_history": _kg_scd2_history,
         "kg_merge_components": _kg_merge_components,
         "kg_snapshot_diff": _kg_snapshot_diff,
+        "kg_link_prediction": _kg_link_prediction,
+        "kg_pred_profile": _kg_pred_profile,
+        "kg_inverse_preds": _kg_inverse_preds,
         "mm_media_meta": _mm_media_meta,
     }
 
@@ -1154,6 +1212,20 @@ _KG_EDGES_CTE = """
         JOIN supplier ON l_suppkey = s_suppkey
     ), e AS (
         SELECT * FROM supplies UNION ALL SELECT * FROM buys
+    )"""
+
+
+# X50/X51 oracle building block: the 3-predicate KG (mirror of
+# _kg_edges3 — appends the sold_to inverse to _KG_EDGES_CTE's e)
+_KG_EDGES3_CTE = """
+    sold AS (
+        SELECT DISTINCT s_name AS subj, 'sold_to' AS pred, c_name AS obj
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+    ), e3 AS (
+        SELECT * FROM e UNION ALL SELECT * FROM sold
     )"""
 
 
@@ -2201,6 +2273,68 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unchanged' END AS change
             FROM s1 FULL OUTER JOIN s2 USING (subj, pred)
             ORDER BY subj, pred
+        """,
+        # X49: the wedge join + hub cap mirrored exactly; weights are
+        # rounded to 12 before the sum and 6 after (pagerank precedent)
+        # so both engines add identical doubles
+        "kg_link_prediction": f"""
+            WITH {_KG_EDGES_CTE}, und AS (
+                SELECT DISTINCT least(subj, obj) AS a,
+                                greatest(subj, obj) AS b
+                FROM e WHERE subj <> obj
+            ), adj AS (
+                SELECT a AS node, b AS nbr FROM und
+                UNION ALL SELECT b AS node, a AS nbr FROM und
+            ), deg AS (
+                SELECT nbr, count(*) AS nbr_deg FROM adj GROUP BY nbr
+            ), adjn AS (
+                SELECT adj.node, adj.nbr, deg.nbr_deg
+                FROM adj JOIN deg USING (nbr) WHERE nbr_deg <= 40
+            ), scores AS (
+                SELECT w1.node AS a, w2.node AS b,
+                       count(*) AS common_neighbors,
+                       round(sum(round(1.0 / log2(w1.nbr_deg), 12)), 6)
+                           AS aa_score
+                FROM adjn w1
+                JOIN adjn w2 ON w1.nbr = w2.nbr AND w1.node < w2.node
+                GROUP BY w1.node, w2.node
+            )
+            SELECT a, b, common_neighbors, aa_score FROM scores s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM und u WHERE u.a = s.a AND u.b = s.b
+            )
+            ORDER BY aa_score DESC, a, b LIMIT 100
+        """,
+        "kg_pred_profile": f"""
+            WITH {_KG_EDGES_CTE}, {_KG_EDGES3_CTE}, d AS (
+                SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM e3
+            )
+            SELECT p AS pred, count(*) AS n_facts,
+                   count(DISTINCT s) AS n_subj,
+                   count(DISTINCT o) AS n_obj,
+                   round(count(DISTINCT s) / CAST(count(*) AS DOUBLE), 6)
+                       AS functionality,
+                   round(count(DISTINCT o) / CAST(count(*) AS DOUBLE), 6)
+                       AS inv_functionality
+            FROM d GROUP BY p ORDER BY pred
+        """,
+        "kg_inverse_preds": f"""
+            WITH {_KG_EDGES_CTE}, {_KG_EDGES3_CTE}, d AS (
+                SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM e3
+            ), sizes AS (
+                SELECT p, count(*) AS n FROM d GROUP BY p
+            ), ov AS (
+                SELECT d1.p AS p, d2.p AS q, count(*) AS overlap
+                FROM d d1
+                JOIN d d2 ON d1.s = d2.o AND d1.o = d2.s AND d1.p <= d2.p
+                GROUP BY d1.p, d2.p
+            )
+            SELECT ov.p, ov.q, overlap, sp.n AS n_p, sq.n AS n_q,
+                   round(overlap / CAST(least(sp.n, sq.n) AS DOUBLE), 6)
+                       AS score
+            FROM ov JOIN sizes sp ON sp.p = ov.p
+                    JOIN sizes sq ON sq.p = ov.q
+            ORDER BY ov.p, ov.q
         """,
         # kg_merge_components: the incremental merge must equal
         # from-scratch components over the FULL J>=0.7 pair log — the

@@ -14,7 +14,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-NAMES = [
+# default batch; pass query names as argv to bench a subset
+NAMES = sys.argv[1:] or [
     "conv_session_stats",
     "txt_bigram_surprisal",
     "conv_canned_turns",
