@@ -1072,6 +1072,36 @@ def _kg_inverse_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverse_preds(_kg_edges3(spark, sf_dir)).orderBy("p", "q")
 
 
+def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52: 4-iteration synchronous label-propagation communities over
+    the relational KG (kg/analytics.py label_propagation) — integer
+    votes + lexical tie-break, so the oracle unrolls the identical
+    steps with zero float handling."""
+    from frog_spark.kg.analytics import label_propagation
+
+    return label_propagation(
+        _kg_edges_relational(spark, sf_dir), iters=4
+    ).orderBy("node")
+
+
+def _kg_role_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53: role-signature schema induction (kg/mining.py
+    role_signatures) over the 3-predicate KG — discovers the
+    supplier/part/customer entity types from edge structure alone."""
+    from frog_spark.kg.mining import role_signatures
+
+    return role_signatures(_kg_edges3(spark, sf_dir)).orderBy("signature")
+
+
+def _kg_fact_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54: per-(pred, month) fact churn — first-seen / last-seen
+    counts + net (kg/evolve.py fact_churn) over the order-status
+    observation stream."""
+    from frog_spark.kg.evolve import fact_churn
+
+    return fact_churn(_kg_fact_obs(spark, sf_dir)).orderBy("pred", "period")
+
+
 # entries exercise the longest-match-per-position semantics
 _DOC_GAZETTEER = [
     ("op", "table scan"), ("op", "hash join"), ("op", "sort merge"),
@@ -1182,6 +1212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_prediction": _kg_link_prediction,
         "kg_pred_profile": _kg_pred_profile,
         "kg_inverse_preds": _kg_inverse_preds,
+        "kg_communities": _kg_communities,
+        "kg_role_concepts": _kg_role_concepts,
+        "kg_fact_churn": _kg_fact_churn,
         "mm_media_meta": _mm_media_meta,
     }
 
@@ -1273,6 +1306,36 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
         SELECT node, round(1.0 / nn.n, 12) AS rank FROM nodes CROSS JOIN nn
     ), {chain}
     SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node
+    """
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    """Oracle for kg_communities: the same synchronous min-tie-break
+    majority update unrolled as chained CTEs (pagerank pattern; integer
+    votes, so no rounding to align)."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""l{i} AS (
+        SELECT node, label FROM (
+            SELECT adj.node, l.label, count(*) AS votes,
+                   row_number() OVER (PARTITION BY adj.node
+                       ORDER BY count(*) DESC, l.label) AS rn
+            FROM adj JOIN l{i - 1} l ON l.node = adj.nbr
+            GROUP BY adj.node, l.label
+        ) WHERE rn = 1
+    )""")
+    chain = ", ".join(steps)
+    return f"""
+    WITH {_KG_EDGES_CTE}, und AS (
+        SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+        FROM e WHERE subj <> obj
+    ), adj AS (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b AS node, a AS nbr FROM und
+    ), l0 AS (
+        SELECT DISTINCT node, node AS label FROM adj
+    ), {chain}
+    SELECT node, label FROM l{iters} ORDER BY node
     """
 
 
@@ -2335,6 +2398,48 @@ def oracle_sql() -> dict[str, str]:
             FROM ov JOIN sizes sp ON sp.p = ov.p
                     JOIN sizes sq ON sq.p = ov.q
             ORDER BY ov.p, ov.q
+        """,
+        "kg_communities": _lpa_sql(iters=4),
+        "kg_role_concepts": f"""
+            WITH {_KG_EDGES_CTE}, {_KG_EDGES3_CTE}, roles AS (
+                SELECT DISTINCT node, role FROM (
+                    SELECT subj AS node, 'out:' || pred AS role FROM e3
+                    UNION ALL
+                    SELECT obj AS node, 'in:' || pred AS role FROM e3
+                )
+            ), sig AS (
+                SELECT node, string_agg(role, ',' ORDER BY role) AS signature
+                FROM roles GROUP BY node
+            )
+            SELECT signature, count(*) AS n_nodes, min(node) AS sample_node
+            FROM sig GROUP BY signature ORDER BY signature
+        """,
+        "kg_fact_churn": f"""
+            WITH {_KG_OBS_CTE}, facts AS (
+                SELECT subj, pred, obj,
+                       min(ts) AS first_seen, max(ts) AS last_seen
+                FROM obs GROUP BY subj, pred, obj
+            ), nw AS (
+                SELECT pred,
+                       CAST(date_trunc('month', first_seen) AS TIMESTAMP)
+                           AS period,
+                       count(*) AS n_new
+                FROM facts GROUP BY 1, 2
+            ), ls AS (
+                SELECT pred,
+                       CAST(date_trunc('month', last_seen) AS TIMESTAMP)
+                           AS period,
+                       count(*) AS n_last_seen
+                FROM facts GROUP BY 1, 2
+            )
+            SELECT coalesce(nw.pred, ls.pred) AS pred,
+                   coalesce(nw.period, ls.period) AS period,
+                   coalesce(n_new, 0) AS n_new,
+                   coalesce(n_last_seen, 0) AS n_last_seen,
+                   coalesce(n_new, 0) - coalesce(n_last_seen, 0) AS net
+            FROM nw FULL OUTER JOIN ls
+              ON nw.pred = ls.pred AND nw.period = ls.period
+            ORDER BY 1, 2
         """,
         # kg_merge_components: the incremental merge must equal
         # from-scratch components over the FULL J>=0.7 pair log — the

@@ -1,5 +1,7 @@
 """Graph analytics over the constructed knowledge graph: degree
-profiles, triangle counting, fixed-iteration PageRank (X36-X38).
+profiles, triangle counting, fixed-iteration PageRank, BFS hop
+distances, co-occurrence PMI, label-propagation communities
+(X36-X38, X44-X45, X52).
 
 The reference pipeline stops at triple emission (its tst.sh golden
 diffs the annotation output, reference/src/tst.sh:1-4); a KG actually
@@ -43,6 +45,12 @@ Scale notes (what holds at 1000 executors):
   per-doc entity cap) the same way the triangle join bounds wedges;
   counts are presence (distinct container), making every input to the
   one log2 an exact integer — engine-reproducible at round-6.
+* ``label_propagation`` — fixed-iteration synchronous LPA: per round
+  one labels⋈adjacency join plus one (node, label) groupBy + per-node
+  arg-max window — all node-keyed shuffles, localCheckpoint lineage
+  truncation per round, integer votes with a lexical tie-break so the
+  result is exactly engine-reproducible (no float rounding at all) and
+  the oracle unrolls the same steps as chained CTEs.
 * ``pagerank`` — fixed-iteration power method as iterative joins.
   Per iteration: one join ranks⋈edges on src (contributions) and one
   groupBy dst — two shuffles, both on node keys, so a cluster that
@@ -251,6 +259,58 @@ def cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = 4,
+) -> DataFrame:
+    """Fixed-iteration synchronous label-propagation communities over
+    the undirected simple graph of ``edges``.
+
+    Every node starts labeled with its own id; each iteration every
+    node adopts the most frequent label among its neighbors, ties
+    broken by the smallest label string — fully deterministic, so the
+    DuckDB oracle unrolls the same ``iters`` steps as chained CTEs
+    (the pagerank pattern, with an arg-max window instead of a float
+    sum, so there is no rounding to manage at all). ``iters`` is fixed,
+    not convergence-tested: synchronous LPA can oscillate 2-cycles on
+    bipartite structure, and a fixed step count makes the output a
+    well-defined function of the input everywhere. Per iteration: one
+    node-keyed join of labels onto the adjacency plus one (node, label)
+    groupBy + per-node window — all shuffles on node keys, lineage
+    truncated per round with localCheckpoint. Output: (node, label);
+    nodes with no non-loop edge have no neighbors to vote and are
+    absent, like triangle_count's isolated nodes.
+    """
+    from pyspark.sql import Window
+
+    und = _undirected(edges, src, dst)
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)  # consumed every iteration
+    )
+    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    for i in range(iters):
+        nbl = adj.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        labels = (
+            nbl.groupBy("node", "label")
+            .agg(F.count("*").alias("votes"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if i + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
 
 
 def pagerank(

@@ -248,3 +248,32 @@ def scd2_history(obs: DataFrame, ts_col: str = "ts") -> DataFrame:
             F.lit(SCD2_OPEN_END).cast("timestamp"),
         ).alias("valid_to"),
     )
+
+
+def fact_churn(
+    obs: DataFrame, ts_col: str = "ts", grain: str = "month"
+) -> DataFrame:
+    """KG growth monitoring (X54): per (pred, period) counts of facts
+    first observed and last observed in that period, plus the net.
+
+    Output: (pred, period, n_new, n_last_seen, net) — period is
+    date_trunc(grain, ts). A fact is 'new' in the period of its
+    first_seen and 'last seen' in the period of its last_seen (for a
+    live stream the trailing periods' n_last_seen are facts still
+    active, not retirements — the monitor reads the series, not the
+    tail). One fact-keyed groupBy then two tiny (pred, period)
+    aggregates full-outer joined: the output is bounded by
+    |preds| x |periods|, never the fact count.
+    """
+    facts = summarize_facts(obs, ts_col)
+    new = facts.groupBy(
+        "pred", F.date_trunc(grain, "first_seen").alias("period")
+    ).agg(F.count("*").alias("n_new"))
+    last = facts.groupBy(
+        "pred", F.date_trunc(grain, "last_seen").alias("period")
+    ).agg(F.count("*").alias("n_last_seen"))
+    return (
+        new.join(last, ["pred", "period"], "full_outer")
+        .fillna(0, ["n_new", "n_last_seen"])
+        .withColumn("net", F.col("n_new") - F.col("n_last_seen"))
+    )

@@ -1,6 +1,7 @@
 """Graph pattern & constraint mining over the constructed KG:
 triangle-closing link prediction, predicate functionality profiling,
-inverse/symmetric predicate detection (X49-X51).
+inverse/symmetric predicate detection, role-signature schema
+induction (X49-X51, X53).
 
 The reference pipeline emits triples and stops (its tst.sh golden
 diffs annotation output, reference/src/tst.sh:1-4); a KG materialized
@@ -31,6 +32,11 @@ Scale notes (what holds at 1000 executors):
   (after a (s,p,o) distinct keyed on the triple): predicate
   cardinality is tiny, the aggregate is map-side combined, and the
   output is bounded by the schema size, not the data.
+* ``role_signatures`` — two node-keyed shuffles to build each node's
+  distinct role set, then a groupBy on the signature string whose
+  cardinality is the number of DISCOVERED CONCEPTS (schema-sized, not
+  data-sized). The signature string's length is bounded by the
+  predicate count, not the node's edge count.
 * ``inverse_preds`` — the edge table self-joined on the REVERSED node
   pair: join key (subj, obj) vs (obj, subj), one pair-keyed shuffle
   each side, then a groupBy on (pred, pred) whose cardinality is the
@@ -125,6 +131,50 @@ def pred_profile(
         F.round(F.countDistinct("o") / F.count("*"), 6).alias(
             "inv_functionality"
         ),
+    )
+
+
+def role_signatures(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    pred: str = "pred",
+) -> DataFrame:
+    """Schema induction by role signature: group nodes by the exact
+    set of predicate roles they play (out:p for subjects of p, in:p
+    for objects), i.e. the concepts a typeless KG's structure implies —
+    'nodes that supply parts and get bought from' is a discovered
+    entity type without any ontology input.
+
+    Output per distinct signature (the sorted comma-joined role set):
+    (signature, n_nodes, sample_node = min node id). Two node-keyed
+    shuffles (role distinct + per-node collect), then a groupBy on the
+    signature string whose cardinality is the concept count, not the
+    node count. Role strings are ASCII-sorted identically by Spark's
+    sort_array and the oracle's ORDER BY (both binary collation).
+    """
+    e = edges.select(
+        F.col(src).cast("string").alias("s"),
+        F.col(pred).cast("string").alias("p"),
+        F.col(dst).cast("string").alias("o"),
+    )
+    roles = (
+        e.select(
+            F.col("s").alias("node"), F.concat(F.lit("out:"), F.col("p")).alias("role")
+        )
+        .unionAll(
+            e.select(
+                F.col("o").alias("node"),
+                F.concat(F.lit("in:"), F.col("p")).alias("role"),
+            )
+        )
+        .distinct()
+    )
+    sig = roles.groupBy("node").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("role"))).alias("signature")
+    )
+    return sig.groupBy("signature").agg(
+        F.count("*").alias("n_nodes"), F.min("node").alias("sample_node")
     )
 
 

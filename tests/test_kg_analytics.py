@@ -269,3 +269,54 @@ def test_kg_analytics_degenerate_inputs(spark):
         [("d1", "x"), ("d2", "y")], "doc_id string, item string"
     )
     assert cooccurrence_pmi(singles, "doc_id", "item").count() == 0
+
+
+def test_label_propagation_triangle_converges(spark):
+    from frog_spark.kg.analytics import label_propagation
+
+    rows = [("a", "r", "b"), ("b", "r", "c"), ("a", "r", "c")]
+    got = {r["node"]: r["label"]
+           for r in label_propagation(_edges(spark, rows), iters=4).collect()}
+    # round 1 ties all break to the min absent label, round 2 floods
+    # 'a', round 3 is stable: one community labeled by the min node
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_label_propagation_bridged_triangles_two_communities(spark):
+    from frog_spark.kg.analytics import label_propagation
+
+    tri1 = [("a", "r", "b"), ("b", "r", "c"), ("a", "r", "c")]
+    tri2 = [("x", "r", "y"), ("y", "r", "z"), ("x", "r", "z")]
+    bridge = [("c", "r", "x")]
+    got = {r["node"]: r["label"]
+           for r in label_propagation(
+               _edges(spark, tri1 + tri2 + bridge), iters=4).collect()}
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+    assert got["a"] != got["x"]  # the bridge must not merge the cliques
+
+
+def test_label_propagation_fixed_iters_deterministic_oscillation(spark):
+    from frog_spark.kg.analytics import label_propagation
+
+    # a single edge is the bipartite worst case: synchronous LPA swaps
+    # labels every round. Fixed iters makes the output a well-defined
+    # function of the input — even counts restore own labels.
+    rows = [("a", "r", "b")]
+    even = {r["node"]: r["label"]
+            for r in label_propagation(_edges(spark, rows), iters=4).collect()}
+    odd = {r["node"]: r["label"]
+           for r in label_propagation(_edges(spark, rows), iters=3).collect()}
+    assert even == {"a": "a", "b": "b"}
+    assert odd == {"a": "b", "b": "a"}
+
+
+def test_label_propagation_ignores_direction_loops_multiplicity(spark):
+    from frog_spark.kg.analytics import label_propagation
+
+    # self-loop dropped, reversed duplicate collapsed -> same single
+    # edge as above; a loop-only node has no neighbors and is absent
+    rows = [("a", "r", "b"), ("b", "q", "a"), ("w", "r", "w")]
+    got = {r["node"]: r["label"]
+           for r in label_propagation(_edges(spark, rows), iters=2).collect()}
+    assert got == {"a": "a", "b": "b"}

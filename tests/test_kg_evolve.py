@@ -266,3 +266,25 @@ def test_x41_x42_plans_stay_jvm_side(spark):
         assert "BatchEvalPython" not in p and "MapInPandas" not in p, name
         assert "ArrowEvalPython" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_fact_churn_periods(spark):
+    from frog_spark.kg.evolve import fact_churn
+
+    rows = [
+        # fact A: born Jan, last seen Mar; fact B: lives only in Jan;
+        # fact C (other pred): born Mar
+        ("s", "p", "A", "2024-01-05"), ("s", "p", "A", "2024-03-20"),
+        ("s", "p", "B", "2024-01-10"),
+        ("s", "q", "C", "2024-03-01"),
+    ]
+    obs = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r["pred"], str(r["period"])[:7]): (r["n_new"], r["n_last_seen"], r["net"])
+           for r in fact_churn(obs).collect()}
+    assert got == {
+        ("p", "2024-01"): (2, 1, 1),   # A and B born; B's last obs
+        ("p", "2024-03"): (0, 1, -1),  # A last seen
+        ("q", "2024-03"): (1, 1, 0),   # C born and (so far) last seen
+    }

@@ -1,4 +1,4 @@
-"""X49-X51: graph pattern & constraint mining (kg/mining.py).
+"""X49-X51 + X53: graph pattern & constraint mining (kg/mining.py).
 Driver-gate parity (full DuckDB oracles over the relational KG) lives
 in __spark_entry__; these tests pin the semantics on hand-built graphs
 plus the hub-cap scale property.
@@ -149,3 +149,23 @@ def test_mining_empty_and_edgeless_inputs(spark):
     assert pred_profile(loop).count() == 1
     # a self-loop is its own reversal -> symmetric overlap of 1
     assert inverse_preds(loop).collect()[0]["score"] == 1.0
+
+
+def test_role_signatures_discovers_concepts(spark):
+    from frog_spark.kg.mining import role_signatures
+
+    rows = [
+        # s1/s2 play identical roles (supply + get bought from);
+        # p1/p2 are pure objects of 'supplies'; c1 a pure subject
+        ("s1", "supplies", "p1"), ("s1", "supplies", "p2"),
+        ("s2", "supplies", "p1"),
+        ("c1", "buys_from", "s1"), ("c1", "buys_from", "s2"),
+        ("c1", "buys_from", "s2"),  # duplicate fact collapses
+    ]
+    got = {r["signature"]: (r["n_nodes"], r["sample_node"])
+           for r in role_signatures(_edges(spark, rows)).collect()}
+    assert got == {
+        "in:buys_from,out:supplies": (2, "s1"),
+        "in:supplies": (2, "p1"),
+        "out:buys_from": (1, "c1"),
+    }
