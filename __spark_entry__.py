@@ -1102,6 +1102,26 @@ def _kg_fact_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_churn(_kg_fact_obs(spark, sf_dir)).orderBy("pred", "period")
 
 
+def _kg_metapath_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55: 2-edge metapath cardinalities over the 3-predicate KG
+    (kg/analytics.py metapath_stats) — degree-product aggregation, so
+    the ~10^8 sf0.1 paths through supplier hubs are counted without
+    one path row ever existing."""
+    from frog_spark.kg.analytics import metapath_stats
+
+    return metapath_stats(_kg_edges3(spark, sf_dir)).orderBy("p", "q")
+
+
+def _rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56: ordered conversion funnel view -> click -> purchase over
+    the events stream (operators/events.py funnel)."""
+    from frog_spark.operators.events import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    ).orderBy("stage_idx")
+
+
 # entries exercise the longest-match-per-position semantics
 _DOC_GAZETTEER = [
     ("op", "table scan"), ("op", "hash join"), ("op", "sort merge"),
@@ -1215,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _kg_communities,
         "kg_role_concepts": _kg_role_concepts,
         "kg_fact_churn": _kg_fact_churn,
+        "kg_metapath_stats": _kg_metapath_stats,
+        "rel_funnel": _rel_funnel,
         "mm_media_meta": _mm_media_meta,
     }
 
@@ -2440,6 +2462,44 @@ def oracle_sql() -> dict[str, str]:
             FROM nw FULL OUTER JOIN ls
               ON nw.pred = ls.pred AND nw.period = ls.period
             ORDER BY 1, 2
+        """,
+        "kg_metapath_stats": f"""
+            WITH {_KG_EDGES_CTE}, {_KG_EDGES3_CTE}, d AS (
+                SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM e3
+            ), arrive AS (
+                SELECT p, o AS mid, count(*) AS n_in FROM d GROUP BY 1, 2
+            ), depart AS (
+                SELECT p AS q, s AS mid, count(*) AS n_out FROM d GROUP BY 1, 2
+            )
+            SELECT arrive.p, depart.q,
+                   CAST(sum(n_in * n_out) AS BIGINT) AS n_paths,
+                   count(*) AS n_mid
+            FROM arrive JOIN depart USING (mid)
+            GROUP BY arrive.p, depart.q
+            ORDER BY arrive.p, depart.q
+        """,
+        "rel_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON s1.user_id = e.user_id
+                 AND e.ts >= s1.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON s2.user_id = e.user_id
+                 AND e.ts >= s2.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            ORDER BY stage_idx
         """,
         # kg_merge_components: the incremental merge must equal
         # from-scratch components over the FULL J>=0.7 pair log — the

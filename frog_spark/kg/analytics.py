@@ -1,7 +1,7 @@
 """Graph analytics over the constructed knowledge graph: degree
 profiles, triangle counting, fixed-iteration PageRank, BFS hop
-distances, co-occurrence PMI, label-propagation communities
-(X36-X38, X44-X45, X52).
+distances, co-occurrence PMI, label-propagation communities, metapath
+cardinality statistics (X36-X38, X44-X45, X52, X55).
 
 The reference pipeline stops at triple emission (its tst.sh golden
 diffs the annotation output, reference/src/tst.sh:1-4); a KG actually
@@ -45,6 +45,11 @@ Scale notes (what holds at 1000 executors):
   per-doc entity cap) the same way the triangle join bounds wedges;
   counts are presence (distinct container), making every input to the
   one log2 an exact integer — engine-reproducible at round-6.
+* ``metapath_stats`` — length-2 path counts as a degree-product
+  aggregate: two (pred, node) groupBys joined on the node, products
+  summed — a hub carrying in*out = 10^11 paths costs one
+  multiplication instead of 10^11 join rows. Path statistics at a
+  scale where enumeration is physically impossible.
 * ``label_propagation`` — fixed-iteration synchronous LPA: per round
   one labels⋈adjacency join plus one (node, label) groupBy + per-node
   arg-max window — all node-keyed shuffles, localCheckpoint lineage
@@ -257,6 +262,50 @@ def cooccurrence_pmi(
                 ),
                 6,
             ).alias("pmi"),
+        )
+    )
+
+
+def metapath_stats(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    pred: str = "pred",
+) -> DataFrame:
+    """2-edge metapath cardinality statistics — the join-selectivity
+    numbers a KG query planner needs — WITHOUT enumerating paths.
+
+    For each predicate pair (p, q): n_paths = number of length-2
+    directed paths (a)-[p]->(m)-[q]->(b), n_mid = number of distinct
+    middle nodes carrying them. The count is computed as
+    sum over m of in_count(p, m) * out_count(q, m): two (pred, node)
+    aggregates joined on the node and multiplied — so a supplier hub
+    carrying 500x600 = 300k paths costs ONE multiplication, not 300k
+    join rows. At 10^12 edges the enumeration is impossible and this
+    aggregate form is the only one that runs; output cardinality is
+    |preds|^2, schema-sized.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("s"),
+            F.col(pred).cast("string").alias("p"),
+            F.col(dst).cast("string").alias("o"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by both aggregates
+    )
+    arrive = e.groupBy(F.col("p"), F.col("o").alias("mid")).agg(
+        F.count("*").alias("n_in")
+    )
+    depart = e.groupBy(F.col("p").alias("q"), F.col("s").alias("mid")).agg(
+        F.count("*").alias("n_out")
+    )
+    return (
+        arrive.join(depart, "mid")
+        .groupBy("p", "q")
+        .agg(
+            F.sum(F.col("n_in") * F.col("n_out")).alias("n_paths"),
+            F.count("*").alias("n_mid"),
         )
     )
 

@@ -320,3 +320,33 @@ def test_label_propagation_ignores_direction_loops_multiplicity(spark):
     got = {r["node"]: r["label"]
            for r in label_propagation(_edges(spark, rows), iters=2).collect()}
     assert got == {"a": "a", "b": "b"}
+
+
+def test_metapath_stats_degree_product(spark):
+    from frog_spark.kg.analytics import metapath_stats
+
+    rows = [
+        # mid m: 2 p-edges in, 3 q-edges out -> 6 paths; mid m2: 1 in,
+        # 1 out -> 1 path. (p,q) total: 7 paths over 2 mids.
+        ("a", "p", "m"), ("b", "p", "m"),
+        ("m", "q", "x"), ("m", "q", "y"), ("m", "q", "z"),
+        ("c", "p", "m2"), ("m2", "q", "w"),
+        # a duplicate edge must not inflate the counts
+        ("a", "p", "m"),
+    ]
+    got = {(r["p"], r["q"]): (r["n_paths"], r["n_mid"])
+           for r in metapath_stats(_edges(spark, rows)).collect()}
+    assert got[("p", "q")] == (7, 2)
+    # q-edges arrive at x/y/z/w, nothing departs them; p departs a/b/c,
+    # nothing arrives there -> no (q, *) or (*, p) rows
+    assert all(k == ("p", "q") for k in got)
+
+
+def test_metapath_stats_chain_same_pred(spark):
+    from frog_spark.kg.analytics import metapath_stats
+
+    # a -p-> b -p-> c: one (p,p) path through mid b
+    rows = [("a", "p", "b"), ("b", "p", "c")]
+    got = {(r["p"], r["q"]): (r["n_paths"], r["n_mid"])
+           for r in metapath_stats(_edges(spark, rows)).collect()}
+    assert got == {("p", "p"): (1, 1)}

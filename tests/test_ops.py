@@ -658,3 +658,75 @@ def test_pipeline_broadcast_invalidated_on_model_swap(spark):
     assert getattr(pipe, "_sent_cache", None) is None
     ann2 = annotate_transcripts(spark, transcripts_df(spark, n_turns=6), pipe)
     assert ann2.count() == ann1.count()
+
+
+# ---------------------------------------------------------------------------
+# X56: ordered conversion funnel (operators/events.py)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_funnel_order_matters(spark):
+    from frog_spark.operators.events import funnel
+
+    rows = [
+        # u1 completes in order
+        (1, "view", "2024-01-01 00:01:00"),
+        (1, "click", "2024-01-01 00:02:00"),
+        (1, "purchase", "2024-01-01 00:03:00"),
+        # u2's only click precedes the view: stage 1 only
+        (2, "click", "2024-01-01 00:01:00"),
+        (2, "view", "2024-01-01 00:02:00"),
+        # u3's purchase precedes the click: stage 2 only
+        (3, "view", "2024-01-01 00:01:00"),
+        (3, "purchase", "2024-01-01 00:01:30"),
+        (3, "click", "2024-01-01 00:02:00"),
+        # u4 never views: not in the funnel at all
+        (4, "click", "2024-01-01 00:01:00"),
+        (4, "purchase", "2024-01-01 00:02:00"),
+    ]
+    got = [
+        (r["stage_idx"], r["stage"], r["n_users"])
+        for r in funnel(_events(spark, rows), ["view", "click", "purchase"])
+        .orderBy("stage_idx")
+        .collect()
+    ]
+    assert got == [(1, "view", 3), (2, "click", 2), (3, "purchase", 1)]
+
+
+def test_funnel_equal_timestamp_and_greedy_witness(spark):
+    from frog_spark.operators.events import funnel
+
+    rows = [
+        # same-instant step counts (>=, not >)
+        (1, "view", "2024-01-01 00:01:00"),
+        (1, "click", "2024-01-01 00:01:00"),
+        # the greedy earliest-witness property: u2's FIRST view (00:01)
+        # admits the 00:02 click even though a later view (00:03) would
+        # not; earliest-first dominates every other witness chain
+        (2, "view", "2024-01-01 00:01:00"),
+        (2, "click", "2024-01-01 00:02:00"),
+        (2, "view", "2024-01-01 00:03:00"),
+    ]
+    got = {r["stage"]: r["n_users"]
+           for r in funnel(_events(spark, rows), ["view", "click"]).collect()}
+    assert got == {"view": 2, "click": 2}
+
+
+def test_funnel_single_step_and_empty(spark):
+    from frog_spark.operators.events import funnel
+
+    rows = [(1, "view", "2024-01-01 00:01:00")]
+    got = funnel(_events(spark, rows), ["view"]).collect()
+    assert [(r["stage_idx"], r["n_users"]) for r in got] == [(1, 1)]
+    got0 = funnel(_events(spark, []), ["view", "click"]).collect()
+    assert [(r["n_users"]) for r in got0] == [0, 0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel(_events(spark, rows), [])
