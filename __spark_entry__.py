@@ -1112,6 +1112,29 @@ def _kg_metapath_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metapath_stats(_kg_edges3(spark, sf_dir)).orderBy("p", "q")
 
 
+def _kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57: deterministic k=8 out-neighbor sample over the relational
+    KG (kg/sampling.py neighbor_sample) — GraphSAGE-style fan-out cap,
+    identical across re-runs/partitionings/engines by md5 order."""
+    from frog_spark.kg.sampling import neighbor_sample
+
+    return neighbor_sample(_kg_edges_relational(spark, sf_dir), k=8).orderBy(
+        "node", "sample_rank"
+    )
+
+
+def _kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58: hash-ring negative sampling over the 3-predicate KG
+    (kg/sampling.py negative_samples) — one corrupted object per fact,
+    drawn by md5(fact) mod |V| against a zipWithIndex-style global
+    node rank (256-row driver state, no global sort)."""
+    from frog_spark.kg.sampling import negative_samples
+
+    return negative_samples(_kg_edges3(spark, sf_dir)).orderBy(
+        "subj", "pred", "obj"
+    )
+
+
 def _rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X56: ordered conversion funnel view -> click -> purchase over
     the events stream (operators/events.py funnel)."""
@@ -1236,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_role_concepts": _kg_role_concepts,
         "kg_fact_churn": _kg_fact_churn,
         "kg_metapath_stats": _kg_metapath_stats,
+        "kg_neighbor_sample": _kg_neighbor_sample,
+        "kg_negative_samples": _kg_negative_samples,
         "rel_funnel": _rel_funnel,
         "mm_media_meta": _mm_media_meta,
     }
@@ -2477,6 +2502,45 @@ def oracle_sql() -> dict[str, str]:
             FROM arrive JOIN depart USING (mid)
             GROUP BY arrive.p, depart.q
             ORDER BY arrive.p, depart.q
+        """,
+        "kg_neighbor_sample": f"""
+            WITH {_KG_EDGES_CTE}, d AS (
+                SELECT DISTINCT subj AS node, obj AS nbr FROM e
+            ), r AS (
+                SELECT node, nbr, row_number() OVER (
+                    PARTITION BY node ORDER BY md5(node || chr(31) || nbr)
+                ) AS sample_rank
+                FROM d
+            )
+            SELECT node, nbr, sample_rank FROM r WHERE sample_rank <= 8
+            ORDER BY node, sample_rank
+        """,
+        # the oracle ranks nodes with ONE row_number over the md5
+        # order; the operator computes the same rank distributively
+        # (per-bucket windows + a 256-row offset table) — identical
+        # dense ranks because the bucket is the md5's own prefix
+        "kg_negative_samples": f"""
+            WITH {_KG_EDGES_CTE}, {_KG_EDGES3_CTE}, d AS (
+                SELECT DISTINCT subj AS s, pred AS pr, obj AS o FROM e3
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT s AS node FROM d UNION ALL SELECT o FROM d
+                )
+            ), rk AS (
+                SELECT node,
+                       row_number() OVER (ORDER BY md5(node)) - 1 AS grank
+                FROM nodes
+            ), nn AS (SELECT count(*) AS n FROM nodes),
+            pick AS (
+                SELECT s, pr, o,
+                       ('0x' || substr(md5(s || chr(31) || pr || chr(31)
+                            || o || '#neg'), 1, 15))::BIGINT % nn.n AS g
+                FROM d CROSS JOIN nn
+            )
+            SELECT s AS subj, pr AS pred, o AS obj, rk.node AS neg_obj
+            FROM pick JOIN rk ON rk.grank = pick.g
+            WHERE rk.node <> pick.o
+            ORDER BY subj, pred, obj
         """,
         "rel_funnel": """
             WITH s1 AS (
