@@ -1123,6 +1123,18 @@ def _kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59: deterministic 4-step DeepWalk corpus over the relational
+    KG (kg/sampling.py random_walks) — one walk per out-degreed node,
+    draws by md5(walk, step, node) mod outdeg, sink stops exercised
+    (part-name nodes have no out-edges)."""
+    from frog_spark.kg.sampling import random_walks
+
+    return random_walks(_kg_edges_relational(spark, sf_dir), k=4).orderBy(
+        "walk_id", "step"
+    )
+
+
 def _kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X58: hash-ring negative sampling over the 3-predicate KG
     (kg/sampling.py negative_samples) — one corrupted object per fact,
@@ -1261,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_metapath_stats": _kg_metapath_stats,
         "kg_neighbor_sample": _kg_neighbor_sample,
         "kg_negative_samples": _kg_negative_samples,
+        "kg_random_walks": _kg_random_walks,
         "rel_funnel": _rel_funnel,
         "mm_media_meta": _mm_media_meta,
     }
@@ -1383,6 +1396,39 @@ def _lpa_sql(iters: int = 4) -> str:
         SELECT DISTINCT node, node AS label FROM adj
     ), {chain}
     SELECT node, label FROM l{iters} ORDER BY node
+    """
+
+
+def _walks_sql(k: int = 4) -> str:
+    """Oracle for kg_random_walks: the same per-step draw + (node,
+    rank) join unrolled as chained CTEs (khop/pagerank pattern)."""
+    steps, selects = [], ["SELECT walk_id, 0 AS step, node FROM w0"]
+    for i in range(1, k + 1):
+        steps.append(f"""w{i} AS (
+        SELECT w.walk_id, adj.nbr AS node
+        FROM w{i - 1} w
+        JOIN deg ON deg.node = w.node
+        JOIN adj ON adj.node = w.node
+         AND adj.rank = 1 + ('0x' || substr(md5(w.walk_id || chr(31)
+                || '{i}' || chr(31) || w.node), 1, 15))::BIGINT % deg.outdeg
+    )""")
+        selects.append(f"SELECT walk_id, {i}, node FROM w{i}")
+    chain = ", ".join(steps)
+    union = "\n            UNION ALL ".join(selects)
+    return f"""
+    WITH {_KG_EDGES_CTE}, d AS (
+        SELECT DISTINCT subj AS node, obj AS nbr FROM e
+    ), adj AS (
+        SELECT node, nbr, row_number() OVER (
+            PARTITION BY node ORDER BY md5(node || chr(31) || nbr)
+        ) AS rank FROM d
+    ), deg AS (
+        SELECT node, max(rank) AS outdeg FROM adj GROUP BY node
+    ), w0 AS (
+        SELECT node AS walk_id, node FROM deg
+    ), {chain}
+    {union}
+    ORDER BY walk_id, step
     """
 
 
@@ -2515,6 +2561,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, nbr, sample_rank FROM r WHERE sample_rank <= 8
             ORDER BY node, sample_rank
         """,
+        "kg_random_walks": _walks_sql(k=4),
         # the oracle ranks nodes with ONE row_number over the md5
         # order; the operator computes the same rank distributively
         # (per-bucket windows + a 256-row offset table) — identical

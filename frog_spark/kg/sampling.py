@@ -1,5 +1,6 @@
-"""KG training-data export: deterministic neighbor sampling and
-hash-ring negative sampling (X57-X58).
+"""KG training-data export: deterministic neighbor sampling,
+hash-ring negative sampling, and a DeepWalk-style random-walk corpus
+(X57-X59).
 
 A KG materialized from 10^12 turns is not an endpoint — it feeds
 representation learning (GraphSAGE/KG-embedding training), and the two
@@ -19,6 +20,13 @@ Scale notes (what holds at 1000 executors):
   deg·log(deg) sort inside its own partition — for graphs where one
   node's adjacency exceeds a partition, pre-aggregate with the salted
   two-stage top-k in functions/skew.py (same contract, two shuffles).
+* ``random_walks`` — the walk state is one row per walker, and each
+  step is one node-keyed join (compute the draw from the out-degree)
+  plus one (node, rank) EQUALITY join into the ranked adjacency — a
+  celebrity node contributes one row per walker per step, never a
+  deg-wide fan-out. Hash draws mean no RNG state: any walk can be
+  regenerated from (start, step) alone, so the export is resumable
+  and the oracle unrolls the same k steps.
 * ``negative_samples`` — the classic scale trap is "pick a uniformly
   random node", which naively needs a globally indexed node table
   (one giant sort). Here the global dense rank is computed the
@@ -71,6 +79,73 @@ def neighbor_sample(
         e.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    k: int,
+    src: str = "subj",
+    dst: str = "obj",
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """DeepWalk-style walk corpus: one k-step uniform random walk per
+    start node, deterministic by hash (no RNG state).
+
+    Step i moves from node v to the neighbor whose md5-order adjacency
+    rank equals 1 + md5(walk_id, i, v) mod outdeg(v) — a fresh draw
+    per (walk, step, node), so revisits re-draw rather than loop.
+    Walks stop early at sinks (no out-edges). Output:
+    (walk_id, step, node) with step 0..k; walk_id is the start node.
+
+    Per step: one node-keyed join against the out-degree table to
+    compute the draw, then one (node, rank)-keyed EQUALITY join
+    against the ranked adjacency — a celebrity node's 10^6-row
+    adjacency contributes exactly one row per walker, never a deg-wide
+    fan-out that a join-then-filter formulation would materialize.
+    Frontier lineage is localCheckpoint-truncated per step (khop
+    precedent). ``sources`` (one-column) defaults to every node with
+    an out-edge.
+    """
+    e = edges.select(
+        F.col(src).cast("string").alias("node"),
+        F.col(dst).cast("string").alias("nbr"),
+    ).distinct()
+    w = Window.partitionBy("node").orderBy(
+        F.md5(F.concat(F.col("node"), F.lit(_SEP), F.col("nbr")))
+    )
+    adj = e.withColumn("rank", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )  # consumed every step
+    deg = adj.groupBy("node").agg(F.max("rank").alias("outdeg"))
+    if sources is None:
+        starts = deg.select("node")
+    else:
+        starts = sources.select(
+            F.col(sources.columns[0]).cast("string").alias("node")
+        ).distinct()
+    cur = starts.withColumn("walk_id", F.col("node")).select("walk_id", "node")
+    out = cur.withColumn("step", F.lit(0).cast("long"))
+    for i in range(1, k + 1):
+        draw = F.lit(1) + F.pmod(
+            _md5_long(
+                F.concat(
+                    F.col("walk_id"), F.lit(_SEP), F.lit(str(i)), F.lit(_SEP),
+                    F.col("node"),
+                )
+            ),
+            F.col("outdeg"),
+        )
+        cur = (
+            cur.join(deg, "node")
+            .withColumn("rank", draw)
+            .join(adj, ["node", "rank"])
+            .select("walk_id", F.col("nbr").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            cur.withColumn("step", F.lit(i).cast("long"))
+        )
+    return out
 
 
 def negative_samples(

@@ -90,3 +90,50 @@ def test_sampling_empty_inputs(spark):
     got = negative_samples(empty)
     assert got.count() == 0
     assert got.columns == ["subj", "pred", "obj", "neg_obj"]
+
+
+def _py_walk(adjacency: dict, start: str, k: int):
+    """Pure-Python replication of random_walks' hash draws."""
+    ranked = {
+        n: sorted(nbrs, key=lambda x, n=n: _md5(f"{n}\x1f{x}"))
+        for n, nbrs in adjacency.items()
+    }
+    path, cur = [(0, start)], start
+    for i in range(1, k + 1):
+        nbrs = ranked.get(cur)
+        if not nbrs:
+            break
+        g = int(_md5(f"{start}\x1f{i}\x1f{cur}")[:15], 16) % len(nbrs)
+        cur = nbrs[g]  # rank g+1 in 1-based terms
+        path.append((i, cur))
+    return path
+
+
+def test_random_walks_match_python_and_stop_at_sinks(spark):
+    from frog_spark.kg.sampling import random_walks
+
+    rows = [("a", "r", "b"), ("a", "r", "c"), ("b", "r", "c")]  # c is a sink
+    adjacency = {"a": ["b", "c"], "b": ["c"]}
+    got = {}
+    for r in random_walks(_edges(spark, rows), k=3).collect():
+        got.setdefault(r["walk_id"], []).append((r["step"], r["node"]))
+    # starts default to out-degreed nodes: a and b, never the sink c
+    assert set(got) == {"a", "b"}
+    for start in ("a", "b"):
+        assert sorted(got[start]) == _py_walk(adjacency, start, 3)
+    # b's walk is forced to c and stops there: steps 0 and 1 only
+    assert sorted(got["b"]) == [(0, "b"), (1, "c")]
+
+
+def test_random_walks_sources_and_partition_invariance(spark):
+    from frog_spark.kg.sampling import random_walks
+
+    rows = [(f"n{i}", "r", f"n{(i * 3 + 1) % 10}") for i in range(10)]
+    srcs = spark.createDataFrame([("n0",), ("n5",)], "node string")
+    a = random_walks(_edges(spark, rows), k=5, sources=srcs)
+    b = random_walks(_edges(spark, rows).repartition(7), k=5, sources=srcs)
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert ra == rb
+    assert {t[0] for t in ra} == {"n0", "n5"}
+    # every walker on this sink-free graph takes all 5 steps
+    assert len(ra) == 12
