@@ -1123,6 +1123,55 @@ def _kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_timed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamped KG edges for X60: (c_name)-[buys_from @o_orderdate]->
+    (s_name) and (s_name)-[supplies @l_shipdate]->(p_name) — orders
+    precede their shipments, so time-respecting buys_from->supplies
+    chains genuinely differ from the untimed metapath count."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    prt = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_name"))
+    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    orders = F.broadcast(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    buys = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("buys_from").alias("pred"),
+            F.col("s_name").alias("obj"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    ships = (
+        li.select("l_suppkey", "l_partkey", "l_shipdate")
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(prt, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("s_name").alias("subj"),
+            F.lit("supplies").alias("pred"),
+            F.col("p_name").alias("obj"),
+            F.col("l_shipdate").alias("ts"),
+        )
+    )
+    return buys.unionByName(ships)
+
+
+def _kg_time_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60: time-respecting 2-path counts (kg/analytics.py
+    time_respecting_paths) — buys_from->supplies chains where the
+    shipment is at or after the order."""
+    from frog_spark.kg.analytics import time_respecting_paths
+
+    return time_respecting_paths(_kg_timed_edges(spark, sf_dir)).orderBy(
+        "p", "q"
+    )
+
+
 def _kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X59: deterministic 4-step DeepWalk corpus over the relational
     KG (kg/sampling.py random_walks) — one walk per out-degreed node,
@@ -1274,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_sample": _kg_neighbor_sample,
         "kg_negative_samples": _kg_negative_samples,
         "kg_random_walks": _kg_random_walks,
+        "kg_time_paths": _kg_time_paths,
         "rel_funnel": _rel_funnel,
         "mm_media_meta": _mm_media_meta,
     }
@@ -2562,6 +2612,48 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY node, sample_rank
         """,
         "kg_random_walks": _walks_sql(k=4),
+        # X60: in-edges sort before out-edges at equal ts (is_in DESC)
+        # so t2 == t1 counts; tied out-rows order freely — the running
+        # sum reads only in-rows, so every order gives the same value
+        "kg_time_paths": """
+            WITH raw AS (
+                SELECT c_name AS s, 'buys_from' AS p, s_name AS o,
+                       o_orderdate AS ts
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                UNION ALL
+                SELECT s_name, 'supplies', p_name, l_shipdate
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN part ON l_partkey = p_partkey
+            ), e AS (
+                SELECT DISTINCT s, p, o, ts FROM raw
+            ), pin AS (
+                SELECT DISTINCT o AS mid, p FROM e
+            ), uni AS (
+                SELECT o AS mid, p, ts, 1 AS cnt, 1 AS is_in,
+                       NULL AS q
+                FROM e
+                UNION ALL
+                SELECT e.s AS mid, pin.p, e.ts, 0, 0, e.p AS q
+                FROM e JOIN pin ON pin.mid = e.s
+            ), r AS (
+                SELECT mid, p, q, is_in,
+                       sum(cnt) OVER (
+                           PARTITION BY mid, p
+                           ORDER BY ts, is_in DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW
+                       ) AS run
+                FROM uni
+            )
+            SELECT p, q, CAST(sum(run) AS BIGINT) AS n_paths,
+                   count(DISTINCT mid) AS n_mid
+            FROM r WHERE is_in = 0 AND run > 0
+            GROUP BY p, q ORDER BY p, q
+        """,
         # the oracle ranks nodes with ONE row_number over the md5
         # order; the operator computes the same rank distributively
         # (per-bucket windows + a 256-row offset table) — identical

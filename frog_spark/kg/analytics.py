@@ -310,6 +310,70 @@ def metapath_stats(
     )
 
 
+def time_respecting_paths(
+    obs: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    pred: str = "pred",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-respecting 2-path counts over timestamped edges: for each
+    predicate pair (p, q), the number of paths (a)-[p @t1]->(m)-[q
+    @t2]->(b) with t2 >= t1 — the temporal-graph statistic (influence
+    / flow CAN only travel forward in time, so the untimed metapath
+    count overstates reachability).
+
+    Like metapath_stats, no path is ever materialized: per (mid, p)
+    the in-edges and out-edges merge into one timestamp-ordered stream
+    and a running in-count is read at each out-edge (in-edges sort
+    before out-edges at equal timestamps, so t2 == t1 counts). The
+    out-edge stream is paired with the mid's IN-predicates first — a
+    schema-sized fan-out (<= |preds| rows per out-edge), never a
+    path-sized one. Shuffles: the (mid, p) window plus the tiny
+    (p, q) aggregate. Output: (p, q, n_paths, n_mid).
+    """
+    from pyspark.sql import Window
+
+    e = obs.select(
+        F.col(src).cast("string").alias("s"),
+        F.col(pred).cast("string").alias("p"),
+        F.col(dst).cast("string").alias("o"),
+        F.col(ts_col).alias("ts"),
+    ).distinct()
+    e = e.localCheckpoint(eager=True)  # consumed 3x: in, in-pred set, out
+    pin = e.select(F.col("o").alias("mid"), "p").distinct()
+    inn = e.select(
+        F.col("o").alias("mid"),
+        "p",
+        "ts",
+        F.lit(1).alias("cnt"),
+        F.lit(1).alias("is_in"),
+        F.lit(None).cast("string").alias("q"),
+    )
+    outs = (
+        e.select(F.col("s").alias("mid"), F.col("p").alias("q"), "ts")
+        .join(pin, "mid")
+        .select(
+            "mid", "p", "ts",
+            F.lit(0).alias("cnt"), F.lit(0).alias("is_in"), "q",
+        )
+    )
+    w = (
+        Window.partitionBy("mid", "p")
+        .orderBy(F.col("ts").asc(), F.col("is_in").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = (
+        inn.unionByName(outs)
+        .withColumn("run", F.sum("cnt").over(w))
+        .where((F.col("is_in") == 0) & (F.col("run") > 0))
+    )
+    return r.groupBy("p", "q").agg(
+        F.sum("run").alias("n_paths"),
+        F.countDistinct("mid").alias("n_mid"),
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "subj",

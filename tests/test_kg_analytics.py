@@ -350,3 +350,39 @@ def test_metapath_stats_chain_same_pred(spark):
     got = {(r["p"], r["q"]): (r["n_paths"], r["n_mid"])
            for r in metapath_stats(_edges(spark, rows)).collect()}
     assert got == {("p", "p"): (1, 1)}
+
+
+def _tedges(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_time_respecting_paths_forward_only(spark):
+    from frog_spark.kg.analytics import time_respecting_paths
+
+    rows = [
+        ("a", "p", "m", "2024-01-01"), ("b", "p", "m", "2024-01-03"),
+        ("m", "q", "x", "2024-01-02"), ("m", "q", "y", "2024-01-04"),
+        ("m", "q", "x", "2024-01-02"),  # duplicate edge collapses
+    ]
+    got = {(r["p"], r["q"]): (r["n_paths"], r["n_mid"])
+           for r in time_respecting_paths(_tedges(spark, rows)).collect()}
+    # out@02 sees in@01 (1 path); out@04 sees in@01+in@03 (2 paths);
+    # the untimed metapath count would say 2*2 = 4
+    assert got == {("p", "q"): (3, 1)}
+
+
+def test_time_respecting_paths_equal_ts_and_no_backward(spark):
+    from frog_spark.kg.analytics import time_respecting_paths
+
+    # same-instant hop counts (t2 >= t1); a strictly earlier out does not
+    rows = [
+        ("a", "p", "m", "2024-01-05"), ("m", "q", "x", "2024-01-05"),
+        ("m", "q", "z", "2024-01-01"),
+        # a second mid with only backward flow: no paths at all
+        ("c", "p", "n", "2024-02-01"), ("n", "q", "w", "2024-01-15"),
+    ]
+    got = {(r["p"], r["q"]): (r["n_paths"], r["n_mid"])
+           for r in time_respecting_paths(_tedges(spark, rows)).collect()}
+    assert got == {("p", "q"): (1, 1)}

@@ -137,3 +137,26 @@ def test_random_walks_sources_and_partition_invariance(spark):
     assert {t[0] for t in ra} == {"n0", "n5"}
     # every walker on this sink-free graph takes all 5 steps
     assert len(ra) == 12
+
+
+def test_walks_traverse_only_real_edges(spark):
+    """Cross-operator consistency: every consecutive (step i -> i+1)
+    pair in the walk corpus is an edge of the input graph, and every
+    sampled neighbor is a real out-neighbor — the property a
+    representation-learning consumer silently depends on."""
+    from frog_spark.kg.sampling import neighbor_sample, random_walks
+
+    rows = [(f"n{i}", "r", f"n{(i * 7 + 3) % 20}") for i in range(40)]
+    edges = _edges(spark, rows)
+    eset = {(s, o) for s, _, o in rows}
+    walks = {}
+    for r in random_walks(edges, k=4).collect():
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    n_hops = 0
+    for path in walks.values():
+        for i in range(1, max(path) + 1):
+            assert (path[i - 1], path[i]) in eset
+            n_hops += 1
+    assert n_hops > 0
+    for r in neighbor_sample(edges, k=3).collect():
+        assert (r["node"], r["nbr"]) in eset
