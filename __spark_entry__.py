@@ -1123,6 +1123,20 @@ def _kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61: 5-iteration personalized PageRank from the customer nodes
+    whose name ends in '01' (kg/analytics.py personalized_pagerank) —
+    the khop gate's seed set, so the two gates describe the same
+    neighborhood with hop counts vs restart-walk relevance."""
+    from frog_spark.kg.analytics import personalized_pagerank
+
+    edges = _kg_edges_relational(spark, sf_dir).localCheckpoint(eager=True)
+    sources = edges.filter(
+        (F.col("pred") == "buys_from") & F.col("subj").endswith("01")
+    ).select("subj")
+    return personalized_pagerank(edges, sources, iters=5).orderBy("node")
+
+
 def _kg_timed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamped KG edges for X60: (c_name)-[buys_from @o_orderdate]->
     (s_name) and (s_name)-[supplies @l_shipdate]->(p_name) — orders
@@ -1324,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": _kg_negative_samples,
         "kg_random_walks": _kg_random_walks,
         "kg_time_paths": _kg_time_paths,
+        "kg_ppr": _kg_ppr,
         "rel_funnel": _rel_funnel,
         "mm_media_meta": _mm_media_meta,
     }
@@ -1414,6 +1429,51 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
         SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM ed GROUP BY src
     ), r0 AS (
         SELECT node, round(1.0 / nn.n, 12) AS rank FROM nodes CROSS JOIN nn
+    ), {chain}
+    SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node
+    """
+
+
+def _ppr_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Oracle for kg_ppr: the personalized restart update unrolled as
+    chained CTEs with the operator's 12-decimal per-iteration rounding
+    (pagerank pattern; restart mass on the khop gate's seed set)."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+        SELECT sv.node,
+               round((1.0 - {damping}) * sv.restart
+                     + {damping} * coalesce(m.mass, 0), 12) AS rank
+        FROM sv
+        LEFT JOIN (
+            SELECT ed.dst, sum(r.rank / d.outdeg) AS mass
+            FROM ed JOIN r{i - 1} r ON r.node = ed.src
+                    JOIN d ON d.src = ed.src
+            GROUP BY ed.dst
+        ) m ON m.dst = sv.node
+    )""")
+    chain = ", ".join(steps)
+    return f"""
+    WITH {_KG_EDGES_CTE}, ed AS (
+        SELECT DISTINCT subj AS src, obj AS dst FROM e
+    ), nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed
+        )
+    ), s AS (
+        SELECT DISTINCT subj AS node FROM e
+        WHERE pred = 'buys_from' AND subj LIKE '%01'
+    ), ns AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM s
+    ), sv AS (
+        SELECT nodes.node,
+               CASE WHEN s.node IS NULL THEN 0.0
+                    ELSE round(1.0 / ns.n, 12) END AS restart
+        FROM nodes CROSS JOIN ns LEFT JOIN s ON s.node = nodes.node
+    ), d AS (
+        SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM ed GROUP BY src
+    ), r0 AS (
+        SELECT node, restart AS rank FROM sv
     ), {chain}
     SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node
     """
@@ -2612,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY node, sample_rank
         """,
         "kg_random_walks": _walks_sql(k=4),
+        "kg_ppr": _ppr_sql(iters=5),
         # X60: in-edges sort before out-edges at equal ts (is_in DESC)
         # so t2 == t1 counts; tied out-rows order freely — the running
         # sum reads only in-rows, so every order gives the same value

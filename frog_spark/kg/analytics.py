@@ -426,6 +426,78 @@ def label_propagation(
     return labels
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Fixed-iteration personalized PageRank: the restart mass returns
+    to the ``sources`` set (uniformly) instead of to every node — the
+    'entities related to THIS seed set' query a KG serves for
+    recommendations and context retrieval.
+
+    Same engine-reproducibility contract as ``pagerank`` (12-decimal
+    per-iteration rounding, fixed iters, dangling mass leaks — both
+    sides of the oracle use r'(v) = (1-d)·[v∈S]/|S| + d·Σ_{u→v}
+    r(u)/outdeg(u)); same shuffle shape: two node-keyed exchanges per
+    iteration, lineage truncated with localCheckpoint. Output:
+    (node, rank) over all graph nodes, rank rounded to 6.
+    """
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    srcs = (
+        sources.select(F.col(sources.columns[0]).cast("string").alias("node"))
+        .distinct()
+        .join(nodes, "node")  # restart mass only on nodes that exist
+        .localCheckpoint(eager=True)
+    )
+    n_src = srcs.count()  # one bounded driver scalar (pagerank precedent)
+    if n_src == 0:
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank").limit(0)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
+    is_src = nodes.join(
+        srcs.withColumn("restart", F.round(F.lit(1.0 / n_src), 12)),
+        "node",
+        "left",
+    ).select("node", F.coalesce("restart", F.lit(0.0)).alias("restart"))
+    is_src = is_src.localCheckpoint(eager=True)  # consumed every iteration
+    ranks = is_src.select("node", F.col("restart").alias("rank"))
+    for i in range(iters):
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass"))
+        )
+        ranks = (
+            is_src.join(contrib, is_src["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) * F.col("restart")
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "subj",

@@ -386,3 +386,37 @@ def test_time_respecting_paths_equal_ts_and_no_backward(spark):
     got = {(r["p"], r["q"]): (r["n_paths"], r["n_mid"])
            for r in time_respecting_paths(_tedges(spark, rows)).collect()}
     assert got == {("p", "q"): (1, 1)}
+
+
+def test_personalized_pagerank_hand_computed_chain(spark):
+    from frog_spark.kg.analytics import personalized_pagerank
+
+    # S={a}, chain a->b->c, d=0.85, 2 iters:
+    # r1 = (a .15, b .85, c 0); r2 = (a .15, b .1275, c .7225)
+    rows = [("a", "r", "b"), ("b", "r", "c")]
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank"]
+           for r in personalized_pagerank(
+               _edges(spark, rows), srcs, iters=2).collect()}
+    assert got == {"a": 0.15, "b": 0.1275, "c": 0.7225}
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    from frog_spark.kg.analytics import personalized_pagerank
+
+    # two disconnected 2-cycles; seeding one leaves the other at 0 —
+    # the locality property global pagerank doesn't have
+    rows = [("a", "r", "b"), ("b", "r", "a"), ("x", "r", "y"), ("y", "r", "x")]
+    srcs = spark.createDataFrame([("a",), ("ghost",)], "node string")
+    got = {r["node"]: r["rank"]
+           for r in personalized_pagerank(
+               _edges(spark, rows), srcs, iters=4).collect()}
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > 0.0 and got["b"] > 0.0
+    # 'ghost' is not a graph node: excluded from the restart vector,
+    # so a's restart share is the full 1.0 (not 0.5) — and the seeded
+    # 2-cycle has no dangling leak, so its total mass stays exactly 1
+    assert abs(got["a"] + got["b"] - 1.0) < 1e-6
+
+    empty_srcs = spark.createDataFrame([("ghost",)], "node string")
+    assert personalized_pagerank(_edges(spark, rows), empty_srcs, iters=2).count() == 0
