@@ -1123,6 +1123,48 @@ def _kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-weighted relational KG edges for X62: w = 1/support
+    where support = lineitem rows backing the edge — well-attested
+    relationships are 'short'. Aggregated at the edge grain before any
+    distance work (the support count rides the same groupBy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    prt = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_name"))
+    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    orders = F.broadcast(_t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"))
+    supplies = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(prt, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("s_name").alias("subj"), F.col("p_name").alias("obj"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    buys = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("c_name").alias("subj"), F.col("s_name").alias("obj"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return supplies.unionByName(buys).select(
+        "subj", "obj", F.round(F.lit(1.0) / F.col("cnt"), 6).alias("weight")
+    )
+
+
+def _kg_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62: evidence-weighted shortest distances (k=3 delta
+    Bellman-Ford, kg/analytics.py weighted_distances) from the khop
+    gate's customer seed set — khop answers 'how many hops', this
+    answers 'how strongly connected'."""
+    from frog_spark.kg.analytics import weighted_distances
+
+    edges = _kg_weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sources = edges.filter(F.col("subj").endswith("01")).where(
+        F.col("subj").startswith("Customer")
+    ).select("subj")
+    return weighted_distances(edges, sources, k=3).orderBy("node")
+
+
 def _kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X61: 5-iteration personalized PageRank from the customer nodes
     whose name ends in '01' (kg/analytics.py personalized_pagerank) —
@@ -1339,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": _kg_random_walks,
         "kg_time_paths": _kg_time_paths,
         "kg_ppr": _kg_ppr,
+        "kg_weighted_distances": _kg_weighted_distances,
         "rel_funnel": _rel_funnel,
         "mm_media_meta": _mm_media_meta,
     }
@@ -1431,6 +1474,47 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
         SELECT node, round(1.0 / nn.n, 12) AS rank FROM nodes CROSS JOIN nn
     ), {chain}
     SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node
+    """
+
+
+def _wdist_sql(k: int = 3) -> str:
+    """Oracle for kg_weighted_distances: k Bellman-Ford relaxations
+    unrolled as chained CTEs — candidate distances round to 12 like
+    the operator, so both engines take mins over identical doubles."""
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(f"""d{i} AS (
+        SELECT node, min(d) AS d FROM (
+            SELECT node, d FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, round(dp.d + e.w, 12) AS d
+            FROM d{i - 1} dp JOIN ew e ON e.src = dp.node
+        ) GROUP BY node
+    )""")
+    chain = ", ".join(steps)
+    return f"""
+    WITH wsup AS (
+        SELECT s_name AS src, p_name AS dst, count(*) AS cnt
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ), wbuy AS (
+        SELECT c_name AS src, s_name AS dst, count(*) AS cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    ), ew AS (
+        SELECT src, dst, min(round(1.0 / cnt, 6)) AS w FROM (
+            SELECT * FROM wsup UNION ALL SELECT * FROM wbuy
+        ) GROUP BY src, dst
+    ), d0 AS (
+        SELECT DISTINCT src AS node, 0.0 AS d FROM ew
+        WHERE src LIKE 'Customer%' AND src LIKE '%01'
+    ), {chain}
+    SELECT node, round(d, 6) AS dist FROM d{k} ORDER BY node
     """
 
 
@@ -2673,6 +2757,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_random_walks": _walks_sql(k=4),
         "kg_ppr": _ppr_sql(iters=5),
+        "kg_weighted_distances": _wdist_sql(k=3),
         # X60: in-edges sort before out-edges at equal ts (is_in DESC)
         # so t2 == t1 counts; tied out-rows order freely — the running
         # sum reads only in-rows, so every order gives the same value

@@ -216,6 +216,82 @@ def khop_distances(
     return seen
 
 
+def weighted_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "subj",
+    dst: str = "obj",
+    weight: str = "weight",
+) -> DataFrame:
+    """Shortest weighted distance (<= k hops) from ``sources`` along
+    directed weighted ``edges`` — khop's hop count answers "reachable
+    how fast", this answers "reachable how STRONGLY" when the weight
+    encodes evidence (e.g. 1/support: well-attested edges are short).
+
+    Distributed delta Bellman-Ford: round i relaxes ONLY from the
+    frontier of nodes whose distance improved in round i-1 — like
+    khop, per-round cost tracks the improvement wavefront, not the
+    reached set. Per round: one frontier⋈edges join + a per-node min
+    + a full-outer merge with the distance table, all node-keyed.
+    Determinism: edge weights round to 6 on entry, every candidate
+    distance rounds to 12 (pagerank pattern) — both engines then take
+    mins over identical doubles, so the DuckDB oracle unrolls the same
+    k relaxations. Parallel edges collapse to their min weight.
+    Output: (node, dist) for nodes reachable within k hops; sources at
+    0.0. Negative weights are rejected (a negative cycle would make
+    fixed-k output meaningless).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("src"),
+            F.col(dst).cast("string").alias("dst"),
+            F.round(F.col(weight).cast("double"), 6).alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)  # consumed every round
+    )
+    if e.where(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("weighted_distances requires non-negative weights")
+    dist = (
+        sources.select(F.col(sources.columns[0]).cast("string").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(k):
+        cand = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("dist") + F.col("w"), 12).alias("d"),
+            )
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        merged = (
+            dist.join(cand, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("d", F.lit(float("inf"))),
+                ).alias("new_dist"),
+                "dist",
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.where(
+            F.col("dist").isNull() | (F.col("new_dist") < F.col("dist"))
+        ).select("node", F.col("new_dist").alias("dist"))
+        dist = merged.select("node", F.col("new_dist").alias("dist"))
+        if frontier.isEmpty():  # no improvement anywhere: converged
+            break
+    return dist.select("node", F.round("dist", 6).alias("dist"))
+
+
 def cooccurrence_pmi(
     presence: DataFrame,
     container: str = "doc_id",

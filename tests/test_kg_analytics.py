@@ -420,3 +420,44 @@ def test_personalized_pagerank_mass_stays_near_seeds(spark):
 
     empty_srcs = spark.createDataFrame([("ghost",)], "node string")
     assert personalized_pagerank(_edges(spark, rows), empty_srcs, iters=2).count() == 0
+
+
+def _wedges(spark, rows):
+    return spark.createDataFrame(rows, "subj string, obj string, weight double")
+
+
+def test_weighted_distances_prefers_cheap_long_paths(spark):
+    from frog_spark.kg.analytics import weighted_distances
+
+    rows = [("a", "b", 10.0), ("a", "x", 1.0), ("x", "y", 1.0), ("y", "b", 1.0)]
+    srcs = spark.createDataFrame([("a",)], "node string")
+    k1 = {r["node"]: r["dist"]
+          for r in weighted_distances(_wedges(spark, rows), srcs, k=1).collect()}
+    assert k1["b"] == 10.0 and k1["x"] == 1.0 and "y" not in k1
+    k3 = {r["node"]: r["dist"]
+          for r in weighted_distances(_wedges(spark, rows), srcs, k=3).collect()}
+    # the 3-hop detour at total weight 3 beats the direct 10 edge
+    assert k3 == {"a": 0.0, "x": 1.0, "y": 2.0, "b": 3.0}
+
+
+def test_weighted_distances_parallel_edges_and_convergence(spark):
+    from frog_spark.kg.analytics import weighted_distances
+
+    # parallel edges collapse to min weight; k far beyond the graph's
+    # depth just converges (empty improvement frontier -> early exit)
+    rows = [("a", "b", 5.0), ("a", "b", 2.0), ("b", "c", 1.0)]
+    srcs = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in weighted_distances(_wedges(spark, rows), srcs, k=10).collect()}
+    assert got == {"a": 0.0, "b": 2.0, "c": 3.0}
+
+
+def test_weighted_distances_rejects_negative(spark):
+    import pytest as _pytest
+
+    from frog_spark.kg.analytics import weighted_distances
+
+    rows = [("a", "b", -1.0)]
+    srcs = spark.createDataFrame([("a",)], "node string")
+    with _pytest.raises(ValueError):
+        weighted_distances(_wedges(spark, rows), srcs, k=2)
