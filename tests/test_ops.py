@@ -730,3 +730,61 @@ def test_funnel_single_step_and_empty(spark):
 
     with _pytest.raises(ValueError):
         funnel(_events(spark, rows), [])
+
+
+# ---------------------------------------------------------------------------
+# X63: continuous KG maintenance (streaming/kg_update.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_fact_maintenance_equals_batch(spark, tmp_path):
+    """The maintenance invariant: folding observation files through the
+    streaming job (one micro-batch per file, versioned table + atomic
+    _CURRENT repoint) equals summarize_facts over ALL observations in
+    one batch pass — and a re-invocation with a new file resumes from
+    the streaming checkpoint, processing only the unseen file."""
+    from frog_spark.kg.evolve import summarize_facts
+    from frog_spark.streaming.kg_update import (
+        current_facts,
+        run_fact_maintenance,
+    )
+
+    obs_dir, table_dir, ckpt = (
+        str(tmp_path / "obs"), str(tmp_path / "facts"), str(tmp_path / "ckpt"),
+    )
+
+    def obs_df(rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    b1 = [("nl", "cap", "amsterdam", "2024-01-01"),
+          ("be", "cap", "brussels", "2024-01-02")]
+    b2 = [("nl", "cap", "amsterdam", "2024-02-01"),   # repeat: n_obs 2, window widens
+          ("nl", "cap", "utrecht", "2024-02-02")]     # conflict obj: new fact
+    obs_df(b1).coalesce(1).write.mode("append").parquet(obs_dir)
+    obs_df(b2).coalesce(1).write.mode("append").parquet(obs_dir)
+
+    run_fact_maintenance(spark, obs_dir, table_dir, ckpt)
+    got = {tuple(r[:3]): (r["n_obs"], str(r["first_seen"]), str(r["last_seen"]))
+           for r in current_facts(spark, table_dir).collect()}
+    want = {tuple(r[:3]): (r["n_obs"], str(r["first_seen"]), str(r["last_seen"]))
+            for r in summarize_facts(obs_df(b1 + b2)).collect()}
+    assert got == want and len(got) == 3
+
+    # no new files: re-run is a no-op (checkpoint), table unchanged
+    run_fact_maintenance(spark, obs_dir, table_dir, ckpt)
+    again = {tuple(r[:3]): (r["n_obs"], str(r["first_seen"]), str(r["last_seen"]))
+             for r in current_facts(spark, table_dir).collect()}
+    assert again == got
+
+    # late batch arrives; resume processes ONLY it
+    b3 = [("be", "cap", "brussels", "2023-12-01")]  # widens be's window backward
+    obs_df(b3).coalesce(1).write.mode("append").parquet(obs_dir)
+    run_fact_maintenance(spark, obs_dir, table_dir, ckpt)
+    final = {tuple(r[:3]): (r["n_obs"], str(r["first_seen"]), str(r["last_seen"]))
+             for r in current_facts(spark, table_dir).collect()}
+    want3 = {tuple(r[:3]): (r["n_obs"], str(r["first_seen"]), str(r["last_seen"]))
+             for r in summarize_facts(obs_df(b1 + b2 + b3)).collect()}
+    assert final == want3
+    assert final[("be", "cap", "brussels")][1].startswith("2023-12-01")
