@@ -465,6 +465,17 @@ def _txt_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_host_filter(injected, _URL_BLOCKLIST).orderBy("doc_id")
 
 
+def _txt_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64: overlapping 64-word / 48-stride RAG passage chunks over
+    the documents table (operators/curation.py chunk_documents) —
+    zero-shuffle scan-stage slicing."""
+    from frog_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), window=64, stride=48
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def _doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X35: per-language token-length profile with engine-independent
     discrete percentiles (operators/curation.py length_percentiles)."""
@@ -1333,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quota_mix": _doc_quota_mix,
         "doc_temperature_mix": _doc_temperature_mix,
         "txt_vocab_topk": _txt_vocab_topk,
+        "txt_chunks": _txt_chunks,
         "conv_session_stats": _conv_session_stats,
         "txt_bigram_surprisal": _txt_bigram_surprisal,
         "conv_canned_turns": _conv_canned_turns,
@@ -2727,6 +2739,31 @@ def oracle_sql() -> dict[str, str]:
             FROM nw FULL OUTER JOIN ls
               ON nw.pred = ls.pred AND nw.period = ls.period
             ORDER BY 1, 2
+        """,
+        # X64: DuckDB list slice words[a:b] is 1-based INCLUSIVE, so
+        # end = start + window - 1 mirrors Spark's slice(start, length)
+        "txt_chunks": f"""
+            WITH norm AS (
+                SELECT doc_id, {_WORDS} AS words FROM documents
+                WHERE trim(text) <> ''
+            ), m AS (
+                SELECT doc_id, words, len(words) AS n FROM norm
+            ), c AS (
+                SELECT doc_id, words, n,
+                       unnest(range(0,
+                           CASE WHEN n <= 64 THEN 1
+                                ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1
+                           END)) AS chunk_idx
+                FROM m
+            )
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   len(words[chunk_idx * 48 + 1 : chunk_idx * 48 + 64])
+                       AS n_words,
+                   array_to_string(
+                       words[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+                       AS chunk_text
+            FROM c
+            ORDER BY doc_id, chunk_idx
         """,
         "kg_metapath_stats": f"""
             WITH {_KG_EDGES_CTE}, {_KG_EDGES3_CTE}, d AS (

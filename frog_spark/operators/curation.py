@@ -268,3 +268,51 @@ def length_percentiles(
         )
         .orderBy(group_col)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG/pretraining passage chunking: overlapping word-window
+    slices of each document (X64).
+
+    Chunk i covers words [i*stride, i*stride + window); the last chunk
+    index is ceil((n - window)/stride) so every word is covered and no
+    chunk starts past the text (a document shorter than one window is
+    one chunk; whitespace-only documents yield none). Pure scan-stage
+    JVM work — split, sequence, explode, slice — zero shuffle, so at
+    100 TB this is a map-only pass whose output cost is the ~1.33x
+    (window/stride) duplication the overlap intends.
+
+    Output: (id, chunk_idx, n_words, chunk_text).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    last = F.when(n <= window, F.lit(0)).otherwise(
+        F.ceil((n - F.lit(window)) / F.lit(float(stride))).cast("int")
+    )
+    return (
+        docs.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.posexplode(F.sequence(F.lit(0), last)).alias("chunk_idx", "_i"),
+            words.alias("_w"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size(
+                F.slice(F.col("_w"), F.col("chunk_idx") * stride + 1, window)
+            ).alias("n_words"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_w"), F.col("chunk_idx") * stride + 1, window),
+            ).alias("chunk_text"),
+        )
+    )

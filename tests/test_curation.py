@@ -228,3 +228,44 @@ def test_x34_x35_plans_stay_jvm_side(spark):
     # lang) feeding both the rank window and the aggregate
     p = plan("doc_length_profile")
     assert p.count("hashpartitioning") == 1, p
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from frog_spark.operators.curation import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    rows = [
+        (0, " ".join(words)),       # 10 words, window 4 stride 3 -> 3 chunks
+        (1, "short text"),           # shorter than a window -> 1 chunk
+        (2, "   "),                  # whitespace-only -> no chunks
+        (3, " ".join(f"x{i}" for i in range(7))),  # n-window divisible by stride
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(docs, window=4, stride=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_words"], r["chunk_text"])
+        )
+    # ceil((10-4)/3)=2 -> chunks at 0,3,6; the last is full (words 6..9)
+    assert got[0] == [
+        (0, 4, "w0 w1 w2 w3"), (1, 4, "w3 w4 w5 w6"), (2, 4, "w6 w7 w8 w9"),
+    ]
+    assert got[1] == [(0, 2, "short text")]
+    assert 2 not in got
+    # n=7: (7-4)/3 = 1 exactly -> last chunk ends exactly at the text end
+    assert got[3] == [(0, 4, "x0 x1 x2 x3"), (1, 4, "x3 x4 x5 x6")]
+    # every word of doc 0 is covered by at least one chunk
+    covered = {w for _, _, t in got[0] for w in t.split()}
+    assert covered == set(words)
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from frog_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, stride=0)
