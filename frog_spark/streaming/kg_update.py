@@ -97,3 +97,36 @@ def run_fact_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def vacuum_versions(table_dir: str, keep_last: int = 2) -> list[str]:
+    """Snapshot expiry for the versioned fact table (the Iceberg
+    ``expire_snapshots`` emulation): delete all but the newest
+    ``keep_last`` version directories, never touching the one
+    ``_CURRENT`` points at.
+
+    Versions are ordered by batch id (v{N}), not directory mtime —
+    a replayed old batch must not look fresh. Returns the removed
+    version names. Driver-side filesystem work only: the listing is
+    one directory read, bounded by the version count, and each
+    version is immutable so removal needs no coordination with
+    readers of other versions.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cur_file = os.path.join(table_dir, "_CURRENT")
+    current = None
+    if os.path.exists(cur_file):
+        with open(cur_file, encoding="utf-8") as fh:
+            current = fh.read().strip()
+    versions = sorted(
+        (d for d in os.listdir(table_dir)
+         if d.startswith("v") and d[1:].isdigit()),
+        key=lambda d: int(d[1:]),
+    )
+    doomed = [d for d in versions[:-keep_last] if d != current]
+    for d in doomed:
+        shutil.rmtree(os.path.join(table_dir, d))
+    return doomed

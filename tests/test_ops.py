@@ -788,3 +788,40 @@ def test_streaming_fact_maintenance_equals_batch(spark, tmp_path):
              for r in summarize_facts(obs_df(b1 + b2 + b3)).collect()}
     assert final == want3
     assert final[("be", "cap", "brussels")][1].startswith("2023-12-01")
+
+
+def test_vacuum_versions_expires_but_keeps_current(spark, tmp_path):
+    from frog_spark.streaming.kg_update import (
+        apply_obs_batch,
+        current_facts,
+        vacuum_versions,
+    )
+
+    table_dir = str(tmp_path / "facts")
+    (tmp_path / "facts").mkdir()
+
+    def obs_df(rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    for bid in range(4):
+        apply_obs_batch(
+            spark, obs_df([("s", "p", f"o{bid}", f"2024-01-0{bid + 1}")]),
+            table_dir, bid,
+        )
+    import os
+
+    assert sorted(os.listdir(table_dir)) == [
+        "_CURRENT", "v0", "v1", "v2", "v3",
+    ]
+    removed = vacuum_versions(table_dir, keep_last=2)
+    assert removed == ["v0", "v1"]
+    # the current version survives and still reads (4 accumulated facts)
+    assert current_facts(spark, table_dir).count() == 4
+    # keep_last larger than what exists: no-op
+    assert vacuum_versions(table_dir, keep_last=10) == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vacuum_versions(table_dir, keep_last=0)
