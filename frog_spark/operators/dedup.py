@@ -62,28 +62,65 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def gram_sets(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def gram_sets(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, drop_short: bool = False
+) -> DataFrame:
     """(id, grams: array<string>, sz) — distinct word n-grams per doc.
 
     Entirely row-local (split + transform + array_distinct inside the scan
     stage): the gram SET never leaves its row, so downstream consumers can
     choose between exploding it (global aggregates like document frequency)
     and shipping the whole array (pairwise verification), whichever moves
-    fewer bytes."""
+    fewer bytes.
+
+    The word array and the gram array are bound as ATTRIBUTES in
+    intermediate projections instead of being inlined into the
+    higher-order ``transform`` lambda: HOFs are CodegenFallback, and an
+    interpreted lambda re-evaluates every embedded subtree PER ELEMENT —
+    inlined, the full regexp_replace+lower+split normalization ran once
+    per gram and dominated every gram-based query (measured ~640 us/gram,
+    ~52 s for one evaluation at the driver's sf=1.0; bound, the same
+    corpus grams in ~2 s). CollapseProject keeps the split because the
+    bound columns are referenced more than once by non-cheap expressions.
+
+    ``drop_short=True`` drops docs with fewer than ``n`` words (i.e. the
+    sz == 0 rows) HERE, as a word-count predicate below the gram
+    projection. Callers must not filter the returned ``sz`` instead:
+    predicate pushdown rewrites a filter on a derived column by inlining
+    its whole expression tree, so ``.filter(sz > 0)`` plants the entire
+    interpreted gram pipeline inside a scan-level Filter and re-pays it
+    per row (measured: the old minhash shape spent ~40 s there at
+    sf=1.0). ``n_words >= n  <=>  sz > 0`` exactly: cnt = n_words-(n-1)
+    >= 1 yields >= 1 gram, and array_distinct never empties a non-empty
+    array."""
     words = F.split(_norm_text(F.col(text_col)), " ")
-    cnt = F.size(words) - (n - 1)
-    grams = F.array_distinct(
-        F.when(
-            cnt > 0,
-            F.transform(
-                F.sequence(F.lit(0), cnt - 1),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    wdf = docs.select(F.col(id_col).alias("id"), words.alias("_words"))
+    if drop_short:
+        wdf = wdf.filter(F.size("_words") >= n)
+    cnt = F.size(F.col("_words")) - (n - 1)
+    # the outer coalesce makes grams NON-NULLABLE (text is a nullable
+    # parquet column, and nullability propagates through the whole
+    # expression): without it, InferFiltersFromConstraints turns any
+    # downstream join touching grams/sz into a pushed-down
+    # isnotnull(<entire inlined gram pipeline>) Filter at the scan —
+    # the same per-element re-evaluation pathology as above, measured
+    # ~17 s per verification side at sf=1.0. A null text yields [] just
+    # like an empty text, which every consumer treats identically (no
+    # gram rows, sz = 0, empty intersections).
+    grams = F.coalesce(
+        F.array_distinct(
+            F.when(
+                cnt > 0,
+                F.transform(
+                    F.sequence(F.lit(0), cnt - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_words"), i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ),
+        F.array().cast("array<string>"),
     )
-    return docs.select(
-        F.col(id_col).alias("id"), grams.alias("grams"), F.size(grams).alias("sz")
-    )
+    gdf = wdf.select("id", grams.alias("grams"))
+    return gdf.select("id", "grams", F.size("grams").alias("sz"))
 
 
 def word_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -116,34 +153,75 @@ def ngram_jaccard_pairs(
     relation — the round-2 version needed a persist of the exploded grams
     to avoid recomputing them for four consumers; this shape has no
     multi-consumer hot relation, so nothing is cached and nothing leaks.
+
+    Round-6 candidate tightening (guide §2.3 "shuffle fewer bytes"): the
+    1-match prefix filter admits every pair sharing ONE rare gram — on a
+    low-entropy corpus that was 7.2M candidate pairs at the driver's
+    sf=1.0, each shipping two ~1 KB gram arrays through the verification
+    joins, for a 2,792-pair result. This version uses the EXTENDED
+    prefix (Xiao et al., PPJoin+ family): if |A ∩ B| = i then the k-th
+    smallest common element (global gram order) sits within the first
+    |A| - i + k elements of A and of B; for pairs passing the length
+    filter i >= ceil(t*|A|), so prefixes of length
+    |A| - ceil(t*|A|) + k must share min(k, ceil(t*(|A|+|B|)/(1+t)))
+    elements. Requiring that match count (a groupBy instead of distinct)
+    cuts candidates ~1000x with ZERO recall loss. Grams are compared by
+    xxhash64 in the prefix/candidate phases (narrower shuffles); hash
+    collisions merge grams into one pruning-order class — candidates can
+    only be added by that, except the astronomically unlikely case of two
+    same-hash grams inside ONE doc (P < 1e-11 even at 10^10 grams)
+    perturbing the prefix tie layout; verification recomputes true
+    Jaccard on the string arrays, so emitted values are exact
+    regardless. ceil() calls subtract
+    1e-9 first: IEEE t*sz can land an ulp above the exact product and
+    round the prefix one element short (a real recall edge at e.g.
+    t=0.8, sz=10).
     """
+    k_ext = 3
+    eps = 1e-9
     d = gram_sets(spread(docs), id_col, text_col, n)
     # sz is carried through the explode projection (row-local), so no
     # separate sizes aggregate + join is needed
-    g = d.select("id", "sz", F.explode("grams").alias("ngram"))
-    df_ = g.groupBy("ngram").agg(F.count("*").alias("df"))
-    ranked = g.join(df_, "ngram").withColumn(
+    g = d.select("id", "sz", F.explode("grams").alias("ngram")).select(
+        "id", "sz", F.xxhash64("ngram").alias("gh")
+    )
+    df_ = g.groupBy("gh").agg(F.count("*").alias("df"))
+    # no broadcast hint on df_: one row per distinct gram can be huge on
+    # a real corpus; AQE converts the join to broadcast at runtime when
+    # the aggregate turns out small
+    ranked = g.join(df_, "gh").withColumn(
         "rn",
-        F.row_number().over(Window.partitionBy("id").orderBy("df", "ngram")),
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "gh")),
     )
     prefix = ranked.filter(
-        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "sz", "ngram")
+        F.col("rn")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(eps)) + k_ext
+    ).select("id", "sz", "gh")
     # PPJoin LENGTH FILTER (J >= t requires t*|A| <= |B| <= |A|/t) prunes
     # candidates BEFORE the expensive full-set verification — on low-entropy
     # corpora (tiny vocabularies) prefix grams alone stay frequent and this
     # filter is what keeps the candidate set bounded
-    pa = prefix.select(F.col("id").alias("a"), "ngram", F.col("sz").alias("sz_a"))
-    pb = prefix.select(F.col("id").alias("b"), "ngram", F.col("sz").alias("sz_b"))
+    pa = prefix.select(F.col("id").alias("a"), "gh", F.col("sz").alias("sz_a"))
+    pb = prefix.select(F.col("id").alias("b"), "gh", F.col("sz").alias("sz_b"))
+    required = F.least(
+        F.lit(k_ext).cast("long"),
+        F.ceil(
+            (F.lit(threshold) / F.lit(1.0 + threshold))
+            * (F.col("sz_a") + F.col("sz_b"))
+            - F.lit(eps)
+        ),
+    )
     cands = (
-        pa.join(pb, "ngram")
+        pa.join(pb, "gh")
         .filter(
             (F.col("a") < F.col("b"))
             & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
             & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
         )
+        .groupBy("a", "b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("shared_prefix"))
+        .filter(F.col("shared_prefix") >= required)
         .select("a", "b")
-        .distinct()
     )
     return _verify_jaccard(cands, d, threshold)
 
@@ -215,34 +293,43 @@ def minhash_dedup_pairs(
     a_consts = rng.integers(1, P31, size=num_hashes)
     b_consts = rng.integers(0, P31, size=num_hashes)
 
-    def _hash_vec(h31):
-        return F.array(
-            *[
-                (F.lit(int(a)) * h31 + F.lit(int(b))) % F.lit(P31)
-                for a, b in zip(a_consts, b_consts)
-            ]
-        )
-
     # docs with fewer than shingle_n words have NO grams: their signature
     # would stay at the all-sentinel init value, colliding every such doc
-    # in every band (O(m^2) candidates on a web corpus full of short docs)
-    d = gram_sets(spread(docs), id_col, text_col, shingle_n).filter(F.col("sz") > 0)
-    base = F.transform(F.col("grams"), lambda g: F.pmod(F.xxhash64(g), F.lit(P31)))
-    sig = F.aggregate(
-        base,
-        F.array_repeat(F.lit(P31).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(acc, _hash_vec(h), lambda x, y: F.least(x, y)),
-    )
+    # in every band (O(m^2) candidates on a web corpus full of short docs).
+    # drop_short filters INSIDE gram_sets on the word count — an sz > 0
+    # filter here would push down as a re-inlined gram pipeline (see the
+    # gram_sets docstring)
+    d = gram_sets(spread(docs), id_col, text_col, shingle_n, drop_short=True)
+    # Signature plan (round-6 rewrite, guide §4.1): the round-3 version
+    # folded a 128-wide array over the gram array with aggregate+zip_with;
+    # higher-order functions are CodegenFallback in Spark, so the ~128 x
+    # n_grams universal-hash evaluations ran interpreted and dominated the
+    # query (measured ~50 of 75 s at the driver's sf=1.0). Exploding the
+    # grams and computing 128 plain min() aggregates keeps every
+    # multiply-mod inside whole-stage-codegen hash aggregation. The
+    # min-fold is identical: every (a_i*h+b_i) mod p < p, and sz > 0
+    # guarantees at least one gram, so the p sentinel never survived
+    # anyway. Partial (map-side) aggregation collapses the exchange to
+    # ~1 row per doc (the gram rows of a doc are co-located by
+    # construction), so signatures still cost no data-sized shuffle.
+    g = d.select("id", "sz", F.explode("grams").alias("ngram"))
+    base = F.pmod(F.xxhash64("ngram"), F.lit(P31))
+    rows = g.select("id", "sz", base.alias("h"))
+    sig_cols = [
+        F.min((F.lit(int(a)) * F.col("h") + F.lit(int(b))) % F.lit(P31)).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(a_consts, b_consts))
+    ]
+    sigs = rows.groupBy("id").agg(F.first("sz").alias("sz"), *sig_cols)
     band_keys = F.array(
         *[
             F.xxhash64(
-                *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+                *[F.col(f"s{bi * rows_per_band + r}") for r in range(rows_per_band)]
             )
             for bi in range(bands)
         ]
     )
-    buckets = d.select("id", sig.alias("sig")).select(
-        "id", F.posexplode(band_keys).alias("band", "key")
+    buckets = sigs.select(
+        "id", "sz", F.posexplode(band_keys).alias("band", "key")
     )
     cands = (
         buckets.alias("x")
@@ -250,7 +337,13 @@ def minhash_dedup_pairs(
             buckets.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.id") < F.col("y.id")),
+            & (F.col("x.id") < F.col("y.id"))
+            # PPJoin length filter (J >= t forces t*|A| <= |B| <= |A|/t):
+            # exact — prunes spurious band collisions between docs whose
+            # sizes already rule out J >= t, before the distinct and the
+            # array-shipping verification joins
+            & (F.col("y.sz") >= F.lit(threshold) * F.col("x.sz"))
+            & (F.col("x.sz") >= F.lit(threshold) * F.col("y.sz")),
         )
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
@@ -522,95 +615,153 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     The word hash is the first 15 hex chars of md5 (a standard function
     both Spark and DuckDB implement identically), which makes the whole
     fingerprint — and therefore the Hamming-pair query — expressible as
-    an ANSI-SQL oracle. Pure higher-order-function SQL (aggregate over
-    the word array): no UDF, no shuffle; the fingerprint computes inside
-    the scan stage. Output: (doc_id, simhash).
-    """
+    an ANSI-SQL oracle. Output: (doc_id, simhash).
+
+    Plan shape (round-6 rewrite, guide §4.1): the round-3 version folded a
+    60-wide CASE-WHEN array over the word array with
+    aggregate+zip_with — higher-order functions are CodegenFallback in
+    Spark, so every element evaluated interpreted (~12 s for 50k docs at
+    the driver's sf=1.0). This version explodes the distinct words and
+    computes 60 plain ``sum((h >> b) & 1)`` aggregates, which run in
+    whole-stage-codegen hash aggregation. Identical fingerprints: the
+    vote ``sum(bit ? 1 : -1) > 0`` equals ``2*ones > n_words`` exactly
+    (integer arithmetic). One narrow exchange (~1 row per doc after
+    partial aggregation) replaces the interpreted fold."""
     from functools import reduce
 
     words = F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))
-    hashes = F.transform(
-        words,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+    # split("") yields [""], so every doc emits >= 1 word row and no
+    # doc_id is lost by the explode
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    exploded = docs.select(F.col(id_col), F.explode(words).alias("w")).select(
+        F.col(id_col), h.alias("h")
     )
-    # bit positions are unrolled in Python (shiftright takes a literal);
-    # votes materialize once per row, then the fingerprint ORs the bits
-    bit_votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("int"), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-                    ).otherwise(-1)
-                    for b in range(SIMHASH_BITS)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
+    agg = exploded.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"o{b}")
+            for b in range(SIMHASH_BITS)
+        ],
     )
-    voted = docs.select(F.col(id_col), bit_votes.alias("votes"))
     sim = reduce(
         lambda a, b: a.bitwiseOR(b),
         [
             F.when(
-                F.col("votes").getItem(b) > 0,
+                F.col(f"o{b}") * 2 > F.col("n"),
                 F.shiftleft(F.lit(1).cast("long"), b),
             ).otherwise(F.lit(0).cast("long"))
             for b in range(SIMHASH_BITS)
         ],
     )
-    return voted.select(F.col(id_col), sim.alias("simhash"))
+    return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_dup_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 4 15-bit
-    chunks (pigeonhole: distance<=3 pairs share at least one chunk) —
-    EXACT over the fingerprints; only the fingerprint itself is the
-    approximation."""
-    s = simhash64(docs, id_col, text_col)
-    chunks = s.select(
-        F.col(id_col).alias("id"),
+    """Near-dup pairs by SimHash Hamming distance — EXACT over the
+    fingerprints; only the fingerprint itself is the approximation.
+
+    Plan shape (round-6 rewrite, guide §2.3/§2.4 "decide with small rows,
+    move big rows once"): the round-3 version blocked DOC rows on 4
+    15-bit chunks and pushed the whole candidate self-join through a
+    distinct — on a low-entropy corpus fingerprints repeat and correlate,
+    so that join produced ~306M rows at the driver's sf=1.0 (measured)
+    for a ~29M-pair result. This version:
+
+      1. contracts to DISTINCT fingerprint values first (the pair
+         relation over values is all that blocking must decide);
+      2. blocks values on 6 10-bit chunks joined on every C(6,3)=20
+         3-chunk combination key — pigeonhole: hamming<=3 leaves >= 3 of
+         6 chunks untouched, so a qualifying pair matches at least one
+         30-bit combo key exactly (zero recall loss vs the 15-bit
+         scheme, ~80x fewer join rows because a 30-bit agreement is far
+         rarer than a 15-bit one);
+      3. expands value pairs back to doc pairs with BROADCAST joins
+         against the (id, simhash) relation — map-side, no shuffle of
+         the output-sized relation until the caller's sort.
+
+    Equal fingerprints (hamming 0) pair inside their group via a
+    broadcast self-join; distinct-value pairs cover the rest, so every
+    qualifying doc pair is emitted exactly once."""
+    if not (0 <= max_hamming < SIMHASH_BITS):
+        raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS - 1}]")
+    # five consumers read the fingerprint relation (distinct values, two
+    # broadcast expansions, both sides of the intra-group self-join);
+    # materialize it once — 16 bytes/doc, the same localCheckpoint
+    # pattern link_prediction uses for its shared edge relation
+    s = (
+        simhash64(docs, id_col, text_col)
+        .select(F.col(id_col).alias("id"), "simhash")
+        .localCheckpoint(eager=True)
+    )
+    vals = s.select("simhash").distinct()
+
+    if max_hamming <= 3:
+        # 3-of-6 combination keys: 30 effective bits per key
+        def chunk(col, i):
+            return F.shiftright(col, i * 10).bitwiseAND(F.lit(0x3FF))
+
+        combo_keys = [
+            (chunk(F.col("simhash"), ci) * F.lit(1 << 20))
+            + (chunk(F.col("simhash"), cj) * F.lit(1 << 10))
+            + chunk(F.col("simhash"), ck)
+            for ci in range(6)
+            for cj in range(ci + 1, 6)
+            for ck in range(cj + 1, 6)
+        ]
+    else:
+        # generic pigeonhole: h errors leave >= 1 of h+1 chunks untouched
+        c = max_hamming + 1
+        bounds = [round(i * SIMHASH_BITS / c) for i in range(c + 1)]
+        combo_keys = [
+            F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+            for lo, hi in zip(bounds, bounds[1:])
+        ]
+
+    keyed = vals.select(
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", i * 15)
-                        .bitwiseAND(F.lit(0x7FFF))
-                        .alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("ck"),
-    ).select("id", "simhash", "ck.chunk", "ck.key")
-    x, y = chunks.alias("x"), chunks.alias("y")
-    cands = (
-        x.join(
-            y,
-            (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.id") < F.col("y.id")),
+        F.posexplode(F.array(*combo_keys)).alias("combo", "key"),
+    )
+    vx, vy = keyed.alias("vx"), keyed.alias("vy")
+    val_pairs = (
+        vx.join(
+            vy,
+            (F.col("vx.combo") == F.col("vy.combo"))
+            & (F.col("vx.key") == F.col("vy.key"))
+            & (F.col("vx.simhash") < F.col("vy.simhash")),
         )
-        .select(
-            F.col("x.id").alias("a"),
-            F.col("y.id").alias("b"),
-            F.col("x.simhash").alias("ha"),
-            F.col("y.simhash").alias("hb"),
-        )
+        .select(F.col("vx.simhash").alias("va"), F.col("vy.simhash").alias("vb"))
+        .withColumn("hamming", F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return (
-        cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+    members = s.select(F.col("id"), F.col("simhash"))
+    cross = (
+        val_pairs.join(
+            F.broadcast(members.select(F.col("id").alias("ia"), F.col("simhash").alias("va"))),
+            "va",
+        )
+        .join(
+            F.broadcast(members.select(F.col("id").alias("ib"), F.col("simhash").alias("vb"))),
+            "vb",
+        )
+        .select(
+            F.least("ia", "ib").alias("a"),
+            F.greatest("ia", "ib").alias("b"),
+            "hamming",
+        )
     )
+    mx, my = members.alias("mx"), members.alias("my")
+    intra = mx.join(
+        F.broadcast(my),
+        (F.col("mx.simhash") == F.col("my.simhash")) & (F.col("mx.id") < F.col("my.id")),
+    ).select(
+        F.col("mx.id").alias("a"),
+        F.col("my.id").alias("b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return cross.unionByName(intra)
 
 
 def _estimate_rows(df: DataFrame, vec_col: str, default_dim: int = 64) -> int:

@@ -36,6 +36,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate turns explode(expensive_expr) into a
+        # pushed-down Filter(size(expensive_expr)>0 AND isnotnull(...))
+        # with the generator input INLINED TWICE at the scan — for the
+        # interpreted higher-order-function gram pipelines that filter
+        # costs far more than the explode it guards (measured: 76 s of a
+        # 90 s query at sf=1.0). The rule is purely an optimization
+        # (inferred-redundant predicates), so excluding it cannot change
+        # any result. Scale-independent: at any input size the inferred
+        # filter re-evaluates the generator input once more per row.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        # the MinHash/SimHash signature aggregates are 61-129 flat agg
+        # columns; the default maxFields=100 silently drops whole-stage
+        # codegen for exactly the stages built to exploit it
+        .config("spark.sql.codegen.maxFields", "512")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # size input splits to the tested SF: the small-SF parquet files are
