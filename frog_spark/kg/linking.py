@@ -31,16 +31,21 @@ SHINGLE_SIZE = 3
 
 def _shingles(forms: DataFrame, col: str = "form") -> DataFrame:
     """form -> exploded distinct char 3-shingles of the normalized text."""
+    # bind the padded string as an attribute: inlined into the transform
+    # lambda, the interpreted HOF re-runs the normalize+concat per
+    # shingle element (see operators/dedup.gram_sets)
     norm = F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
-    padded = F.concat(F.lit("^^"), norm, F.lit("$$"))
-    n = F.length(padded) - (SHINGLE_SIZE - 1)
-    return forms.select(
+    pdf = forms.select(
+        col, F.concat(F.lit("^^"), norm, F.lit("$$")).alias("_padded")
+    )
+    n = F.length("_padded") - (SHINGLE_SIZE - 1)
+    return pdf.select(
         col,
         F.explode(
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-                    lambda i: padded.substr(i, F.lit(SHINGLE_SIZE)),
+                    lambda i: F.col("_padded").substr(i, F.lit(SHINGLE_SIZE)),
                 )
             )
         ).alias("shingle"),

@@ -292,6 +292,11 @@ def chunk_documents(
     """
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
+    if stride > window:
+        # words between windows would go uncovered and the last chunk
+        # could start past the text, breaking the documented coverage
+        # invariant (every word covered, no chunk starts past the text)
+        raise ValueError("stride must be <= window for full coverage")
     words = _words(F.col(text_col))
     n = F.size(words)
     last = F.when(n <= window, F.lit(0)).otherwise(

@@ -564,13 +564,18 @@ def exact_substring_runs(
     """
     from pyspark.sql import Window
 
-    w = "split(trim(lower(regexp_replace(text, '\\\\s+', ' '))), ' ')"
-    gram_arr = F.expr(
-        f"transform(sequence(0, size({w}) - {k}), i -> concat_ws(' ', slice({w}, i + 1, {k})))"
+    # bind the word array as an attribute first: inlined into the
+    # transform lambda, the interpreted HOF re-runs the whole
+    # normalize+split per gram element (see gram_sets)
+    words = F.split(_norm_text(F.col(text_col)), " ")
+    wdf = docs.select(F.col(id_col).alias("doc"), words.alias("_w")).filter(
+        F.size("_w") >= k
     )
-    grams = docs.filter(F.size(F.expr(w)) >= k).select(
-        F.col(id_col).alias("doc"), F.posexplode(gram_arr).alias("pos", "gram")
+    gram_arr = F.transform(
+        F.sequence(F.lit(0), F.size("_w") - k),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, k)),
     )
+    grams = wdf.select("doc", F.posexplode(gram_arr).alias("pos", "gram"))
     if max_gram_occurrences is not None:
         under_cap = (
             grams.groupBy("gram")

@@ -45,31 +45,56 @@ def lang_id(text_col: Column) -> Column:
 
 def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc quality features + composite score (length, punctuation
-    ratio, stopword ratio, mean word length, subword estimate)."""
+    ratio, stopword ratio, mean word length, subword estimate).
+
+    Staged projections (round 6): the single-projection version inlined
+    every base measure into every ratio and the composite score, so the
+    regex/split/array_intersect subtrees were re-evaluated up to 6x per
+    row — and the array expressions are CodegenFallback, outside
+    whole-stage-codegen's subexpression elimination. Binding the counts
+    as attributes first makes each base measure compute exactly once per
+    row; outputs are expression-for-expression identical."""
     t = F.col(text_col)
-    n_chars = F.length(t)
-    n_tokens = token_count(t)
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    stop_ratio = _stop_hits(t, NL_STOP + EN_STOP) / F.greatest(n_tokens, F.lit(1))
-    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
-    mean_word_len = n_alpha / F.greatest(n_tokens, F.lit(1))
+    darr = F.array_distinct(_words(t))
+    nl_arr = F.array(*[F.lit(s) for s in NL_STOP])
+    en_arr = F.array(*[F.lit(s) for s in EN_STOP])
+    all_arr = F.array(*[F.lit(s) for s in NL_STOP + EN_STOP])
+    base = docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).alias("_n_punct"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).alias("_n_alpha"),
+        F.size(F.array_intersect(darr, all_arr)).alias("_stop_hits"),
+        F.size(F.array_intersect(darr, nl_arr)).alias("_nl_hits"),
+        F.size(F.array_intersect(darr, en_arr)).alias("_en_hits"),
+    )
+    n_chars, n_tokens = F.col("n_chars"), F.col("n_tokens")
+    stop_ratio = F.col("_stop_hits") / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = F.col("_n_punct") / F.greatest(n_chars, F.lit(1))
+    mean_word_len = F.col("_n_alpha") / F.greatest(n_tokens, F.lit(1))
     score = (
         F.when((n_tokens >= 5) & (n_tokens <= 100000), 0.25).otherwise(0.0)
         + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
         + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
         + F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 0.25).otherwise(0.0)
     )
-    return docs.select(
+    nl, en = F.col("_nl_hits"), F.col("_en_hits")
+    lang_pred = (
+        F.when((nl == 0) & (en == 0), "unk")
+        .when(nl >= en, "nl")
+        .otherwise("en")
+    )
+    return base.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        "n_chars",
+        "n_tokens",
         (n_chars / F.lit(4.0)).alias("est_subwords"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         mean_word_len.alias("mean_word_len"),
         score.alias("quality_score"),
-        lang_id(t).alias("lang_pred"),
+        lang_pred.alias("lang_pred"),
     )
 
 
@@ -129,15 +154,18 @@ def gopher_repetition(
     top-2-gram fraction <= 0.20 (the published 2-gram knob) and
     duplicate-2-gram fraction <= 0.60.
     """
-    words = _words(F.col(text_col))
-    bigrams = F.expr(
-        "transform(sequence(0, size({w}) - 2), i -> concat({w}[i], ' ', {w}[i+1]))".replace(
-            "{w}",
-            "split(trim(lower(regexp_replace(text, '\\\\s+', ' '))), ' ')",
-        )
+    # bind the word array as an attribute first: inlined into the
+    # transform lambda, the interpreted HOF would re-run the whole
+    # normalize+split per bigram element (see gram_sets)
+    wdf = docs.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("_w") - 2),
+        lambda i: F.concat(
+            F.element_at("_w", i + 1), F.lit(" "), F.element_at("_w", i + 2)
+        ),
     )
     exploded = (
-        docs.select(F.col(id_col), F.when(F.size(words) >= 2, bigrams).alias("bg"))
+        wdf.select(F.col(id_col), F.when(F.size("_w") >= 2, bigrams).alias("bg"))
         .select(id_col, F.explode_outer("bg").alias("bigram"))
     )
     per_bigram = exploded.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))

@@ -97,21 +97,25 @@ def bigram_surprisal(
     formulation (score every bigram token row, then avg) shuffles the
     corpus three times and was rejected.
     """
-    bigrams = F.expr(
-        "transform(sequence(0, size({w}) - 2), i -> concat({w}[i], ' ', {w}[i+1]))".replace(
-            "{w}",
-            "split(trim(lower(regexp_replace(text, '\\\\s+', ' '))), ' ')",
-        )
+    # the word array is bound as an attribute (see dedup.gram_sets: an
+    # interpreted transform lambda re-evaluates inlined subtrees per
+    # element), and built from ``text_col`` — the old SQL-string form
+    # hardcoded the literal column name 'text'
+    wdf = docs.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("_w") - 2),
+        lambda i: F.concat(
+            F.element_at("_w", i + 1), F.lit(" "), F.element_at("_w", i + 2)
+        ),
     )
-    words = _words(F.col(text_col))
     # plain explode (not outer): a doc with < 2 tokens contributes no
     # rows and is recovered by the id-column left join at the end. A
     # null-bigram carrier row instead would make Catalyst push an
     # IsNotNull filter into only ONE of the two db consumers, breaking
     # the subplan identity AQE needs to reuse the (doc, bigram) shuffle
-    exploded = docs.select(
+    exploded = wdf.select(
         F.col(id_col),
-        F.explode(F.when(F.size(words) >= 2, bigrams)).alias("bigram"),
+        F.explode(F.when(F.size("_w") >= 2, bigrams)).alias("bigram"),
     )
     # per-doc distinct-bigram counts: corpus-grain shuffle #1 (and last).
     # Eagerly materialized (the repo's union-branch lesson, see

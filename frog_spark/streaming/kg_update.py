@@ -53,15 +53,44 @@ def current_facts(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_dir, version))
 
 
+def _merge_base(spark: SparkSession, table_dir: str, batch_id: int) -> DataFrame:
+    """The fact summary this batch must merge INTO: normally the version
+    ``_CURRENT`` points at, but on a REPLAY (crash after the _CURRENT
+    repoint, before the streaming checkpoint committed, so foreachBatch
+    re-invokes the same batch_id) _CURRENT already points at
+    v{batch_id} — merging into that would fold the batch twice and
+    silently double n_obs. The guard: whenever _CURRENT's version id is
+    >= batch_id, merge into the newest PREDECESSOR version instead
+    (vacuum_versions keeps >= 2 versions, so the predecessor of the
+    newest batch always survives); with no predecessor the base is
+    empty, exactly the first-batch state."""
+    cur = os.path.join(table_dir, "_CURRENT")
+    if os.path.exists(cur):
+        with open(cur, encoding="utf-8") as fh:
+            cur_id = int(fh.read().strip().lstrip("v"))
+        if cur_id >= batch_id:
+            older = [
+                int(d.lstrip("v"))
+                for d in os.listdir(table_dir)
+                if d.startswith("v") and d.lstrip("v").isdigit()
+                and int(d.lstrip("v")) < batch_id
+            ]
+            if not older:
+                return spark.createDataFrame([], _SUMMARY_SCHEMA)
+            return spark.read.parquet(os.path.join(table_dir, f"v{max(older)}"))
+    return current_facts(spark, table_dir)
+
+
 def apply_obs_batch(
     spark: SparkSession, batch: DataFrame, table_dir: str, batch_id: int
 ) -> None:
     """Fold one observation micro-batch into the versioned fact table
-    (the foreachBatch body; callable directly for batch backfills)."""
+    (the foreachBatch body; callable directly for batch backfills).
+    Idempotent under foreachBatch replay: see _merge_base."""
     from frog_spark.kg.evolve import merge_triples, summarize_facts
 
     merged = merge_triples(
-        current_facts(spark, table_dir), summarize_facts(batch)
+        _merge_base(spark, table_dir, batch_id), summarize_facts(batch)
     ).drop("change")
     version = f"v{batch_id}"
     # overwrite = idempotent replay of a failed batch

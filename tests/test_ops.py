@@ -825,3 +825,171 @@ def test_vacuum_versions_expires_but_keeps_current(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         vacuum_versions(table_dir, keep_last=0)
+
+
+def test_apply_obs_batch_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r5: a crash after the _CURRENT repoint but before the
+    streaming checkpoint commit makes foreachBatch re-invoke the SAME
+    batch_id; the merge base must then be the predecessor version, not
+    _CURRENT (which already contains the batch), or n_obs silently
+    doubles."""
+    from frog_spark.streaming.kg_update import apply_obs_batch, current_facts
+
+    table_dir = str(tmp_path / "facts")
+    (tmp_path / "facts").mkdir()
+
+    def obs_df(rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    b0 = [("nl", "cap", "amsterdam", "2024-01-01")]
+    b1 = [("nl", "cap", "amsterdam", "2024-02-01"),
+          ("be", "cap", "brussels", "2024-02-02")]
+    apply_obs_batch(spark, obs_df(b0), table_dir, 0)
+    apply_obs_batch(spark, obs_df(b1), table_dir, 1)
+    want = {tuple(r[:3]): r["n_obs"] for r in current_facts(spark, table_dir).collect()}
+    assert want[("nl", "cap", "amsterdam")] == 2
+
+    # replay batch 1 (simulated crash between repoint and checkpoint)
+    apply_obs_batch(spark, obs_df(b1), table_dir, 1)
+    got = {tuple(r[:3]): r["n_obs"] for r in current_facts(spark, table_dir).collect()}
+    assert got == want  # n_obs did NOT double
+
+    # replay of the FIRST batch (no predecessor): base is empty
+    apply_obs_batch(spark, obs_df(b0), table_dir, 0)
+    first = {tuple(r[:3]): r["n_obs"]
+             for r in spark.read.parquet(f"{table_dir}/v0").collect()}
+    assert first == {("nl", "cap", "amsterdam"): 1}
+
+
+def test_kg_maintenance_full_lifecycle(spark, tmp_path):
+    """VERDICT r5 #7: the full lifecycle interleaved — streamed folds,
+    vacuum, a concurrent reader holding the pre-vacuum _CURRENT, a
+    checkpoint resume, and a replay — ends byte-equal to the one-shot
+    batch recompute."""
+    from frog_spark.kg.evolve import summarize_facts
+    from frog_spark.streaming.kg_update import (
+        apply_obs_batch,
+        current_facts,
+        run_fact_maintenance,
+        vacuum_versions,
+    )
+
+    obs_dir, table_dir, ckpt = (
+        str(tmp_path / "obs"), str(tmp_path / "facts"), str(tmp_path / "ckpt"),
+    )
+
+    def obs_df(rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    b1 = [("nl", "cap", "amsterdam", "2024-01-01")]
+    b2 = [("be", "cap", "brussels", "2024-01-02")]
+    b3 = [("nl", "cap", "amsterdam", "2024-03-01")]
+    obs_df(b1).coalesce(1).write.mode("append").parquet(obs_dir)
+    obs_df(b2).coalesce(1).write.mode("append").parquet(obs_dir)
+    run_fact_maintenance(spark, obs_dir, table_dir, ckpt)
+
+    # a concurrent reader resolves _CURRENT now (pre-vacuum, pre-resume)
+    reader_df = current_facts(spark, table_dir)
+    pre = {tuple(r[:3]): r["n_obs"] for r in reader_df.collect()}
+
+    removed = vacuum_versions(table_dir, keep_last=2)
+    # the reader's resolved version must have survived the vacuum
+    assert {tuple(r[:3]): r["n_obs"] for r in reader_df.collect()} == pre
+
+    # resume with a late file, then replay the newest batch id
+    obs_df(b3).coalesce(1).write.mode("append").parquet(obs_dir)
+    run_fact_maintenance(spark, obs_dir, table_dir, ckpt)
+    import os
+    newest = max(
+        int(d.lstrip("v")) for d in os.listdir(table_dir)
+        if d.startswith("v") and d.lstrip("v").isdigit()
+    )
+    apply_obs_batch(spark, obs_df(b3), table_dir, newest)  # replay
+
+    got = {tuple(r[:3]): (r["n_obs"], str(r["first_seen"]), str(r["last_seen"]))
+           for r in current_facts(spark, table_dir).collect()}
+    want = {tuple(r[:3]): (r["n_obs"], str(r["first_seen"]), str(r["last_seen"]))
+            for r in summarize_facts(obs_df(b1 + b2 + b3)).collect()}
+    assert got == want
+
+
+def test_ngram_extended_prefix_equals_bruteforce(spark):
+    """Round-6 invariant: the k-extended-prefix candidate filter in
+    ngram_jaccard_pairs is EXACT — over a seeded random corpus with
+    planted near-dups and tiny documents (1-3 grams, where the
+    min(k, ceil(t(|A|+|B|)/(1+t))) requirement must degrade), the
+    output equals the brute-force Jaccard join at t=0.8."""
+    import itertools
+    import random
+
+    from frog_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(50):
+        words = [rng.choice(vocab) for _ in range(rng.randint(3, 16))]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.4:  # planted near-dup: copy, one word changed
+            dup = list(words)
+            dup[rng.randrange(len(dup))] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(dup)))
+    # exact duplicates of tiny docs: J=1 pairs with < k shared grams
+    rows.append((5001, "a b c"))          # 1 gram
+    rows.append((5002, "a b c"))
+    rows.append((5003, "p q r s"))        # 2 grams
+    rows.append((5004, "p q r s"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def grams(text, n=3):
+        ws = text.split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    gsets = {i: grams(t) for i, t in rows}
+    want = set()
+    for (a, ga), (b, gb) in itertools.combinations(sorted(gsets.items()), 2):
+        if not ga or not gb:
+            continue
+        if len(ga & gb) / len(ga | gb) >= 0.8:
+            want.add((a, b))
+    got = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert got == want
+    assert (5001, 5002) in got and (5003, 5004) in got  # tiny-doc coverage
+
+
+def test_simhash_pigeonhole_equals_bruteforce(spark):
+    """Round-6 invariant: the distinct-value contraction + 3-of-6-chunk
+    blocking (h<=3) and the generic h+1-chunk fallback (h=8) both
+    produce EXACTLY the brute-force Hamming-pair join over the
+    fingerprints, including hamming-0 groups of identical texts."""
+    import itertools
+    import random
+
+    from frog_spark.operators.dedup import simhash64, simhash_dup_pairs
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(4, 14))]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.35:
+            rows.append((1000 + i, " ".join(words)))  # exact dup: hamming 0
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+
+    for max_h in (3, 8):
+        want = {
+            (a, b, bin(h[a] ^ h[b]).count("1"))
+            for a, b in itertools.combinations(sorted(h), 2)
+            if bin(h[a] ^ h[b]).count("1") <= max_h
+        }
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in simhash_dup_pairs(docs, max_hamming=max_h).collect()
+        }
+        assert got == want, f"max_hamming={max_h}"
