@@ -616,8 +616,15 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.dedup import simhash_dup_pairs
 
-    return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).orderBy(
-        "a", "b"
+    # lazy-checkpoint the (output-sized) pair relation before the global
+    # sort: orderBy's range-partitioner sampling pass otherwise computes
+    # the whole expansion a second time just to pick boundaries
+    # (measured 27 -> 20 s at sf=1.0; blocks are freed when the frame is
+    # garbage-collected)
+    return (
+        simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+        .localCheckpoint(eager=False)
+        .orderBy("a", "b")
     )
 
 
