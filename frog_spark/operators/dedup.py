@@ -662,7 +662,11 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def simhash_dup_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    broadcast_max_docs: int = 20_000_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — EXACT over the
     fingerprints; only the fingerprint itself is the approximation.
@@ -682,13 +686,20 @@ def simhash_dup_pairs(
          30-bit combo key exactly (zero recall loss vs the 15-bit
          scheme, ~80x fewer join rows because a 30-bit agreement is far
          rarer than a 15-bit one);
-      3. expands value pairs back to doc pairs with BROADCAST joins
-         against the (id, simhash) relation — map-side, no shuffle of
-         the output-sized relation until the caller's sort.
+      3. expands value pairs back to doc pairs with joins against the
+         (id, simhash) relation — broadcast (map-side, no shuffle of the
+         output-sized relation until the caller's sort) while the corpus
+         is at most `broadcast_max_docs` rows; beyond that the members
+         relation no longer fits an executor, so the expansions and the
+         intra-group self-join fall back to plain equi-joins on the
+         fingerprint value (shuffle 16 B/doc once — the correct shape at
+         true 100-TB node counts). The gate reads `s.count()` on the
+         already-materialized checkpoint: one cheap job, one long of
+         driver state.
 
     Equal fingerprints (hamming 0) pair inside their group via a
-    broadcast self-join; distinct-value pairs cover the rest, so every
-    qualifying doc pair is emitted exactly once."""
+    self-join on the value; distinct-value pairs cover the rest, so
+    every qualifying doc pair is emitted exactly once."""
     if not (0 <= max_hamming < SIMHASH_BITS):
         raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS - 1}]")
     # five consumers read the fingerprint relation (distinct values, two
@@ -742,13 +753,20 @@ def simhash_dup_pairs(
         .distinct()
     )
     members = s.select(F.col("id"), F.col("simhash"))
+    # size-gate the expansion broadcasts: s is eagerly checkpointed, so
+    # this count scans the materialized 16 B/doc relation, not the corpus
+    maybe_broadcast = F.broadcast if s.count() <= broadcast_max_docs else (lambda df: df)
     cross = (
         val_pairs.join(
-            F.broadcast(members.select(F.col("id").alias("ia"), F.col("simhash").alias("va"))),
+            maybe_broadcast(
+                members.select(F.col("id").alias("ia"), F.col("simhash").alias("va"))
+            ),
             "va",
         )
         .join(
-            F.broadcast(members.select(F.col("id").alias("ib"), F.col("simhash").alias("vb"))),
+            maybe_broadcast(
+                members.select(F.col("id").alias("ib"), F.col("simhash").alias("vb"))
+            ),
             "vb",
         )
         .select(
@@ -759,7 +777,7 @@ def simhash_dup_pairs(
     )
     mx, my = members.alias("mx"), members.alias("my")
     intra = mx.join(
-        F.broadcast(my),
+        maybe_broadcast(my),
         (F.col("mx.simhash") == F.col("my.simhash")) & (F.col("mx.id") < F.col("my.id")),
     ).select(
         F.col("mx.id").alias("a"),

@@ -993,3 +993,31 @@ def test_simhash_pigeonhole_equals_bruteforce(spark):
             for r in simhash_dup_pairs(docs, max_hamming=max_h).collect()
         }
         assert got == want, f"max_hamming={max_h}"
+
+def test_simhash_broadcast_gate_identical(spark):
+    """The size-gated expansion path (broadcast_max_docs exceeded, so the
+    member joins run as plain equi-joins) emits exactly the same pair set
+    as the broadcast path."""
+    import random
+
+    from frog_spark.operators.dedup import simhash_dup_pairs
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(4, 14))]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.3:
+            rows.append((1000 + i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    broadcast = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_dup_pairs(docs, max_hamming=3).collect()
+    }
+    gated = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_dup_pairs(docs, max_hamming=3, broadcast_max_docs=0).collect()
+    }
+    assert gated == broadcast and broadcast
