@@ -597,9 +597,14 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.dedup import ngram_jaccard_pairs
 
     p = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
-    return p.select(
-        "a", "b", F.round("jaccard", 6).alias("jaccard")
-    ).orderBy("a", "b")
+    # lazy-checkpoint before the sort for the same reason as
+    # _dedup_simhash: orderBy's range-partitioner sampling otherwise
+    # re-runs the verification join stage a second time
+    return (
+        p.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .localCheckpoint(eager=False)
+        .orderBy("a", "b")
+    )
 
 
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,7 +615,14 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus (the default 32x4 leaves a ~2e-4 per-pair gap right at the
     # threshold); precision is exact either way via verification
     p = minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.7, bands=64)
-    return p.select("a", "b", F.round("jaccard", 6).alias("jaccard")).orderBy("a", "b")
+    # lazy-checkpoint before the sort for the same reason as
+    # _dedup_simhash: orderBy's range-partitioner sampling otherwise
+    # re-runs the verification join stage a second time
+    return (
+        p.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .localCheckpoint(eager=False)
+        .orderBy("a", "b")
+    )
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

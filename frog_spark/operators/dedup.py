@@ -276,8 +276,10 @@ def minhash_dedup_pairs(
     gram relation: 128 string hashes per gram AND a groupBy shuffle of
     every gram row. This shape hashes each shingle once, shuffles
     nothing for signatures (they compute inside the scan stage), and
-    needs no persist — the only shuffles left are the band-bucket
-    self-join and the two verification joins."""
+    needs no persist — the remaining shuffles are the text-key grouping
+    window, the representative band self-join, the doc-pair expansion
+    joins, and the two verification joins (see the text-grain
+    contraction comment below)."""
     rows_per_band = num_hashes // bands
     # fixed-seed universal-hash family over Z_p with p = 2^31 - 1 (the
     # Mersenne prime): h_i = (a_i*h + b_i) mod p with h, a_i < p is a TRUE
@@ -299,7 +301,54 @@ def minhash_dedup_pairs(
     # drop_short filters INSIDE gram_sets on the word count — an sz > 0
     # filter here would push down as a re-inlined gram pipeline (see the
     # gram_sets docstring)
-    d = gram_sets(spread(docs), id_col, text_col, shingle_n, drop_short=True)
+    #
+    # Text-grain contraction (round-6 close, guide §2.3/§2.4 "decide with
+    # small rows"): every quantity this operator computes — grams,
+    # signature, band keys, pairwise Jaccard — is a function of the
+    # NORMALIZED TEXT alone, so all work past the first scan runs once per
+    # DISTINCT text (md5-grain text equality: the same standard
+    # exact_dedup and its oracle already rest on), and verified
+    # representative pairs expand back to doc pairs at the end — a cross
+    # pair inherits its representative pair's exact jaccard, and
+    # same-text pairs are exactly jaccard 1.0 (array_intersect of equal
+    # arrays divides to 1.0). A dedup corpus is by definition full of
+    # exact replicas, and at doc grain every replica group of size m
+    # re-verified m^2/2 identical array pairs and collided in EVERY band
+    # (measured at stress sf=1.0, bands=64: 17.8M pre-distinct band-join
+    # rows and 607k array-shipping verification pairs for 52,500 docs of
+    # 7,875 distinct texts; contracted: ~600k band-join rows, ~15k
+    # verification pairs). Zero-duplicate worst case: one extra narrow
+    # window exchange (~50 B/doc) and a rep-filter semi-join, nothing
+    # amplified.
+    norm = _norm_text(F.col(text_col))
+    tk = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.md5(norm).alias("tkey"),
+            F.split(norm, " ").alias("_w"),
+        )
+        .filter(F.size("_w") >= shingle_n)  # exactly gram_sets' drop_short row set
+        .select("id", "tkey")
+    )
+    # (id, tkey, rid): rid = min doc id of the text group — a
+    # deterministic, collision-free representative. Checkpointed once
+    # (~50 B/doc, the simhash members pattern): consumed by the rep
+    # filter, both expansion sides and the intra self-join.
+    mem = tk.select(
+        "id", "tkey", F.min("id").over(Window.partitionBy("tkey")).alias("rid")
+    ).localCheckpoint(eager=True)
+    rep_ids = mem.filter(F.col("id") == F.col("rid")).select("id")
+    # grams of ONE representative per distinct text: joining the rep ids
+    # BELOW gram_sets (distinct-text-sized side; AQE broadcasts it while
+    # it fits) makes the gram transform run on representative rows only,
+    # not the whole corpus, and the checkpoint (gram arrays of distinct
+    # texts only) feeds the signature explode and both verification
+    # joins without recompute
+    rep_docs = spread(docs).join(rep_ids.withColumnRenamed("id", id_col), id_col)
+    d = gram_sets(rep_docs, id_col, text_col, shingle_n, drop_short=True).localCheckpoint(
+        eager=True
+    )
     # Signature plan (round-6 rewrite, guide §4.1): the round-3 version
     # folded a 128-wide array over the gram array with aggregate+zip_with;
     # higher-order functions are CodegenFallback in Spark, so the ~128 x
@@ -328,10 +377,8 @@ def minhash_dedup_pairs(
             for bi in range(bands)
         ]
     )
-    buckets = sigs.select(
-        "id", "sz", F.posexplode(band_keys).alias("band", "key")
-    )
-    cands = (
+    buckets = sigs.select("id", "sz", F.posexplode(band_keys).alias("band", "key"))
+    tcands = (
         buckets.alias("x")
         .join(
             buckets.alias("y"),
@@ -339,16 +386,43 @@ def minhash_dedup_pairs(
             & (F.col("x.key") == F.col("y.key"))
             & (F.col("x.id") < F.col("y.id"))
             # PPJoin length filter (J >= t forces t*|A| <= |B| <= |A|/t):
-            # exact — prunes spurious band collisions between docs whose
-            # sizes already rule out J >= t, before the distinct and the
-            # array-shipping verification joins
+            # exact — sz is text-determined, so the representative-level
+            # decision holds verbatim for every expanded doc pair
             & (F.col("y.sz") >= F.lit(threshold) * F.col("x.sz"))
             & (F.col("x.sz") >= F.lit(threshold) * F.col("y.sz")),
         )
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    return _verify_jaccard(cands, d, threshold)
+    # exact Jaccard once per representative pair, then expand to doc
+    # pairs: each unordered doc pair arises exactly once (text groups
+    # partition the docs; rep pairs have a < b; intra pairs are ordered
+    # by id), so no doc-grain distinct is needed
+    tver = _verify_jaccard(tcands, d, threshold)
+    ea = mem.select(F.col("rid").alias("a"), F.col("id").alias("ia"))
+    eb = mem.select(F.col("rid").alias("b"), F.col("id").alias("ib"))
+    cross = (
+        tver.join(ea, "a")
+        .join(eb, "b")
+        .select(
+            F.least("ia", "ib").alias("a"),
+            F.greatest("ia", "ib").alias("b"),
+            "jaccard",
+        )
+    )
+    m1, m2 = mem.alias("m1"), mem.alias("m2")
+    intra = m1.join(
+        m2, (F.col("m1.rid") == F.col("m2.rid")) & (F.col("m1.id") < F.col("m2.id"))
+    ).select(
+        F.col("m1.id").alias("a"),
+        F.col("m2.id").alias("b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    if threshold > 1.0:
+        # identical texts have jaccard exactly 1.0; a (degenerate)
+        # threshold above it must exclude them like the verify filter did
+        intra = intra.filter(F.lit(False))
+    return cross.unionByName(intra)
 
 
 def decontaminate(
