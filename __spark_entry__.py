@@ -134,6 +134,10 @@ def _rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.unix_micros(F.to_utc_timestamp(c, "UTC")) / F.lit(1000000.0)
 
     gap = _epoch(F.col("ts")) - _epoch(F.lag("ts").over(w))
+    # lazy-checkpoint before the sort (the _dedup_simhash pattern): the
+    # session window + per-user aggregate share one user_id exchange, so
+    # everything from the lag to the agg is one narrow tail that the
+    # range-partitioner's sampling pass would otherwise run twice
     return (
         e.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
         .groupBy("user_id")
@@ -141,6 +145,7 @@ def _rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("new_sess") + 1).alias("n_sessions"),
             F.count("*").alias("n_events"),
         )
+        .localCheckpoint(eager=False)
         .orderBy("user_id")
     )
 
@@ -268,17 +273,25 @@ def _txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.textstats import quality_features
 
     q = quality_features(_t(spark, sf_dir, "documents"))
-    return q.select(
-        "doc_id",
-        "n_chars",
-        "n_tokens",
-        F.round("est_subwords", 2).alias("est_subwords"),
-        F.round("punct_ratio", 6).alias("punct_ratio"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
-        F.round("mean_word_len", 6).alias("mean_word_len"),
-        F.round("quality_score", 2).alias("quality_score"),
-        "lang_pred",
-    ).orderBy("doc_id")
+    # lazy-checkpoint before the sort for the same reason as
+    # _dedup_simhash: the feature scan (regex + CodegenFallback
+    # array_intersect per row) is the whole query, and orderBy's
+    # range-partitioner sampling pass otherwise runs it twice
+    return (
+        q.select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            F.round("est_subwords", 2).alias("est_subwords"),
+            F.round("punct_ratio", 6).alias("punct_ratio"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            F.round("mean_word_len", 6).alias("mean_word_len"),
+            F.round("quality_score", 2).alias("quality_score"),
+            "lang_pred",
+        )
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
+    )
 
 
 def _txt_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,9 +599,13 @@ def _conv_canned_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frog_spark.operators.dedup import exact_dedup
 
+    # lazy-checkpoint before the sort (the _dedup_simhash pattern): the
+    # digest window's count + filter is the narrow tail after the one
+    # md5-key exchange, and the range sampling pass would re-run it
     return (
         exact_dedup(_t(spark, sf_dir, "documents"))
         .select("doc_id", "dup_count")
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 
