@@ -179,39 +179,7 @@ def ngram_jaccard_pairs(
     """
     k_ext = 3
     eps = 1e-9
-    # Text-grain contraction (round-6 close; the full argument lives in
-    # minhash_dedup_pairs): grams, sizes and pairwise Jaccard are
-    # functions of the normalized text alone, so the whole PPJoin runs
-    # once per DISTINCT text (md5-grain equality, the exact_dedup
-    # standard) and verified representative pairs expand back to doc
-    # pairs at the end — same-text pairs are exactly jaccard 1.0, and
-    # identical texts are ALWAYS candidates under the extended prefix
-    # filter (shared prefix = own prefix >= the required count), so the
-    # old doc-grain output emitted every one of them too. Document
-    # frequency over distinct texts is a DIFFERENT global gram order
-    # than doc-grain df, so the candidate SET may differ — but the
-    # prefix-filter theorem guarantees exact recall under ANY total
-    # order and verification is exact, so the output is identical.
-    # Docs under n words have no grams and can never pair (the old
-    # explode dropped them silently); the word-count filter keeps them
-    # out of the membership relation for the same result.
-    norm = _norm_text(F.col(text_col))
-    tk = (
-        spread(docs)
-        .select(
-            F.col(id_col).alias("id"),
-            F.md5(norm).alias("tkey"),
-            F.split(norm, " ").alias("_w"),
-        )
-        .filter(F.size("_w") >= n)
-        .select("id", "tkey")
-    )
-    mem = tk.select(
-        "id", "tkey", F.min("id").over(Window.partitionBy("tkey")).alias("rid")
-    ).localCheckpoint(eager=True)
-    rep_ids = mem.filter(F.col("id") == F.col("rid")).select("id")
-    rep_docs = spread(docs).join(rep_ids.withColumnRenamed("id", id_col), id_col)
-    d = gram_sets(rep_docs, id_col, text_col, n).localCheckpoint(eager=True)
+    d = gram_sets(spread(docs), id_col, text_col, n)
     # sz is carried through the explode projection (row-local), so no
     # separate sizes aggregate + join is needed
     g = d.select("id", "sz", F.explode("grams").alias("ngram")).select(
@@ -255,34 +223,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("shared_prefix") >= required)
         .select("a", "b")
     )
-    # exact Jaccard once per representative pair, then expand to doc
-    # pairs (each unordered doc pair arises exactly once: text groups
-    # partition the docs, rep pairs have a < b, intra pairs are ordered)
-    tver = _verify_jaccard(cands, d, threshold)
-    ea = mem.select(F.col("rid").alias("a"), F.col("id").alias("ia"))
-    eb = mem.select(F.col("rid").alias("b"), F.col("id").alias("ib"))
-    cross = (
-        tver.join(ea, "a")
-        .join(eb, "b")
-        .select(
-            F.least("ia", "ib").alias("a"),
-            F.greatest("ia", "ib").alias("b"),
-            "jaccard",
-        )
-    )
-    m1, m2 = mem.alias("m1"), mem.alias("m2")
-    intra = m1.join(
-        m2, (F.col("m1.rid") == F.col("m2.rid")) & (F.col("m1.id") < F.col("m2.id"))
-    ).select(
-        F.col("m1.id").alias("a"),
-        F.col("m2.id").alias("b"),
-        F.lit(1.0).alias("jaccard"),
-    )
-    if threshold > 1.0:
-        # identical texts have jaccard exactly 1.0; a (degenerate)
-        # threshold above it must exclude them like the verify filter did
-        intra = intra.filter(F.lit(False))
-    return cross.unionByName(intra)
+    return _verify_jaccard(cands, d, threshold)
 
 
 def _verify_jaccard(cands: DataFrame, gram_sets_df: DataFrame, threshold: float) -> DataFrame:

@@ -466,14 +466,14 @@ def test_streaming_windowed_turn_counts(spark, tmp_path):
 def test_dedup_queries_leave_no_cached_relations(spark):
     """Cache-lifetime hygiene (VERDICT r2 #3): the dedup shapes persist
     no corpus-sized relations, and distributed training unpersists what
-    it caches. Round-6 budget: minhash and ngram_jaccard each
-    localCheckpoint exactly two BOUNDED relations per call (the
-    ~50 B/doc text-key membership and the distinct-text gram arrays —
-    the same multi-consumer materialization pattern simhash_dup_pairs
-    and link_prediction use); embedding/training must still add zero.
-    localCheckpoint blocks live until session teardown in practice (the
-    SQL status store holds the plan), so the assertion is an exact
-    per-call budget, not zero."""
+    it caches. Round-6 budget: minhash localCheckpoints exactly two
+    BOUNDED relations per call (the ~50 B/doc text-key membership and
+    the distinct-text gram arrays — the same multi-consumer
+    materialization pattern simhash_dup_pairs and link_prediction use);
+    ngram/embedding/training must still add zero. localCheckpoint
+    blocks live until session teardown in practice (the SQL status
+    store holds the plan), so the assertion is an exact per-call
+    budget, not zero."""
     from frog_spark.models.distributed import synthetic_lexicon, train_mblem_distributed
     from frog_spark.operators.dedup import (
         embedding_dup_pairs,
@@ -484,6 +484,7 @@ def test_dedup_queries_leave_no_cached_relations(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    ngram_jaccard_pairs(docs).count()
     embedding_dup_pairs(emb, id_col="vec_id", threshold=0.999).count()
     train_mblem_distributed(spark, synthetic_lexicon(spark, 500))
     zero_budget = spark.sparkContext._jsc.getPersistentRDDs().size()
@@ -493,15 +494,12 @@ def test_dedup_queries_leave_no_cached_relations(spark):
     # async), which once made the count DROP by one and flaked the
     # equality — only an INCREASE is a leak from these calls.
     assert zero_budget <= before, f"{zero_budget - before} cached RDDs leaked"
-    ngram_jaccard_pairs(docs).count()
-    mid = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert mid - zero_budget <= 2, (
-        f"ngram added {mid - zero_budget} cached RDDs (budget 2)"
-    )
     minhash_dedup_pairs(docs).count()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    # each operator's budget is exactly its two documented checkpoints
-    assert after - mid <= 2, f"minhash added {after - mid} cached RDDs (budget 2)"
+    # minhash's budget is exactly its two documented checkpoints
+    assert after - zero_budget <= 2, (
+        f"minhash added {after - zero_budget} cached RDDs (budget 2)"
+    )
 
 
 def test_folia_word_correction(spark, pipeline):
